@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark the engine's headline queries.
+
+Runs each headline query at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: ``{"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}``.
+
+Each query is fully executed (collected to the driver) so the timing
+covers scan → shuffle → result, not just plan construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def headline_names(all_names) -> list[str]:
+    """Headline set: flagship shapes across scan/join/window/llm ops."""
+    preferred = [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_region_revenue",
+        "q6_forecast_revenue",
+        "w3_moving_avg",
+        "w4_top_order_per_customer",
+        "a2_events_by_day",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "sim_cosine_topk",
+        "text_quality_score",
+    ]
+    return [n for n in preferred if n in all_names] or sorted(all_names)[:8]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from capital.queries import all_queries
+    from capital.session import get_spark
+
+    spark = get_spark(app_name="capital-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+    names = headline_names(queries)
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = queries[name](spark, sf_dir)
+        # collect() executes the full plan (results are small aggregates);
+        # count() would let Catalyst prune the aggregate expressions.
+        n = len(df.collect())
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_wall_clock",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

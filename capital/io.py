@@ -1,0 +1,101 @@
+"""Layered-lake IO: readers and ``ymd``-partitioned writers.
+
+The reference organizes an S3 lake as landing/bronze/silver/gold with
+Hive-style ``ymd=YYYY-MM-DD`` partition keys on every bronze dataset
+(reference: dags/common/constants.py:23-33) and idempotent per-partition
+overwrites (dags/common/s3_utils.py:13; glue_job_scripts/
+industry_code_glue_job.py:56-66). Here that becomes:
+
+- one root path per layer (plain parquet; any object store URI works),
+- ``partitionBy("ymd")`` writes with *dynamic* partition overwrite so a
+  backfill of one day never truncates the table,
+- schema-pinned reads via :mod:`capital.schemas` at the bronze→silver
+  edge (the Glue-crawler-then-pin pattern, SURVEY.md §1.3).
+
+At 100 TB the partition column is what makes any daily query feasible:
+Catalyst prunes ``ymd`` partitions before the scan, so per-day work
+reads one day, not the lake.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Lake layers, mirroring the medallion constants
+#: (reference: dags/common/constants.py:23-28).
+LAYERS = ("landing", "bronze", "silver", "gold")
+
+#: Canonical partition key (reference: dags/common/constants.py:30-33).
+YMD = "ymd"
+
+#: Tables materialized by the test-data driver (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@dataclass(frozen=True)
+class Lake:
+    """A rooted medallion lake; paths only, no session state."""
+
+    root: str
+
+    def path(self, layer: str, table: str) -> str:
+        if layer not in LAYERS:
+            raise ValueError(f"unknown layer {layer!r}; expected one of {LAYERS}")
+        return os.path.join(self.root, layer, table)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-generated parquet table from a scale-factor dir."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Read every driver table; keys match DuckDB's pre-registered views."""
+    return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose the driver tables as temp views for ``spark.sql`` use."""
+    for name, df in load_all(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_col: str = YMD,
+    mode: str = "overwrite",
+) -> None:
+    """Write a ``ymd=``-partitioned parquet dataset.
+
+    With ``partitionOverwriteMode=dynamic`` (set by
+    :func:`capital.session.get_spark`) mode="overwrite" replaces only the
+    partitions present in ``df`` — the engine's version of the
+    reference's idempotent ``replace=True`` S3 upload
+    (dags/common/s3_utils.py:13).
+    """
+    df.write.mode(mode).partitionBy(partition_col).parquet(path)
+
+
+def stamp_ymd(df: DataFrame, date_col: str) -> DataFrame:
+    """Derive the ``ymd`` partition key from an event-time column.
+
+    Mirrors the reference's key templates ``.../ymd=<logical date>/...``
+    (plugins/operators/yfinance_operator.py:16).
+    """
+    return df.withColumn(YMD, F.to_date(F.col(date_col)))

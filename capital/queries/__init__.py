@@ -1,0 +1,32 @@
+"""The engine's checkable query surface (SURVEY.md §2 inventory).
+
+Importing this package registers every query module; the driver
+contract in ``__spark_entry__.py`` re-exports
+:func:`all_queries` / :func:`all_oracles`.
+"""
+
+from __future__ import annotations
+
+from importlib import import_module
+
+from capital.queries.registry import (  # noqa: F401
+    QueryFn,
+    registered_oracles,
+    registered_queries,
+)
+
+#: Query modules; each import registers its queries as a side effect.
+_MODULES = [
+    "capital.queries.pricing",
+]
+
+for _m in _MODULES:
+    import_module(_m)
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return registered_queries()
+
+
+def all_oracles() -> dict[str, str]:
+    return registered_oracles()

@@ -1,0 +1,98 @@
+"""Registry pairing each engine query with its DuckDB oracle SQL.
+
+Every operator from SURVEY.md §2 that the engine claims as done gets:
+
+- a named callable ``(spark, sf_dir) -> DataFrame`` built with the
+  engine's library modules, and
+- (when SQL-expressible) an ANSI-SQL oracle string DuckDB runs against
+  the same parquet tables; the driver hash-compares the two.
+
+Column names are the contract: every computed column is aliased
+identically in the Spark plan and the oracle SQL, because the driver
+sorts columns by name before hashing values.
+
+Float discipline: SUM/AVG over doubles are order-dependent in IEEE
+arithmetic, and Spark and DuckDB will reduce in different orders. Both
+sides therefore cast to DECIMAL *before* summing (exact, associative)
+and cast the final aggregate back to DOUBLE — see
+:func:`capital.queries.registry.decimal_sum`.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register an engine query, optionally with its DuckDB oracle SQL.
+
+    Queries without an oracle get the driver's weaker rows-only check
+    (reserved for genuinely non-SQL-expressible ops).
+    """
+
+    def deco(fn: QueryFn) -> QueryFn:
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Sessions arrive from the driver unconfigured; SQL conf is
+            # runtime-settable, so pin the correctness-critical bits.
+            from capital.session import tune_existing
+
+            tune_existing(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        if name in _QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        _QUERIES[name] = wrapped
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return wrapped
+
+    return deco
+
+
+def registered_queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def registered_oracles() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+def decimal_sum(col: Column, alias: str, scale: int = 6) -> Column:
+    """Order-independent SUM over a double column.
+
+    Casting each value to DECIMAL(28, scale) makes the reduction exact
+    and associative, so Spark's partial aggregation order cannot diverge
+    from DuckDB's. The oracle twin is
+    ``CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)``.
+    """
+    return F.sum(col.cast(f"decimal(28,{scale})")).cast("double").alias(alias)
+
+
+def decimal_avg(col: Column, alias: str, scale: int = 6) -> Column:
+    """Order-independent AVG: exact decimal sum divided by count."""
+    return (
+        F.sum(col.cast(f"decimal(28,{scale})")).cast("double") / F.count(col)
+    ).alias(alias)
+
+
+def ora_sum(expr: str, alias: str, scale: int = 6) -> str:
+    """Oracle-SQL twin of :func:`decimal_sum`."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(28,{scale}))) AS DOUBLE) AS {alias}"
+
+
+def ora_avg(expr: str, alias: str, scale: int = 6) -> str:
+    """Oracle-SQL twin of :func:`decimal_avg`."""
+    return (
+        f"CAST(SUM(CAST({expr} AS DECIMAL(28,{scale}))) AS DOUBLE)"
+        f" / COUNT({expr}) AS {alias}"
+    )

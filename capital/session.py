@@ -1,0 +1,97 @@
+"""SparkSession factory with 100 TB-ready defaults.
+
+The reference platform got its performance behavior from manual choices
+(Hive-style ``ymd=`` partition pruning, date-ranged API pushdown, task
+fan-out — SURVEY.md §4). Catalyst subsumes all of it *if* the session is
+configured for scale; this module is the single place that conf lives.
+
+Design notes for cluster scale (tested on local[N], designed for 1000
+executors):
+
+- **AQE on** (coalesce post-shuffle partitions, skew-join splitting,
+  dynamic join-strategy demotion to broadcast). At 100 TB the static
+  ``shuffle.partitions`` is only an upper bound; AQE right-sizes it.
+- **Dynamic partition overwrite** — the reference's idempotent
+  per-partition ``replace=True`` S3 writes (dags/common/s3_utils.py:13)
+  become ``INSERT OVERWRITE`` of only the touched ``ymd=`` partitions.
+- **Arrow enabled** — every pandas_udf / applyInPandas boundary is
+  Arrow-batched; row-at-a-time Python is banned in hot paths.
+- **UTC session timezone** — the reference juggles UTC Airflow dates vs
+  KST market data vs epoch-millis (SURVEY.md §7 risk register); we pin
+  UTC at the engine boundary and convert at the edges.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Defaults applied to every session the engine creates. Values are
+#: strings because that is what SparkConf stores.
+ENGINE_CONF: dict[str, str] = {
+    # --- correctness-critical ---
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    # --- scale posture ---
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Demote sort-merge to broadcast at runtime when a side turns out small.
+    "spark.sql.adaptive.localShuffleReader.enabled": "true",
+    # Partition input so one task reads ~128MB — right for both local
+    # test files and cluster parquet.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    # --- python boundary ---
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # --- noise reduction ---
+    "spark.ui.showConsoleProgress": "false",
+}
+
+
+def get_spark(
+    app_name: str = "capital",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    so the same entry points run under the driver harness and on a real
+    cluster (where ``master`` is supplied by spark-submit and must be
+    left unset).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and not os.environ.get("SPARK_MASTER_OVERRIDE_EXTERNAL"):
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+    conf = dict(ENGINE_CONF)
+    conf["spark.sql.shuffle.partitions"] = str(
+        shuffle_partitions if shuffle_partitions is not None else cpus
+    )
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return spark
+
+
+def tune_existing(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine conf to a session we did not create.
+
+    The driver harness passes us its own SparkSession; static conf
+    (master, memory) is fixed, but SQL conf is per-query and safe to set.
+    """
+    for key in (
+        "spark.sql.session.timeZone",
+        "spark.sql.sources.partitionOverwriteMode",
+        "spark.sql.adaptive.enabled",
+        "spark.sql.execution.arrow.pyspark.enabled",
+    ):
+        spark.conf.set(key, ENGINE_CONF[key])
+    return spark
