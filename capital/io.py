@@ -24,6 +24,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 #: Lake layers, mirroring the medallion constants
 #: (reference: dags/common/constants.py:23-28).
@@ -60,8 +61,20 @@ class Lake:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one driver-generated parquet table from a scale-factor dir."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Read one driver-generated parquet table from a scale-factor dir.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; with ``nanosAsLong`` (set by
+    :mod:`capital.session`) it arrives as LongType nanoseconds and is
+    floored to a microsecond timestamp here — the same truncation DuckDB
+    applies when surfacing TIMESTAMP_NS, so oracle parity holds.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        # Integer division: nanos exceed 2^53, a double round-trip would
+        # lose precision.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

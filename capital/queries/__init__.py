@@ -18,6 +18,9 @@ from capital.queries.registry import (  # noqa: F401
 #: Query modules; each import registers its queries as a side effect.
 _MODULES = [
     "capital.queries.pricing",
+    "capital.queries.relational",
+    "capital.queries.calendar_queries",
+    "capital.queries.functions_queries",
 ]
 
 for _m in _MODULES:

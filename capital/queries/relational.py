@@ -1,0 +1,551 @@
+"""Relational operator surface (SURVEY.md §2.2–2.7).
+
+One oracle-paired query per operator family: projections & casts,
+predicates, joins (semi/anti/broadcast-dim), aggregations (scalar-max,
+group-by-day, first-wins, rollup/cube/distinct), sorts/top-k, and set
+operations. Each docstring cites the reference behavior it re-expresses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from capital.io import load_table
+from capital.operators.asof import max_where
+from capital.operators.dedup import first_wins
+from capital.operators.reshape import unpivot
+from capital.queries.registry import decimal_avg, decimal_sum, ora_avg, ora_sum, query
+
+
+# --- §2.2 projections / filters -----------------------------------------
+
+
+@query(
+    "p1_project_cast",
+    oracle="""
+    SELECT l_orderkey AS item_code, l_linenumber AS line_no,
+           CAST(l_shipdate AS DATE) AS ship_date,
+           l_returnflag AS market
+    FROM lineitem
+    """,
+)
+def p1_project_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: the silver projection+cast (reference's only real Spark SQL,
+    glue_job_scripts/industry_code_glue_job.py:38-47)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("item_code"),
+        F.col("l_linenumber").alias("line_no"),
+        F.to_date("l_shipdate").alias("ship_date"),
+        F.col("l_returnflag").alias("market"),
+    )
+
+
+@query(
+    "p3_unpivot_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
+)
+def p3_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: wide→long unpivot (yfinance panel stack,
+    plugins/operators/yfinance_operator.py:101-113). Narrow op: no shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return unpivot(
+        li,
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        var_name="measure",
+        value_name="value",
+    )
+
+
+@query(
+    "p4_literal_rename_project",
+    oracle="""
+    SELECT s_suppkey AS supplier_id, s_name AS supplier_name,
+           'KRX' AS exchange, s_acctbal AS account_balance
+    FROM supplier
+    """,
+)
+def p4_literal_rename_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/P5/P7: literal-column attach + renames (symbol/name constants,
+    dags/brz_coin_daily/extractors.py:48-49; Date→RecordDate rename,
+    dags/brz_exchange_rate_daily/extractors.py:25-27)."""
+    s = load_table(spark, sf_dir, "supplier")
+    return s.select(
+        F.col("s_suppkey").alias("supplier_id"),
+        F.col("s_name").alias("supplier_name"),
+        F.lit("KRX").alias("exchange"),
+        F.col("s_acctbal").alias("account_balance"),
+    )
+
+
+@query(
+    "p9_notnull_filter",
+    oracle="""
+    SELECT event_id, user_id, value FROM events
+    WHERE value IS NOT NULL AND event_type = 'purchase'
+    """,
+)
+def p9_notnull_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9/P12: not-null + equality predicates, pushed to the scan
+    (fetched-ticker detection, plugins/operators/yfinance_operator.py:118)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(
+        F.col("value").isNotNull() & (F.col("event_type") == "purchase")
+    ).select("event_id", "user_id", "value")
+
+
+@query(
+    "p12_partition_prunable_eq",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE CAST(o_orderdate AS DATE) = DATE '1997-03-01'
+    """,
+)
+def p12_partition_prunable_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12: bound-param equality on the date key — the predicate shape
+    that partition-prunes a ymd-partitioned lake table."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(
+        F.col("o_orderdate").cast("date") == F.lit("1997-03-01").cast("date")
+    ).select("o_orderkey", "o_totalprice")
+
+
+# --- §2.3 joins ----------------------------------------------------------
+
+
+@query(
+    "j3_anti_join_missing",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def j3_anti_join_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/U3: requested-minus-fetched set difference as a left-anti join
+    (missing-ticker diff, plugins/operators/yfinance_operator.py:118-127)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "j4_dim_fanout_revenue",
+    oracle=f"""
+    SELECT p_brand,
+           {ora_sum("l_extendedprice * (1 - l_discount)", "revenue")},
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size <= 25
+    GROUP BY p_brand
+    """,
+)
+def j4_dim_fanout_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: dimension-driven fan-out — dim key set drives the fact work
+    (ticker list from dim_industry_code, plugins/operators/
+    yfinance_operator.py:47-82). Dim is broadcast: zero fact shuffle
+    before the aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 25)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            decimal_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "j5_registry_lookup",
+    oracle="""
+    SELECT n_name AS nation, r_name AS region, COUNT(*) AS n_suppliers
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY n_name, r_name
+    """,
+)
+def j5_registry_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: config-registry lookup join — facts enriched from a small
+    broadcast registry (bond URL registry, dags/brz_bonds_daily/
+    extractors.py:54,80-87)."""
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+
+
+# --- §2.4 aggregations ---------------------------------------------------
+
+
+@query(
+    "a1_scalar_max_pred",
+    oracle="""
+    SELECT MAX(CASE WHEN o_orderstatus = 'F' THEN CAST(o_orderdate AS DATE) END)
+             AS last_finished_date
+    FROM orders
+    """,
+)
+def a1_scalar_max_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: scalar MAX with predicate (last open-market day,
+    dags/brz_kr_etf_daily/brz_kr_etf_daily.py:26-29)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return max_where(
+        orders,
+        F.col("o_orderdate").cast("date"),
+        F.col("o_orderstatus") == "F",
+        "last_finished_date",
+    )
+
+
+@query(
+    "a2_events_by_day",
+    oracle=f"""
+    SELECT CAST(ts AS DATE) AS event_date, event_type,
+           COUNT(*) AS n_events,
+           {ora_sum("value", "total_value")}
+    FROM events
+    GROUP BY CAST(ts AS DATE), event_type
+    """,
+)
+def a2_events_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: group-by-day regroup (bond records bucketed per day,
+    dags/brz_bonds_daily/extractors.py:53-95) — the ymd partitioning
+    aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.col("ts").cast("date").alias("event_date"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        decimal_sum(F.col("value"), "total_value"),
+    )
+
+
+@query(
+    "a4_first_wins_dedup",
+    oracle="""
+    SELECT user_id, MIN(ts) AS ts,
+           arg_min(event_type, ts) AS event_type,
+           arg_min(value, ts) AS value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def a4_first_wins_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: first-value-wins per key (crawled-header fold,
+    dags/brz_bonds_meta_monthly/extractors.py:44-49) via order-free
+    ``min_by`` — no window sort."""
+    ev = load_table(spark, sf_dir, "events")
+    return first_wins(
+        ev, keys=["user_id"], order_col="ts", value_cols=["event_type", "value"]
+    )
+
+
+@query(
+    "a5_rollup_priority_status",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def a5_rollup_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-set surface the reference lacked: ROLLUP, free on Catalyst
+    (SURVEY.md §2.4 note)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@query(
+    "a6_cube_flags",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {ora_sum("l_quantity", "sum_qty")}
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def a6_cube_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over the pricing flags (engine surface, SURVEY.md §2.4)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        decimal_sum(F.col("l_quantity"), "sum_qty")
+    )
+
+
+@query(
+    "a7_distinct_agg",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def a7_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregates (engine surface; Catalyst expand + two-phase)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+    )
+
+
+# --- §2.6 sorts / top-k --------------------------------------------------
+
+
+@query(
+    "o1_top1_latest_order",
+    oracle="""
+    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS orderdate
+    FROM orders
+    ORDER BY o_orderdate DESC, o_orderkey DESC
+    LIMIT 1
+    """,
+)
+def o1_top1_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: MAX-date subquery as ORDER BY … LIMIT 1 (dags/brz_kr_etf_daily/
+    brz_kr_etf_daily.py:26-29). Spark runs this as TakeOrderedAndProject —
+    no global sort materialized."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+        .limit(1)
+        .select(
+            "o_orderkey", F.col("o_orderdate").cast("date").alias("orderdate")
+        )
+    )
+
+
+@query(
+    "o2_topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def o2_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: top-k with deterministic tiebreak (TakeOrderedAndProject:
+    per-partition heaps + single merge, no global sort — the only
+    scalable top-k at 100 TB)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(
+        10
+    ).select("o_orderkey", "o_totalprice")
+
+
+# --- §2.7 set operations -------------------------------------------------
+
+
+@query(
+    "u1_union_distinct_nations",
+    oracle="""
+    SELECT n_nationkey AS nationkey FROM customer JOIN nation ON c_nationkey = n_nationkey
+    UNION
+    SELECT n_nationkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    """,
+)
+def u1_union_distinct_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: union of record blocks, distinct (multi-block KRX payload,
+    dags/brz_industry_code_daily/extractors.py:42-44)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.unionByName(supp).distinct()
+
+
+@query(
+    "u2_union_all_pages",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '2-HIGH'
+    """,
+)
+def u2_union_all_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: union across pages/symbols preserving multiplicity
+    (all_items.extend loops, dags/brz_kr_etf_daily/tasks.py:64-65)."""
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    high = orders.filter(F.col("o_orderpriority") == "2-HIGH")
+    return urgent.unionByName(high).select("o_orderkey", "o_orderpriority")
+
+
+@query(
+    "u3_except_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def u3_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: set difference (missing tickers,
+    plugins/operators/yfinance_operator.py:119)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.subtract(supp)  # EXCEPT DISTINCT (set semantics)
+
+
+@query(
+    "u4_intersect_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def u4_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intersect — unused by the reference, exposed for free (§2.7)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.intersect(supp)
+
+
+# --- §2.5 windows (fact-scale) ------------------------------------------
+
+
+@query(
+    "w3_moving_avg",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                OVER w AS DOUBLE) / COUNT(*) OVER w AS moving_avg_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w3_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-order moving average per customer (OHLCV analytics surface,
+    SURVEY.md §2.5 note). Partitioned window: shuffles once on custkey."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("moving_avg_price"),
+    )
+
+
+@query(
+    "w4_top_order_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) t
+    WHERE rn = 1
+    """,
+)
+def w4_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number ranking per key (engine analytic surface, §2.5)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "w5_lag_delta",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           o_totalprice - LAG(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             AS price_delta
+    FROM orders
+    """,
+)
+def w5_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead delta per key (daily price-change surface, §2.5)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") - F.lag("o_totalprice").over(w)).alias(
+            "price_delta"
+        ),
+    )
+
+
+# --- §2.2 zero-fill (F14) -----------------------------------------------
+
+
+@query(
+    "f14_zero_fill_left_join",
+    oracle=f"""
+    SELECT c.c_custkey,
+           COALESCE(t.total, CAST(0.0 AS DOUBLE)) AS total_spent,
+           COALESCE(t.n, 0) AS n_orders
+    FROM customer c
+    LEFT JOIN (
+      SELECT o_custkey, {ora_sum("o_totalprice", "total")}, COUNT(*) AS n
+      FROM orders GROUP BY o_custkey) t
+    ON c.c_custkey = t.o_custkey
+    """,
+)
+def f14_zero_fill_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14: null-default record fill after an outer join (zero-row OHLC
+    stub, dags/brz_bonds_daily/extractors.py:60-75)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    totals = orders.groupBy("o_custkey").agg(
+        decimal_sum(F.col("o_totalprice"), "total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return cust.join(
+        totals, cust.c_custkey == totals.o_custkey, "left"
+    ).select(
+        "c_custkey",
+        F.coalesce(F.col("total"), F.lit(0.0)).alias("total_spent"),
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_orders"),
+    )

@@ -33,6 +33,10 @@ ENGINE_CONF: dict[str, str] = {
     # --- correctness-critical ---
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    # Parquet TIMESTAMP(NANOS) (e.g. the driver's events.ts) is illegal
+    # for Spark's reader; surface it as LongType nanos and let
+    # capital.io.load_table convert to a microsecond timestamp.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # --- scale posture ---
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
@@ -92,6 +96,7 @@ def tune_existing(spark: SparkSession) -> SparkSession:
         "spark.sql.sources.partitionOverwriteMode",
         "spark.sql.adaptive.enabled",
         "spark.sql.execution.arrow.pyspark.enabled",
+        "spark.sql.legacy.parquet.nanosAsLong",
     ):
         spark.conf.set(key, ENGINE_CONF[key])
     return spark
