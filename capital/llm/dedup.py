@@ -1,0 +1,230 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, cheapest first:
+
+1. **Exact** (:func:`exact_dedup_groups`) — md5-keyed hash groupBy.
+   One shuffle on a 16-byte key; the canonical 100 TB first pass.
+2. **MinHash + LSH** (:func:`minhash_signatures`,
+   :func:`lsh_candidate_pairs`) — shingle → k minhashes → b bands;
+   candidate pairs only where a band bucket collides. Shuffle cost is
+   O(docs × b) tiny band keys, never O(docs²).
+3. **SimHash** (:func:`simhash64`) — 64-bit near-dup signature;
+   Hamming-adjacent buckets. Cheap single-pass, no pair join here.
+4. **n-gram Jaccard** (:func:`jaccard_pairs`) — exact verification on a
+   bounded candidate set (from LSH buckets or an explicit sample);
+   the only quadratic step, applied after blocking.
+
+Hash discipline: all hashes are md5 hex strings or bits derived from
+them — deterministic, engine-portable (the DuckDB oracles replicate
+them bit-for-bit), and collision-safe at any corpus size. A production
+Spark-only path could swap in ``xxhash64`` for ~3× hash throughput; the
+structure is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from capital.llm.text import normalized, tokens
+
+
+def exact_dedup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact-duplicate groups keyed by md5(normalized text).
+
+    Returns one row per distinct content: representative id (min),
+    duplicate count. ``anti-join back on id`` yields the deduped corpus.
+    """
+    keyed = df.select(
+        F.col(id_col), F.md5(normalized(F.col(text_col))).alias("content_key")
+    )
+    return keyed.groupBy("content_key").agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles of the normalized text."""
+    toks = tokens(normalized(text))
+    n = F.size(toks)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature: array of ``num_hashes`` minima.
+
+    Component i = min over shingles of md5(i || '|' || shingle) — the
+    "k independent permutations" realized as salted hashes. Lexicographic
+    min over fixed-width hex == numeric min over the 128-bit values.
+
+    Pure expression pipeline (transform + array_min): no explode, no
+    shuffle — the signature is computed in the scan's projection.
+    """
+    sh = shingles(F.col(text_col), shingle_k)
+
+    def _component(i: int) -> Column:
+        # One-parameter lambda only: PySpark reads lambda arity, and a
+        # second (default) parameter would turn it into (element, index).
+        salt = f"{i}|"
+        return F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(F.lit(salt), s)))
+        )
+
+    sig = F.array(*[_component(i) for i in range(num_hashes)])
+    return df.select(F.col(id_col), sig.alias("signature"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs.
+
+    Explodes to (band, band_key) — ``docs × bands`` small rows — and
+    self-joins per bucket. Estimated Jaccard = fraction of equal
+    signature components. At scale the bucket join shuffles on the band
+    key; a hot bucket (boilerplate docs) is the skew case AQE splits.
+    """
+    n = bands * rows_per_band
+    banded = signatures.select(
+        F.col(id_col),
+        F.col("signature"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col("signature")[b * rows_per_band + r]
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "signature", "bk.band", "bk.band_key")
+
+    a = banded.alias("a")
+    b_ = banded.alias("b")
+    pairs = (
+        a.join(
+            b_,
+            (F.col(f"a.band") == F.col(f"b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(n)
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round(est, 6).alias("est_jaccard")
+    )
+
+
+def simhash_bits(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """SimHash near-dup signature as a ``bits``-char bit string.
+
+    bit_j(doc) = 1 iff sum over distinct tokens of ±1 (sign = bit j of
+    the token's md5) is positive. Bit j is read straight from md5 hex
+    digit ``j // 4`` — no big-int conversion, so the computation is
+    replicable in any SQL engine.
+
+    Shape: explode distinct tokens → one groupBy(doc) with ``bits``
+    conditional sums. One shuffle on doc id; vote expressions are
+    integer ops inside codegen.
+    """
+    toks = F.array_distinct(tokens(normalized(F.col(text_col))))
+    exploded = df.select(
+        F.col(id_col), F.explode(toks).alias("tok")
+    ).withColumn("m", F.md5("tok"))
+    digit = {
+        p: F.instr(F.lit("0123456789abcdef"), F.substring("m", p + 1, 1)) - 1
+        for p in range(bits // 4)
+    }
+    votes = []
+    for j in range(bits):
+        bit = F.shiftright(digit[j // 4], j % 4).bitwiseAND(F.lit(1))
+        votes.append(
+            F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"v{j}")
+        )
+    summed = exploded.groupBy(id_col).agg(*votes)
+    sim = F.concat(
+        *[
+            F.when(F.col(f"v{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for j in reversed(range(bits))
+        ]
+    )
+    return summed.select(F.col(id_col), sim.alias("simhash_bits"))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard over all pairs of ``df``.
+
+    Quadratic — apply only to a blocked/bounded candidate set (LSH
+    buckets, a partition, or a sample). |A∩B| via array_intersect,
+    |A∪B| = |A|+|B|−|A∩B|.
+    """
+    sh = df.select(
+        F.col(id_col), shingles(F.col(text_col), shingle_k).alias("sh")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    jac = inter / F.greatest(union, F.lit(1))
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,200 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths:
+
+- :func:`cosine_topk` — brute-force exact top-k for a (broadcast) query
+  set. Cost O(|queries| × |corpus| × dim) multiply-adds, all inside
+  Catalyst higher-order functions (zip_with/aggregate — JVM, codegen).
+  The right baseline, and the right *tool* whenever |queries| is small:
+  at 1000 executors it is an embarrassingly parallel scan of the corpus.
+- :func:`lsh_bucket_topk` — random-hyperplane (sign-LSH) bucketing: a
+  deterministic hyperplane family hashes each vector to a short bit
+  key; search compares only vectors sharing a bucket. Corpus side is
+  hashed once (one narrow pass + shuffle on the bucket key); recall is
+  traded via number of planes. The 100 TB path when |queries| is large.
+
+Dot products run in double precision with sequential (array-order)
+accumulation so results are bit-reproducible across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector.
+
+    ``queries`` is broadcast; the corpus is scanned once. Self-matches
+    (same id) are excluded. Ranking ties break on neighbor id for
+    determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.round("cosine_sim", 6).alias("cosine_sim"),
+        )
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplane family.
+
+    Components derive from a splitmix-style integer mix of
+    (seed, plane, dim index) — no RNG state, reproducible everywhere.
+    """
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            x = (seed * 1_000_003 + p * 10_007 + d) & 0xFFFFFFFF
+            x = (x ^ (x >> 16)) * 0x45D9F3B & 0xFFFFFFFF
+            x = (x ^ (x >> 16)) * 0x45D9F3B & 0xFFFFFFFF
+            x = x ^ (x >> 16)
+            row.append((x / 0xFFFFFFFF) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def sign_lsh_key(vec: Column, planes: list[list[float]]) -> Column:
+    """Bit-string bucket key: sign of ⟨vec, plane⟩ per hyperplane."""
+    bits = [
+        F.when(
+            _dot(vec, F.array(*[F.lit(w) for w in plane])) >= 0, F.lit("1")
+        ).otherwise(F.lit("0"))
+        for plane in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: compare only within sign-LSH buckets.
+
+    With 8 planes the corpus splits into ≤256 buckets → ~256× fewer
+    comparisons at equal recall for clustered data. Queries hash with
+    the same plane family, then join on the bucket key.
+    """
+    planes = hyperplanes(dim, n_planes)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        sign_lsh_key(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        sign_lsh_key(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.round("cosine_sim", 6).alias("cosine_sim"),
+        )
+    )
+
+
+def cosine_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH blocking.
+
+    Pairs are only scored within a bucket (all ``n_planes`` signs
+    equal); at 0.95+ cosine the vectors are nearly parallel, so bucket
+    collision probability per plane is ≈1 − θ/π ≈ 0.90 — recall stays
+    high while the pair space collapses.
+    """
+    planes = hyperplanes(dim, n_planes)
+    keyed = vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        sign_lsh_key(F.col(vec_col), planes).alias("bucket"),
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn(
+            "cosine_sim", cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round("cosine_sim", 6).alias("cosine_sim"),
+        )
+    )

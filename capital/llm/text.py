@@ -1,0 +1,120 @@
+"""Text-analysis operators for training-data pipelines.
+
+All operators are pure Catalyst expressions (split / filter / transform /
+regexp — JVM-side, codegen'd); none drop to Python. At 100 TB each is a
+narrow per-row map over the scan: no shuffle, scales with input splits.
+
+Design: every operator is a function ``DataFrame -> DataFrame`` adding
+typed columns, so they compose into one fused projection pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language marker vocabularies for the n-gram/stopword
+#: language-ID heuristic. Deliberately small and deterministic so the
+#: heuristic is replicable in plain SQL (the DuckDB oracle).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "la", "los", "y", "es"),
+    "zh": ("的", "是", "了", "在", "和"),
+}
+
+#: Characters counted as punctuation by the quality score.
+_PUNCT_RE = r"[^a-zA-Z0-9\s]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (the BPE-ish baseline tokenizer)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("n_tokens", F.size(tokens(F.col(text_col))))
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length/punctuation/stopword-ratio quality scoring.
+
+    score ∈ [0,1]: rewards reasonable length, low punctuation density,
+    and a natural stopword ratio — the classic cheap pre-filter before
+    model-based quality scoring.
+    """
+    text = F.col(text_col)
+    toks = tokens(text)
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    punct = F.length(F.regexp_replace(text, r"[a-zA-Z0-9\s]", ""))
+    stop = F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS["en"])))
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    stop_ratio = stop / F.greatest(n_tok, F.lit(1))
+    length_term = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    score = (
+        F.lit(0.4) * length_term
+        + F.lit(0.3) * (1 - F.least(punct_ratio * 10, F.lit(1.0)))
+        + F.lit(0.3) * F.least(stop_ratio * 5, F.lit(1.0))
+    )
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("punct_ratio", F.round(punct_ratio, 6))
+        .withColumn("stopword_ratio", F.round(stop_ratio, 6))
+        .withColumn("quality_score", F.round(score, 6))
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: argmax of per-language marker hits.
+
+    Ties break by fixed language order (en, de, fr, es, zh); zero hits
+    → 'unknown'. Deterministic and SQL-replicable by construction.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+
+    def _hits(markers: tuple[str, ...]) -> Column:
+        # NB: the lambda must be single-parameter — PySpark reads lambda
+        # arity, and a second (default) parameter turns it into an
+        # (element, index) lambda.
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    hit_cols = {lang: _hits(m) for lang, m in LANG_MARKERS.items()}
+    best = F.greatest(*hit_cols.values())
+    pred = F.lit("unknown")
+    # Build the CASE ladder in reverse so earlier languages win ties.
+    for lang in reversed(list(LANG_MARKERS)):
+        pred = F.when(
+            (hit_cols[lang] > 0) & (hit_cols[lang] == best), F.lit(lang)
+        ).otherwise(pred)
+    return df.withColumn("pred_lang", pred)
+
+
+def normalized(text: Column) -> Column:
+    """Canonical text form for fingerprinting: lowercase, collapsed
+    whitespace, trimmed."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints:
+
+    - ``fingerprint``: md5 of the normalized full text (exact-dup key);
+    - ``min_shingle_hash``: minimum md5 over 5-token rolling shingles —
+      a winnowing-style content fingerprint robust to prefix/suffix
+      edits. Hex-string min == numeric min (fixed-width lowercase hex),
+      which keeps it replicable in any SQL engine.
+    """
+    toks = tokens(normalized(F.col(text_col)))
+    n = F.size(toks)
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(4), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 5)),
+    )
+    return df.withColumn(
+        "fingerprint", F.md5(normalized(F.col(text_col)))
+    ).withColumn(
+        "min_shingle_hash",
+        F.array_min(F.transform(shingles, lambda s: F.md5(s))),
+    )

@@ -21,6 +21,7 @@ _MODULES = [
     "capital.queries.relational",
     "capital.queries.calendar_queries",
     "capital.queries.functions_queries",
+    "capital.queries.llm_queries",
 ]
 
 for _m in _MODULES:

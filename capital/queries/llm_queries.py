@@ -1,0 +1,449 @@
+"""LLM training-data pipeline queries (dedup / similarity / text
+analysis / multimodal) over the driver's ``documents`` and
+``embeddings`` tables.
+
+Oracle strategy: every hash used by the dedup family is md5-based, and
+every similarity kernel accumulates doubles in array order, so the
+DuckDB oracles replicate the computation bit-for-bit. Oracle SQL is
+*generated* from the same constants the engine uses (marker vocab,
+shingle sizes, hyperplanes) — formulas cannot drift apart silently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from capital.io import load_table
+from capital.llm.dedup import (
+    exact_dedup_groups,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash_bits,
+)
+from capital.llm.multimodal import decode_assets, text_as_assets
+from capital.llm.similarity import (
+    cosine_neardup_pairs,
+    cosine_topk,
+    hyperplanes,
+    lsh_bucket_topk,
+)
+from capital.llm.text import (
+    LANG_MARKERS,
+    with_fingerprint,
+    with_lang_id,
+    with_quality_score,
+    with_token_count,
+)
+from capital.queries.registry import query
+
+# --- shared SQL fragments (twins of capital.llm.text helpers) -----------
+
+#: normalized(text): lowercase, collapse whitespace, trim.
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+#: tokens(normalized(text))
+_NTOKS = rf"string_split_regex({_NORM}, '\s+')"
+#: tokens(text) (un-normalized, as the quality/token-count ops use)
+_TOKS = r"string_split_regex(trim(text), '\s+')"
+
+
+def _sql_list(words: tuple[str, ...]) -> str:
+    return "(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+# --- text analysis -------------------------------------------------------
+
+
+@query(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id, CAST(len({_TOKS}) AS INTEGER) AS n_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting — the per-doc budget primitive."""
+    d = load_table(spark, sf_dir, "documents")
+    return with_token_count(d).select("doc_id", "n_tokens")
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             len({_TOKS}) AS n_tok,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct,
+             len(list_filter({_TOKS}, x -> x IN {_sql_list(LANG_MARKERS["en"])}))
+               AS stop
+      FROM documents)
+    SELECT doc_id,
+           CAST(n_tok AS INTEGER) AS n_tokens,
+           round(punct / greatest(n_chars, 1), 6) AS punct_ratio,
+           round(stop / greatest(n_tok, 1), 6) AS stopword_ratio,
+           round(0.4 * least(n_tok / 100.0, 1.0)
+                 + 0.3 * (1 - least((punct / greatest(n_chars, 1)) * 10, 1.0))
+                 + 0.3 * least((stop / greatest(n_tok, 1)) * 5, 1.0), 6)
+             AS quality_score
+    FROM t
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/punctuation/stopword quality scoring (cheap pre-filter)."""
+    d = load_table(spark, sf_dir, "documents")
+    return with_quality_score(d).select(
+        "doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "quality_score"
+    )
+
+
+def _lang_id_oracle() -> str:
+    hits = ",\n             ".join(
+        f"len(list_filter(toks, x -> x IN {_sql_list(m)})) AS h_{lang}"
+        for lang, m in LANG_MARKERS.items()
+    )
+    best = "greatest(" + ", ".join(f"h_{lang}" for lang in LANG_MARKERS) + ")"
+    ladder = "\n             ".join(
+        f"WHEN h_{lang} > 0 AND h_{lang} = {best} THEN '{lang}'"
+        for lang in LANG_MARKERS
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents),
+    h AS (
+      SELECT doc_id, lang,
+             {hits}
+      FROM t)
+    SELECT doc_id, lang,
+           CASE {ladder}
+             ELSE 'unknown' END AS pred_lang
+    FROM h
+    """
+
+
+@query("text_lang_id", oracle=_lang_id_oracle())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-vocabulary language ID (n-gram heuristic family);
+    emitted next to the driver's ground-truth ``lang`` column."""
+    d = load_table(spark, sf_dir, "documents")
+    return with_lang_id(d).select("doc_id", "lang", "pred_lang")
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_NTOKS} AS toks FROM documents)
+    SELECT doc_id,
+           md5({_NORM}) AS fingerprint,
+           list_sort([md5(array_to_string(toks[i:i+4], ' '))
+                      FOR i IN range(1, greatest(len(toks) - 4, 1) + 1)])[1]
+             AS min_shingle_hash
+    FROM documents JOIN t USING (doc_id)
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: md5 of normalized text + min 5-gram
+    rolling-shingle hash (winnowing-style)."""
+    d = load_table(spark, sf_dir, "documents")
+    return with_fingerprint(d).select(
+        "doc_id", "fingerprint", "min_shingle_hash"
+    )
+
+
+# --- deduplication -------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    SELECT md5({_NORM}) AS content_key,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5({_NORM})
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: hash-groupBy on md5(normalized text)."""
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup_groups(d)
+
+
+_MH_HASHES, _MH_BANDS, _MH_ROWS = 16, 4, 4
+
+
+def _minhash_oracle() -> str:
+    band_key = " || '|' || ".join(
+        f"sig[bi * {_MH_ROWS} + {r} + 1]" for r in range(_MH_ROWS)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            FOR i IN range(1, greatest(len(t) - 2, 1) + 1)]) AS s
+      FROM (SELECT doc_id, {_NTOKS} AS t FROM documents)),
+    sig AS (
+      SELECT doc_id,
+             [list_sort([md5(CAST(h AS VARCHAR) || '|' || x) FOR x IN s])[1]
+              FOR h IN range(0, {_MH_HASHES})] AS sig
+      FROM sh),
+    banded AS (
+      SELECT doc_id, sig, bi, md5({band_key}) AS band_key
+      FROM sig, (SELECT unnest(range(0, {_MH_BANDS})) AS bi)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sig AS sig_a, b.sig AS sig_b
+      FROM banded a
+      JOIN banded b ON a.bi = b.bi AND a.band_key = b.band_key
+                   AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           round(len(list_filter([sig_a[i] = sig_b[i]
+                                  FOR i IN range(1, {_MH_HASHES} + 1)],
+                                 e -> e)) / {_MH_HASHES}.0, 6) AS est_jaccard
+    FROM pairs
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands × 4 rows) candidate pairs with
+    estimated Jaccard. Shuffle is O(docs × bands) band keys — never the
+    O(docs²) pair space."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, num_hashes=_MH_HASHES, shingle_k=3)
+    return lsh_candidate_pairs(sigs, bands=_MH_BANDS, rows_per_band=_MH_ROWS)
+
+
+_SH_BITS = 32
+
+
+def _simhash_oracle() -> str:
+    digit = {
+        p: f"(strpos('0123456789abcdef', substr(m, {p + 1}, 1)) - 1)"
+        for p in range(_SH_BITS // 4)
+    }
+    votes = ",\n             ".join(
+        f"SUM(CASE WHEN (({digit[j // 4]} >> {j % 4}) & 1) = 1"
+        f" THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(_SH_BITS)
+    )
+    bitstr = " || ".join(
+        f"CASE WHEN v{j} > 0 THEN '1' ELSE '0' END"
+        for j in reversed(range(_SH_BITS))
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct({_NTOKS})) AS w FROM documents),
+    h AS (SELECT doc_id, md5(w) AS m FROM tok),
+    v AS (SELECT doc_id,
+             {votes}
+          FROM h GROUP BY doc_id)
+    SELECT doc_id, {bitstr} AS simhash_bits FROM v
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(32) signatures: near-dup docs differ in few bits.
+    Explode + one groupBy shuffle; votes are codegen'd integer ops."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_bits(d, bits=_SH_BITS)
+
+
+_JACCARD_SAMPLE, _JACCARD_THRESHOLD = 150, 0.5
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            FOR i IN range(1, greatest(len(t) - 2, 1) + 1)]) AS s
+      FROM (SELECT doc_id, {_NTOKS} AS t FROM documents
+            WHERE doc_id < {_JACCARD_SAMPLE}))
+    SELECT * FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(len(list_intersect(a.s, b.s))
+                   / greatest(len(a.s) + len(b.s)
+                              - len(list_intersect(a.s, b.s)), 1), 6)
+               AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    WHERE jaccard >= {_JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard on a bounded candidate set (the verification
+    step after LSH blocking; bounded sample keeps the quadratic join
+    honest)."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _JACCARD_SAMPLE
+    )
+    return jaccard_pairs(d, shingle_k=3, threshold=_JACCARD_THRESHOLD)
+
+
+# --- similarity search ---------------------------------------------------
+
+_DIM = 64
+_TOPK = 5
+_N_QUERIES = 8
+
+#: cosine(a, b) with double accumulation in array order (oracle twin of
+#: capital.llm.similarity.cosine).
+_COS = (
+    "list_sum([CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)"
+    f" FOR i IN range(1, {_DIM} + 1)])"
+    " / (sqrt(list_sum([CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)"
+    f" FOR i IN range(1, {_DIM} + 1)]))"
+    " * sqrt(list_sum([CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)"
+    f" FOR i IN range(1, {_DIM} + 1)])))"
+)
+
+
+@query(
+    "sim_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < {_N_QUERIES}),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id, {_COS} AS sim
+      FROM q, c WHERE query_id <> neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rn
+      FROM scored)
+    SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id,
+           round(sim, 6) AS cosine_sim
+    FROM ranked WHERE rn <= {_TOPK}
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-k (the ANN baseline): broadcast
+    queries × one corpus scan, JVM-side dot products."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return cosine_topk(emb, queries, k=_TOPK)
+
+
+_LSH_PLANES = 8
+
+
+def _plane_literal(planes: list[list[float]]) -> str:
+    rows = ", ".join(
+        "[" + ", ".join(repr(w) for w in row) + "]" for row in planes
+    )
+    return f"[{rows}]"
+
+
+def _lsh_topk_oracle() -> str:
+    planes = hyperplanes(_DIM, _LSH_PLANES)
+    bucket = (
+        "array_to_string([CASE WHEN list_sum([CAST(e[i] AS DOUBLE) * p[j][i]"
+        f" FOR i IN range(1, {_DIM} + 1)]) >= 0 THEN '1' ELSE '0' END"
+        f" FOR j IN range(1, {_LSH_PLANES} + 1)], '')"
+    )
+    return f"""
+    WITH planes AS (SELECT {_plane_literal(planes)} AS p),
+    keyed AS (
+      SELECT vec_id, embedding,
+             {bucket.replace('e[i]', 'embedding[i]')} AS bucket
+      FROM embeddings, planes),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, bucket
+          FROM keyed WHERE vec_id < {_N_QUERIES}),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM keyed),
+    scored AS (
+      SELECT query_id, neighbor_id, {_COS} AS sim
+      FROM q JOIN c USING (bucket)
+      WHERE query_id <> neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rn
+      FROM scored)
+    SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id,
+           round(sim, 6) AS cosine_sim
+    FROM ranked WHERE rn <= {_TOPK}
+    """
+
+
+@query("sim_lsh_topk", oracle=_lsh_topk_oracle())
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed approximate top-k — the scale path: corpus
+    hashed once, comparisons only within matching buckets."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return lsh_bucket_topk(
+        emb, queries, k=_TOPK, n_planes=_LSH_PLANES, dim=_DIM
+    )
+
+
+_NEARDUP_PLANES = 6
+_NEARDUP_THRESHOLD = 0.9
+
+
+def _neardup_oracle() -> str:
+    planes = hyperplanes(_DIM, _NEARDUP_PLANES)
+    bucket = (
+        "array_to_string([CASE WHEN list_sum([CAST(embedding[i] AS DOUBLE)"
+        f" * p[j][i] FOR i IN range(1, {_DIM} + 1)]) >= 0"
+        " THEN '1' ELSE '0' END"
+        f" FOR j IN range(1, {_NEARDUP_PLANES} + 1)], '')"
+    )
+    return f"""
+    WITH planes AS (SELECT {_plane_literal(planes)} AS p),
+    keyed AS (
+      SELECT vec_id, embedding, {bucket} AS bucket
+      FROM embeddings, planes)
+    SELECT * FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round({_COS.replace("qv", "a.embedding").replace("cv", "b.embedding")}, 6)
+               AS cosine_sim
+      FROM keyed a JOIN keyed b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    WHERE cosine_sim >= {_NEARDUP_THRESHOLD}
+    """
+
+
+@query("dedup_embedding_cosine", oracle=_neardup_oracle())
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs with sign-LSH blocking
+    (pair space collapses by ~2^planes for near-parallel vectors)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(
+        emb,
+        threshold=_NEARDUP_THRESHOLD,
+        n_planes=_NEARDUP_PLANES,
+        dim=_DIM,
+    )
+
+
+# --- multimodal ----------------------------------------------------------
+
+
+@query(
+    "mm_binary_meta",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           octet_length(encode(text)) AS n_bytes
+    FROM documents
+    """,
+)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: text bytes as an opaque binary payload with
+    typed metadata (byte length)."""
+    d = load_table(spark, sf_dir, "documents")
+    return text_as_assets(d).select("asset_id", "n_bytes")
+
+
+@query("mm_decode_stub")
+def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract via Arrow-batched mapInPandas (codec
+    stubbed — real media libs absent; batch shape/schema are real).
+    No SQL oracle: mapInPandas is not SQL-expressible."""
+    d = load_table(spark, sf_dir, "documents")
+    return decode_assets(text_as_assets(d))
