@@ -22,6 +22,7 @@ _MODULES = [
     "capital.queries.calendar_queries",
     "capital.queries.functions_queries",
     "capital.queries.llm_queries",
+    "capital.queries.streaming_queries",
 ]
 
 for _m in _MODULES:

@@ -1,0 +1,114 @@
+"""Event-time windowing surface (SURVEY.md §2.9) in batch-checkable
+form: the same ``capital.streaming`` operators run on the static
+``events`` table (Spark's window/session_window are engine-identical in
+batch and streaming), so the driver's DuckDB oracle can check them.
+Real stream execution (file source, AvailableNow, checkpoints,
+watermarks) is exercised in tests/test_streaming.py.
+
+Oracles cast ``ts`` to microsecond TIMESTAMP first — the engine floors
+parquet's nanosecond timestamps to micros at load (capital.io), and gap
+comparisons must happen at the same precision on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from capital.io import load_table
+from capital.queries.registry import query
+from capital.streaming.incremental import session_windows, tumbling_counts
+
+
+@query(
+    "st_tumbling_hourly",
+    oracle="""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR
+             AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def st_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h event-time windows (the Interval enum cadences,
+    dags/common/constants.py:4-13, as real windows)."""
+    return tumbling_counts(load_table(spark, sf_dir, "events"), "1 hour")
+
+
+@query(
+    "st_sliding_2h_1h",
+    oracle="""
+    WITH shifted AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+             event_type, value FROM events
+      UNION ALL
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR,
+             event_type, value FROM events)
+    SELECT window_start,
+           window_start + INTERVAL 2 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+    FROM shifted
+    GROUP BY 1, 2, 3
+    """,
+)
+def st_sliding_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2h length, 1h slide): each event contributes to
+    two windows — engine-extension surface over ``events``."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("win"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "st_session_30m",
+    oracle="""
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    marked AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, sid
+    """,
+)
+def st_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows per user (30 min). The oracle is the
+    classic islands formulation; Spark's ``session_window`` merges
+    events whose gap is strictly less than 30 min — hence ``>=`` starts
+    a new session in the oracle."""
+    return session_windows(load_table(spark, sf_dir, "events"), "30 minutes")

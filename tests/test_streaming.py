@@ -1,0 +1,87 @@
+"""Real Structured Streaming behavior: file source + AvailableNow +
+checkpoint idempotency, and stream-vs-batch window parity (SURVEY.md
+§2.9 / §5.3)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from capital.io import load_table
+from capital.schemas import EVENTS
+from capital.streaming.incremental import incremental_run, tumbling_counts
+
+
+def _write_batches(spark, sf_dir, src_dir):
+    ev = load_table(spark, sf_dir, "events")
+    # Two arrival batches — the "one partition per logical date" model.
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    return ev
+
+
+def test_incremental_availablenow_and_checkpoint_idempotency(
+    spark, sf_dir, tmp_path
+):
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    ev = _write_batches(spark, sf_dir, src)
+
+    q = incremental_run(
+        spark, src, EVENTS, lambda df: df, sink, ckpt
+    )
+    q.awaitTermination(120)
+    first = spark.read.parquet(sink)
+    assert first.count() == ev.count()
+
+    # Re-run with same checkpoint: bookmark semantics → nothing new.
+    q2 = incremental_run(spark, src, EVENTS, lambda df: df, sink, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == ev.count()
+
+    # New file arrives → only it is processed on the next run.
+    ev.limit(10).coalesce(1).write.mode("append").parquet(src)
+    q3 = incremental_run(spark, src, EVENTS, lambda df: df, sink, ckpt)
+    q3.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == ev.count() + 10
+
+
+def test_stream_window_agg_matches_batch(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    ev = _write_batches(spark, sf_dir, src)
+
+    q = incremental_run(
+        spark,
+        src,
+        EVENTS,
+        lambda df: tumbling_counts(df, "1 hour", watermark="2 hours"),
+        sink,
+        ckpt,
+    )
+    q.awaitTermination(180)
+
+    streamed = spark.read.parquet(sink)
+    batch = tumbling_counts(ev, "1 hour")
+    s_rows = {tuple(r) for r in streamed.collect()}
+    b_rows = {tuple(r) for r in batch.collect()}
+    # Append mode only emits windows the watermark has finalized: the
+    # streamed set is a prefix of the batch truth (tail windows within
+    # the 2h watermark of max event time are withheld).
+    assert s_rows <= b_rows
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    finalized = {
+        tuple(r)
+        for r in batch.collect()
+        # window_end strictly below the most conservative final watermark
+        if (max_ts - r.window_end).total_seconds() > 3 * 3600
+    }
+    assert finalized <= s_rows
+    assert len(s_rows) > 0
