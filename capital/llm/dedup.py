@@ -74,6 +74,9 @@ def minhash_signatures(
     Pure expression pipeline (transform + array_min): no explode, no
     shuffle — the signature is computed in the scan's projection.
     """
+    from capital.io import parallelize_narrow
+
+    df = parallelize_narrow(df)
     sh = shingles(F.col(text_col), shingle_k)
 
     def _component(i: int) -> Column:
@@ -102,6 +105,11 @@ def lsh_candidate_pairs(
     key; a hot bucket (boilerplate docs) is the skew case AQE splits.
     """
     n = bands * rows_per_band
+    # Materialize signatures once: the banding explode and both join
+    # branches would otherwise re-evaluate the full hash pipeline per
+    # reference. (At warehouse scale: write signatures to a table and
+    # band from there.)
+    signatures = signatures.persist()
     banded = signatures.select(
         F.col(id_col),
         F.col("signature"),
@@ -174,6 +182,9 @@ def simhash_bits(
     conditional sums. One shuffle on doc id; vote expressions are
     integer ops inside codegen.
     """
+    from capital.io import parallelize_narrow
+
+    df = parallelize_narrow(df)
     toks = F.array_distinct(tokens(normalized(F.col(text_col))))
     exploded = df.select(
         F.col(id_col), F.explode(toks).alias("tok")
@@ -211,9 +222,14 @@ def jaccard_pairs(
     buckets, a partition, or a sample). |A∩B| via array_intersect,
     |A∪B| = |A|+|B|−|A∩B|.
     """
+    from capital.io import parallelize_narrow
+
     sh = df.select(
         F.col(id_col), shingles(F.col(text_col), shingle_k).alias("sh")
     )
+    # Materialize shingle sets once; both sides of the pair join reuse
+    # them instead of re-shingling per pair.
+    sh = parallelize_narrow(sh).persist()
     a = sh.alias("a")
     b = sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))

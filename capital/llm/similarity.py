@@ -58,10 +58,12 @@ def cosine_topk(
     (same id) are excluded. Ranking ties break on neighbor id for
     determinism.
     """
+    from capital.io import parallelize_narrow
+
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(
+    c = parallelize_narrow(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
     scored = (
@@ -128,7 +130,10 @@ def lsh_bucket_topk(
     comparisons at equal recall for clustered data. Queries hash with
     the same plane family, then join on the bucket key.
     """
+    from capital.io import parallelize_narrow
+
     planes = hyperplanes(dim, n_planes)
+    corpus = parallelize_narrow(corpus)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
@@ -174,12 +179,14 @@ def cosine_neardup_pairs(
     collision probability per plane is ≈1 − θ/π ≈ 0.90 — recall stays
     high while the pair space collapses.
     """
+    from capital.io import parallelize_narrow
+
     planes = hyperplanes(dim, n_planes)
-    keyed = vectors.select(
+    keyed = parallelize_narrow(vectors).select(
         F.col(id_col),
         F.col(vec_col),
         sign_lsh_key(F.col(vec_col), planes).alias("bucket"),
-    )
+    ).persist()  # both join branches reuse the hashed corpus
     a = keyed.alias("a")
     b = keyed.alias("b")
     return (

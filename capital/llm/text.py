@@ -106,6 +106,9 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
       edits. Hex-string min == numeric min (fixed-width lowercase hex),
       which keeps it replicable in any SQL engine.
     """
+    from capital.io import parallelize_narrow
+
+    df = parallelize_narrow(df)
     toks = tokens(normalized(F.col(text_col)))
     n = F.size(toks)
     shingles = F.transform(

@@ -1,0 +1,87 @@
+"""Physical-plan audits: the properties that make queries survive a
+100× scale-up (SURVEY.md §4). Catches regressions like a lost filter
+pushdown or a broadcast join degrading to sort-merge."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from capital.queries import all_queries
+
+_QUERIES = all_queries()
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = plan_of(_QUERIES["q6_forecast_revenue"](spark, sf_dir))
+    assert "PushedFilters" in plan
+    # At least the range predicates on l_shipdate/l_discount push down.
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "IsNotNull(l_discount)" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    plan = plan_of(_QUERIES["p1_project_cast"](spark, sf_dir))
+    # ReadSchema must carry only the projected columns, not all 11.
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read_schema
+    assert "l_extendedprice" not in read_schema
+    assert "l_tax" not in read_schema
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    for name in ("q3_shipping_priority", "q5_region_revenue",
+                 "j4_dim_fanout_revenue", "j5_registry_lookup"):
+        plan = plan_of(_QUERIES[name](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, name
+        # Never a cartesian/nested-loop for these equi-joins.
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    plan = plan_of(_QUERIES["o2_topk_orders"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # No global Exchange rangepartitioning for a limit-k.
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_q1_has_partial_aggregation(spark, sf_dir):
+    df = _QUERIES["q1_pricing_summary"](spark, sf_dir)
+    plan = plan_of(df)
+    # Two-phase hash aggregate: map-side partial + final after shuffle.
+    assert plan.count("HashAggregate") >= 2
+    # Whole-stage codegen covers the scan→partial-agg pipeline
+    # (simple-mode explain marks codegen stages with '*(n)'; AQE only
+    # shows them once the plan is final, so execute first).
+    df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    assert "*(" in buf.getvalue()
+
+
+def test_semi_and_anti_joins_stay_joins(spark, sf_dir):
+    plan = plan_of(_QUERIES["j3_anti_join_missing"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    plan = plan_of(_QUERIES["j2_semi_join_open_days"](spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_no_python_udfs_in_relational_surface(spark, sf_dir):
+    """Everything except the explicitly-Pandas multimodal stage must
+    stay JVM-side (no BatchEvalPython / ArrowEvalPython in plans)."""
+    for name, fn in _QUERIES.items():
+        if name == "mm_decode_stub":
+            continue
+        plan = plan_of(fn(spark, sf_dir))
+        assert "EvalPython" not in plan, name
