@@ -128,3 +128,34 @@ def stamp_ymd(df: DataFrame, date_col: str) -> DataFrame:
     (plugins/operators/yfinance_operator.py:16).
     """
     return df.withColumn(YMD, F.to_date(F.col(date_col)))
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """K1: JSON sink. Spark writes UTF-8 natively — the reference's
+    ``ensure_ascii=False`` dance for Korean text
+    (dags/common/s3_utils.py:7-14) is unnecessary here."""
+    df.write.mode(mode).json(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """K2: CSV sink with header (the tempfile-and-upload path,
+    dags/common/s3_utils.py:17-26, collapses to one write)."""
+    df.write.mode(mode).option("header", "true").csv(path)
+
+
+def save_warehouse_table(
+    df: DataFrame, table: str, partition_col: str | None = None
+) -> None:
+    """K4: warehouse sink with DROP/CREATE semantics.
+
+    The reference ships ``preactions="DROP TABLE IF EXISTS …; CREATE
+    TABLE …"`` to Redshift over JDBC (glue_job_scripts/
+    industry_code_glue_job.py:89-101). In-engine the same contract is
+    ``saveAsTable(mode="overwrite")`` against the session catalog; for
+    an external warehouse swap in ``df.write.jdbc(url, table,
+    mode="overwrite")`` — same plan, different committer.
+    """
+    writer = df.write.mode("overwrite")
+    if partition_col:
+        writer = writer.partitionBy(partition_col)
+    writer.saveAsTable(table)

@@ -23,6 +23,7 @@ _MODULES = [
     "capital.queries.functions_queries",
     "capital.queries.llm_queries",
     "capital.queries.streaming_queries",
+    "capital.queries.extras",
 ]
 
 for _m in _MODULES:

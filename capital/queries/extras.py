@@ -1,0 +1,116 @@
+"""Remaining checkable surface: grouping sets, SQL entry point,
+Arrow-vectorized Pandas UDF, BOK interval formatting.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from capital.io import load_table, register_views
+from capital.queries.registry import ora_sum, query
+from capital.transforms.indicators import bok_time_string
+
+
+@query(
+    "a8_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {ora_sum("l_quantity", "sum_qty")}
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def a8_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube) via Spark SQL —
+    engine surface the reference's warehouse would provide."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "s12_sql_entry",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY o_orderpriority
+    """,
+)
+def s12_sql_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11/S12: the warehouse SQL-result source — arbitrary SQL against
+    registered engine tables (``RedshiftDataOperator(return_sql_result
+    =True)`` becomes plain ``spark.sql``)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+def _token_count_arrow():
+    """UD2: Arrow-vectorized scalar Pandas UDF (one pandas call per
+    batch, never per row). Built lazily — ``pandas_udf`` needs an
+    active session, which does not exist at import time."""
+
+    @pandas_udf("int")
+    def fn(texts: pd.Series) -> pd.Series:
+        return texts.str.strip().str.split(r"\s+").str.len().astype("int32")
+
+    return fn
+
+
+@query(
+    "ud2_pandas_udf_tokens",
+    oracle=r"""
+    SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER)
+             AS n_tokens
+    FROM documents
+    """,
+)
+def ud2_pandas_udf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Pandas-UDF escape hatch, oracle-checked: integer outputs are
+    engine-portable, so this verifies the Arrow path end-to-end. (The
+    JVM-native twin is ``text_token_count``; prefer it in hot paths.)"""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", _token_count_arrow()("text").alias("n_tokens"))
+
+
+@query(
+    "f2b_bok_interval_formats",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y%m%d') AS time_daily,
+           strftime(o_orderdate, '%Y%m') AS time_monthly,
+           strftime(o_orderdate, '%Y') || 'Q' || CAST(quarter(o_orderdate) AS VARCHAR)
+             AS time_quarterly,
+           strftime(o_orderdate, '%Y') AS time_yearly
+    FROM orders
+    """,
+)
+def f2b_bok_interval_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: all four BOK ECOS TIME formats from one date column
+    (plugins/operators/bank_of_korea_operator.py:147-168)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        bok_time_string(F.col("o_orderdate"), "daily").alias("time_daily"),
+        bok_time_string(F.col("o_orderdate"), "monthly").alias("time_monthly"),
+        bok_time_string(F.col("o_orderdate"), "quarterly").alias(
+            "time_quarterly"
+        ),
+        bok_time_string(F.col("o_orderdate"), "yearly").alias("time_yearly"),
+    )

@@ -80,8 +80,9 @@ def test_semi_and_anti_joins_stay_joins(spark, sf_dir):
 def test_no_python_udfs_in_relational_surface(spark, sf_dir):
     """Everything except the explicitly-Pandas multimodal stage must
     stay JVM-side (no BatchEvalPython / ArrowEvalPython in plans)."""
+    explicitly_python = {"mm_decode_stub", "ud2_pandas_udf_tokens"}
     for name, fn in _QUERIES.items():
-        if name == "mm_decode_stub":
+        if name in explicitly_python:
             continue
         plan = plan_of(fn(spark, sf_dir))
         assert "EvalPython" not in plan, name

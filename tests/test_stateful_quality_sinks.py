@@ -1,0 +1,135 @@
+"""Tests: custom stateful streaming operator, quality checks, sinks,
+warehouse surface."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from capital import quality
+from capital.io import (
+    load_table,
+    save_warehouse_table,
+    write_csv,
+    write_json,
+    write_partitioned,
+)
+from capital.schemas import EVENTS
+from capital.streaming.stateful import running_totals_per_user
+
+
+def test_stateful_running_totals_across_batches(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "src")
+    ev = load_table(spark, sf_dir, "events")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = spark.readStream.schema(EVENTS).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        running_totals_per_user(stream)
+        .writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # Latest state per user must equal the batch ground truth.
+    latest = spark.sql(
+        """
+        SELECT user_id, n_events, total_value FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY n_events DESC) rn
+          FROM running_totals) WHERE rn = 1
+        """
+    )
+    truth = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("total_value"),
+    )
+    lt = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in latest.collect()}
+    tr = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in truth.collect()}
+    assert set(lt) == set(tr)
+    for u in tr:
+        assert lt[u][0] == tr[u][0], u
+        assert abs(lt[u][1] - tr[u][1]) < 1e-6, u
+
+
+def test_quality_checks(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    quality.assert_non_empty(ev, "events")
+    quality.assert_values_in(
+        ev, "event_type",
+        ["signup", "click", "error", "view", "purchase"], "events",
+    )
+    quality.assert_no_nulls(ev, ["event_id", "user_id", "ts"], "events")
+    quality.assert_count_equals(ev, ev.count(), "events")
+
+    with pytest.raises(quality.QualityError, match="outside allowed"):
+        quality.assert_values_in(ev, "event_type", ["signup"], "events")
+    with pytest.raises(quality.QualityError, match="non-empty"):
+        quality.assert_non_empty(ev.filter(F.lit(False)), "events")
+    with pytest.raises(quality.QualityError, match="count"):
+        quality.assert_count_equals(ev, 1, "events")
+
+    from capital.schemas import EVENTS
+
+    quality.assert_schema_conforms(ev, EVENTS, "events")
+    with pytest.raises(quality.QualityError, match="missing column"):
+        quality.assert_schema_conforms(ev.drop("props"), EVENTS, "events")
+
+    req = spark.createDataFrame([("A",), ("B",), ("C",)], "k string")
+    got = spark.createDataFrame([("A",)], "k string")
+    assert {r.k for r in quality.missing_keys(req, got, "k").collect()} == {"B", "C"}
+
+
+def test_sinks_roundtrip(spark, sf_dir, tmp_path):
+    nation = load_table(spark, sf_dir, "nation")
+    write_json(nation, str(tmp_path / "j"))
+    assert spark.read.json(str(tmp_path / "j")).count() == 25
+    write_csv(nation, str(tmp_path / "c"))
+    back = spark.read.option("header", "true").csv(str(tmp_path / "c"))
+    assert back.count() == 25 and "n_name" in back.columns
+
+
+def test_partitioned_dynamic_overwrite(spark, sf_dir, tmp_path):
+    """K3/K5: overwriting one ymd partition must not truncate others."""
+    path = str(tmp_path / "lake")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ymd", F.to_date("ts")
+    )
+    write_partitioned(ev, path)
+    total = spark.read.parquet(path).count()
+
+    one_day = ev.filter(F.col("ymd") == "2024-01-03").withColumn(
+        "value", F.lit(0.0)
+    )
+    n_day = one_day.count()
+    assert n_day > 0
+    write_partitioned(one_day, path)  # dynamic overwrite of 1 partition
+
+    after = spark.read.parquet(path)
+    assert after.count() == total  # other days untouched
+    assert (
+        after.filter(F.col("ymd") == "2024-01-03")
+        .agg(F.sum(F.abs("value")))
+        .collect()[0][0]
+        == 0.0
+    )
+
+
+def test_warehouse_table_drop_create(spark, sf_dir):
+    nation = load_table(spark, sf_dir, "nation")
+    save_warehouse_table(nation, "dim_nation")
+    assert spark.table("dim_nation").count() == 25
+    # Second overwrite = DROP/CREATE preaction semantics.
+    save_warehouse_table(nation.limit(5), "dim_nation")
+    assert spark.table("dim_nation").count() == 5
+    spark.sql("DROP TABLE dim_nation")
