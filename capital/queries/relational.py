@@ -15,7 +15,7 @@ from capital.io import load_table
 from capital.operators.asof import max_where
 from capital.operators.dedup import first_wins
 from capital.operators.reshape import unpivot
-from capital.queries.registry import decimal_avg, decimal_sum, ora_avg, ora_sum, query
+from capital.queries.registry import decimal_sum, ora_sum, query
 
 
 # --- §2.2 projections / filters -----------------------------------------

@@ -1,0 +1,134 @@
+"""Scale operators: salting correctness + bucketed shuffle-free joins +
+pipeline orchestration."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from capital.io import Lake, load_table
+from capital.operators.bucketing import bucketed_join, write_bucketed
+from capital.operators.skew import salted_agg, salted_broadcast_left_join
+from capital.pipelines import (
+    daily_market_ingest,
+    market_open_anchor,
+    silver_industry_code_daily,
+)
+from capital.operators.calendar import build_calendar
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue()
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "sum_qty": F.sum(F.col("l_quantity").cast("decimal(28,6)")),
+            "n_rows": F.count(F.lit(1)),
+        },
+    )
+    plain = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(28,6)")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    s = {r.l_returnflag: (r.sum_qty, r.n_rows) for r in salted.collect()}
+    p = {r.l_returnflag: (r.sum_qty, r.n_rows) for r in plain.collect()}
+    assert s == p
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    dim = part.withColumnRenamed("p_partkey", "l_partkey")
+    salted = salted_broadcast_left_join(li, dim, "l_partkey")
+    plain = li.join(dim, "l_partkey", "left")
+    assert salted.count() == plain.count()
+    s = salted.groupBy("p_brand").count().collect()
+    p = plain.groupBy("p_brand").count().collect()
+    assert {(r.p_brand, r["count"]) for r in s} == {
+        (r.p_brand, r["count"]) for r in p
+    }
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    write_bucketed(orders, "b_orders", "o_orderkey", 8)
+    write_bucketed(li, "b_lineitem", "o_orderkey", 8)
+    # At toy scale the planner prefers broadcast (which bypasses
+    # buckets); disable it to exercise the co-located sort-merge path a
+    # big fact↔fact join would take.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "b_orders", "b_lineitem", "o_orderkey")
+        assert joined.count() == li.count()
+        plan = _plan(joined)
+        assert "Exchange" not in plan  # co-located: no shuffle either side
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_market_open_anchor(spark):
+    cal = build_calendar(spark, "2024-01-01", "2024-01-31")
+    is_open, prev = market_open_anchor(cal, "2024-01-08")  # Monday
+    assert is_open and prev.isoformat() == "2024-01-05"  # Friday before
+    is_open_sat, _ = market_open_anchor(cal, "2024-01-06")  # Saturday
+    assert not is_open_sat
+
+
+def test_daily_market_ingest_pipeline(spark, tmp_path):
+    lake = Lake(str(tmp_path))
+    cal = build_calendar(spark, "2023-01-01", "2025-12-31")
+
+    def fetch(day):
+        return spark.createDataFrame(
+            [("069500", "KODEX 200", 36000.0)],
+            "srtnCd string, itmsNm string, clpr double",
+        )
+
+    out = daily_market_ingest(
+        spark, lake, "2024-01-08", fetch, calendar=cal
+    )
+    assert out is not None
+    back = spark.read.parquet(lake.path("bronze", "kr_etf"))
+    assert back.count() == 1
+    assert back.collect()[0].ymd.isoformat() == "2024-01-05"
+
+    # Saturday → short-circuit, nothing written beyond what exists.
+    skipped = daily_market_ingest(
+        spark, lake, "2024-01-06", fetch, calendar=cal
+    )
+    assert skipped is None
+
+
+def test_silver_industry_code_daily(spark, tmp_path):
+    lake = Lake(str(tmp_path))
+    bronze = spark.createDataFrame(
+        [
+            {"item_code": "005930", "item_name": "삼성전자",
+             "industry_code": "전기전자", "market": "kospi",
+             "issue_date": "2024-01-02"},
+        ]
+    )
+    bronze.write.mode("overwrite").json(lake.path("bronze", "industry_code"))
+    silver = silver_industry_code_daily(spark, lake)
+    assert silver.count() == 1
+    stored = spark.read.parquet(lake.path("silver", "dim_industry_code"))
+    assert stored.collect()[0].item_name == "삼성전자"
