@@ -120,6 +120,37 @@ def p12_partition_prunable_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "o_totalprice")
 
 
+@query(
+    "p3b_pivot_wide",
+    oracle="""
+    SELECT user_id,
+           COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+           COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def p3b_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 inverse: long→wide pivot with explicit pivot values (skips
+    the distinct-discovery scan — mandatory at scale)."""
+    from capital.operators.reshape import pivot_wide  # noqa: PLC0415
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.lit(1).alias("one")
+    )
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+    )
+    # Empty cells: Spark pivot yields null, COUNT in SQL yields 0.
+    return wide.na.fill(0, kinds)
+
+
 # --- §2.3 joins ----------------------------------------------------------
 
 
