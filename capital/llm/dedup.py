@@ -209,6 +209,54 @@ def simhash_bits(
     return summed.select(F.col(id_col), sim.alias("simhash_bits"))
 
 
+def verified_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The complete near-dup pipeline: MinHash → LSH blocking → exact
+    Jaccard verification on candidates only.
+
+    This is the production shape at 100 TB: the quadratic exact-Jaccard
+    step touches only LSH-candidate pairs (O(collisions)), never the
+    full pair space. Returns (id_a, id_b, jaccard) for verified pairs.
+    """
+    sigs = minhash_signatures(
+        df, id_col=id_col, text_col=text_col,
+        num_hashes=num_hashes, shingle_k=shingle_k,
+    )
+    candidates = lsh_candidate_pairs(
+        sigs, id_col=id_col, bands=bands, rows_per_band=rows_per_band
+    ).select("id_a", "id_b")
+
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        shingles(F.col(text_col), shingle_k).alias("__sh"),
+    ).persist()
+    with_a = candidates.join(
+        sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")),
+        "id_a",
+    )
+    with_b = with_a.join(
+        sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter / F.greatest(union, F.lit(1))
+    return (
+        with_b.select(
+            "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -253,6 +253,45 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_bits(d, bits=_SH_BITS)
 
 
+def _verified_neardup_oracle() -> str:
+    """LSH candidates → exact Jaccard, as one SQL pipeline (reuses the
+    minhash CTE construction)."""
+    mh = _minhash_oracle()
+    # _minhash_oracle ends with the pair SELECT; wrap it as a CTE.
+    return f"""
+    WITH cand AS ({mh}),
+    sh2 AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            FOR i IN range(1, greatest(len(t) - 2, 1) + 1)]) AS s
+      FROM (SELECT doc_id, {_NTOKS} AS t FROM documents))
+    SELECT * FROM (
+      SELECT c.id_a, c.id_b,
+             round(len(list_intersect(a.s, b.s))
+                   / greatest(len(a.s) + len(b.s)
+                              - len(list_intersect(a.s, b.s)), 1), 6)
+               AS jaccard
+      FROM cand c
+      JOIN sh2 a ON a.doc_id = c.id_a
+      JOIN sh2 b ON b.doc_id = c.id_b)
+    WHERE jaccard >= 0.5
+    """
+
+
+@query("dedup_minhash_verified", oracle=_verified_neardup_oracle())
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete production near-dup pipeline: MinHash → LSH
+    blocking → exact Jaccard verification on candidates only (quadratic
+    step bounded by LSH collisions, never the full pair space)."""
+    from capital.llm.dedup import verified_neardup_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return verified_neardup_pairs(
+        d, num_hashes=_MH_HASHES, bands=_MH_BANDS,
+        rows_per_band=_MH_ROWS, shingle_k=3, threshold=0.5,
+    )
+
+
 _JACCARD_SAMPLE, _JACCARD_THRESHOLD = 150, 0.5
 
 

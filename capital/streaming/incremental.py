@@ -84,6 +84,24 @@ def tumbling_counts(
     )
 
 
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Late/duplicate-event handling (SURVEY.md §2.9): drop duplicate
+    keys arriving within the watermark horizon — the streaming twin of
+    the reference's retry-safe idempotent re-ingestion (re-delivered
+    records must not double-count).
+
+    State is bounded: keys older than the watermark are evicted, so
+    memory is O(keys per watermark window), not O(stream)."""
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
+
+
 def session_windows(
     events: DataFrame,
     gap: str = "30 minutes",

@@ -77,6 +77,17 @@ def test_semi_and_anti_joins_stay_joins(spark, sf_dir):
     assert "LeftSemi" in plan
 
 
+def test_asof_join_single_shuffle_no_explosion(spark, sf_dir):
+    """The union+window as-of join must shuffle once per side on the
+    key and never produce a join explosion (no CartesianProduct, no
+    row-multiplying equi-join before the window)."""
+    plan = plan_of(_QUERIES["j1_asof_latest_order"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+    assert "Union" in plan
+
+
 def test_no_python_udfs_in_relational_surface(spark, sf_dir):
     """Everything except the explicitly-Pandas multimodal stage must
     stay JVM-side (no BatchEvalPython / ArrowEvalPython in plans)."""

@@ -10,7 +10,11 @@ from pyspark.sql import functions as F
 
 from capital.io import load_table
 from capital.schemas import EVENTS
-from capital.streaming.incremental import incremental_run, tumbling_counts
+from capital.streaming.incremental import (
+    dedup_within_watermark,
+    incremental_run,
+    tumbling_counts,
+)
 
 
 def _write_batches(spark, sf_dir, src_dir):
@@ -50,6 +54,31 @@ def test_incremental_availablenow_and_checkpoint_idempotency(
     q3 = incremental_run(spark, src, EVENTS, lambda df: df, sink, ckpt)
     q3.awaitTermination(120)
     assert spark.read.parquet(sink).count() == ev.count() + 10
+
+
+def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
+    """Re-delivered events (the retry path) must not double-count."""
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    ev = load_table(spark, sf_dir, "events").limit(200)
+    ev.coalesce(1).write.mode("append").parquet(src)
+    ev.limit(50).coalesce(1).write.mode("append").parquet(src)  # redelivery
+
+    q = incremental_run(
+        spark,
+        src,
+        EVENTS,
+        lambda df: dedup_within_watermark(
+            df, ["event_id"], watermark="10 days"
+        ),
+        sink,
+        ckpt,
+    )
+    q.awaitTermination(180)
+    out = spark.read.parquet(sink)
+    assert out.count() == 200  # duplicates dropped
+    assert out.select("event_id").distinct().count() == 200
 
 
 def test_stream_window_agg_matches_batch(spark, sf_dir, tmp_path):
