@@ -61,6 +61,63 @@ def s12_sql_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "j6_correlated_scalar_subquery",
+    oracle="""
+    SELECT p_partkey, p_name,
+           (SELECT MAX(l.l_extendedprice) FROM lineitem l
+            WHERE l.l_partkey = p.p_partkey) AS max_sold_price
+    FROM part p
+    """,
+)
+def j6_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — Catalyst decorrelates it into an
+    aggregate + left outer join (the rewrite Redshift applies to the
+    reference's J1, SURVEY.md §4 'Scalar-subquery decorrelation')."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name,
+               (SELECT MAX(l.l_extendedprice) FROM lineitem l
+                WHERE l.l_partkey = p.p_partkey) AS max_sold_price
+        FROM part p
+        """
+    )
+
+
+@query(
+    "f16_sorted_string_agg",
+    oracle="""
+    SELECT l_returnflag,
+           string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus)
+             AS statuses
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def f16_sorted_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic string aggregation: collect_set → array_sort →
+    array_join (order-free collection, explicit sort — safe under any
+    partitioning)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("l_linestatus")), ","
+        ).alias("statuses")
+    )
+
+
+@query("approx_distinct_parts")
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct (engine surface, SURVEY.md
+    §2.4 note). No oracle: sketch estimates are engine-specific; the
+    exact twin is ``a7_distinct_agg``."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts")
+    )
+
+
 def _token_count_arrow():
     """UD2: Arrow-vectorized scalar Pandas UDF (one pandas call per
     batch, never per row). Built lazily — ``pandas_udf`` needs an
