@@ -55,6 +55,44 @@ def incremental_run(
     )
 
 
+def incremental_partition_overwrite(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    transform: Callable[[DataFrame], DataFrame],
+    sink_dir: str,
+    checkpoint_dir: str,
+    partition_col: str = "ymd",
+    fmt: str = "parquet",
+) -> StreamingQuery:
+    """Exactly-once-per-partition sink: ``foreachBatch`` + dynamic
+    partition overwrite (SURVEY.md §2.9 'Exactly-once per partition').
+
+    Each micro-batch *overwrites* the ``ymd=`` partitions it touches
+    instead of appending — so a replayed batch (crash between sink
+    write and checkpoint commit) converges to the same bytes rather
+    than duplicating rows. This is the engine's version of the
+    reference's idempotent ``replace=True`` S3 upload + Glue overwrite
+    (dags/common/s3_utils.py:13; industry_code_glue_job.py:57).
+    """
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = transform(batch_df)
+        out.write.mode("overwrite").partitionBy(partition_col).parquet(
+            sink_dir
+        )
+
+    return (
+        spark.readStream.schema(schema)
+        .format(fmt)
+        .load(source_dir)
+        .writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def tumbling_counts(
     events: DataFrame,
     window: str = "1 hour",

@@ -12,6 +12,7 @@ from capital.io import load_table
 from capital.schemas import EVENTS
 from capital.streaming.incremental import (
     dedup_within_watermark,
+    incremental_partition_overwrite,
     incremental_run,
     tumbling_counts,
 )
@@ -54,6 +55,35 @@ def test_incremental_availablenow_and_checkpoint_idempotency(
     q3 = incremental_run(spark, src, EVENTS, lambda df: df, sink, ckpt)
     q3.awaitTermination(120)
     assert spark.read.parquet(sink).count() == ev.count() + 10
+
+
+def test_incremental_partition_overwrite_idempotent_replay(
+    spark, sf_dir, tmp_path
+):
+    """A replayed micro-batch must overwrite its ymd partitions, not
+    duplicate them (exactly-once per partition)."""
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ev = load_table(spark, sf_dir, "events")
+    ev.coalesce(1).write.mode("append").parquet(src)
+
+    def stamp(df):
+        return df.withColumn("ymd", F.to_date("ts"))
+
+    q = incremental_partition_overwrite(
+        spark, src, EVENTS, stamp, sink, str(tmp_path / "ckpt1")
+    )
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(sink).count()
+    assert n1 == ev.count()
+
+    # Simulate a replay: fresh checkpoint, same source, same sink —
+    # partitions are overwritten, counts unchanged.
+    q2 = incremental_partition_overwrite(
+        spark, src, EVENTS, stamp, sink, str(tmp_path / "ckpt2")
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == n1
 
 
 def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
