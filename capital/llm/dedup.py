@@ -209,6 +209,53 @@ def simhash_bits(
     return summed.select(F.col(id_col), sim.alias("simhash_bits"))
 
 
+def simhash_neardup_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bits: int = 32,
+    prefix_bits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs from SimHash signatures: block on the first
+    ``prefix_bits`` (docs differing only in the suffix collide), then
+    filter by exact Hamming distance.
+
+    One-table blocking is the cheap variant (recall misses pairs whose
+    differing bits fall in the prefix); the full-recall construction
+    repeats the join over rotated-prefix tables. Shuffle is 1 on the
+    prefix key; never O(n²).
+    """
+    keyed = signatures.select(
+        F.col(id_col),
+        F.col("simhash_bits"),
+        F.substring("simhash_bits", 1, prefix_bits).alias("block"),
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    positions = F.sequence(F.lit(1), F.lit(bits))
+    hamming = F.size(
+        F.filter(
+            positions,
+            lambda i: F.col("a.simhash_bits").substr(i, F.lit(1))
+            != F.col("b.simhash_bits").substr(i, F.lit(1)),
+        )
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "hamming",
+        )
+    )
+
+
 def verified_neardup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -253,6 +253,42 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_bits(d, bits=_SH_BITS)
 
 
+_SH_PREFIX, _SH_MAX_HAMMING = 16, 3
+
+
+def _simhash_pairs_oracle() -> str:
+    return f"""
+    WITH v AS ({_simhash_oracle()}),
+    keyed AS (
+      SELECT doc_id, simhash_bits,
+             substr(simhash_bits, 1, {_SH_PREFIX}) AS block
+      FROM v)
+    SELECT id_a, id_b, hamming FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_filter(range(1, {_SH_BITS} + 1),
+                  i -> substr(a.simhash_bits, i, 1)
+                       <> substr(b.simhash_bits, i, 1))) AS INTEGER)
+               AS hamming
+      FROM keyed a JOIN keyed b
+        ON a.block = b.block AND a.doc_id < b.doc_id)
+    WHERE hamming <= {_SH_MAX_HAMMING}
+    """
+
+
+@query("dedup_simhash_pairs", oracle=_simhash_pairs_oracle())
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: prefix-block join + exact Hamming
+    filter — completes the SimHash dedup path (signatures → pairs)."""
+    from capital.llm.dedup import simhash_neardup_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    sigs = simhash_bits(d, bits=_SH_BITS).persist()
+    return simhash_neardup_pairs(
+        sigs, bits=_SH_BITS, prefix_bits=_SH_PREFIX,
+        max_hamming=_SH_MAX_HAMMING,
+    )
+
+
 def _verified_neardup_oracle() -> str:
     """LSH candidates → exact Jaccard, as one SQL pipeline (reuses the
     minhash CTE construction)."""
