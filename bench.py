@@ -59,17 +59,24 @@ def main() -> None:
     # codegen compilation, and OS page cache; the recorded pass measures
     # engine throughput.
     for name in names:
-        queries[name](spark, sf_dir).collect()
+        try:
+            queries[name](spark, sf_dir).collect()
+        except Exception as exc:  # noqa: BLE001 - keep the bench alive
+            print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = queries[name](spark, sf_dir)
-        # collect() executes the full plan (results are small aggregates);
-        # count() would let Catalyst prune the aggregate expressions.
-        n = len(df.collect())
-        timings[name] = round(time.perf_counter() - t0, 4)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        try:
+            t0 = time.perf_counter()
+            df = queries[name](spark, sf_dir)
+            # collect() executes the full plan (results are small
+            # aggregates); count() would let Catalyst prune them.
+            n = len(df.collect())
+            timings[name] = round(time.perf_counter() - t0, 4)
+            print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001 - one bad query ≠ no bench
+            timings[name] = -1.0
+            print(f"# {name} FAILED: {exc}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {

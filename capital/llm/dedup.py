@@ -7,9 +7,13 @@ Four tiers, cheapest first:
 2. **MinHash + LSH** (:func:`minhash_signatures`,
    :func:`lsh_candidate_pairs`) — shingle → k minhashes → b bands;
    candidate pairs only where a band bucket collides. Shuffle cost is
-   O(docs × b) tiny band keys, never O(docs²).
-3. **SimHash** (:func:`simhash64`) — 64-bit near-dup signature;
-   Hamming-adjacent buckets. Cheap single-pass, no pair join here.
+   O(docs × b) tiny band keys, never O(docs²). (Broder, "On the
+   resemblance and containment of documents", 1997; banding per
+   Leskovec/Rajaraman/Ullman, *Mining of Massive Datasets* ch. 3.)
+3. **SimHash** (:func:`simhash_bits`) — near-dup bit signature;
+   Hamming-adjacent buckets. (Charikar, "Similarity estimation
+   techniques from rounding algorithms", STOC 2002; dedup application
+   per Manku/Jain/Sarma, WWW 2007.)
 4. **n-gram Jaccard** (:func:`jaccard_pairs`) — exact verification on a
    bounded candidate set (from LSH buckets or an explicit sample);
    the only quadratic step, applied after blocking.

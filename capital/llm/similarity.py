@@ -12,6 +12,8 @@ Two paths:
   key; search compares only vectors sharing a bucket. Corpus side is
   hashed once (one narrow pass + shuffle on the bucket key); recall is
   traded via number of planes. The 100 TB path when |queries| is large.
+  (Random-hyperplane LSH per Charikar, STOC 2002 — the same family IVF
+  coarse quantizers approximate with learned centroids.)
 
 Dot products run in double precision with sequential (array-order)
 accumulation so results are bit-reproducible across engines.

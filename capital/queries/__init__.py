@@ -27,7 +27,14 @@ _MODULES = [
 ]
 
 for _m in _MODULES:
-    import_module(_m)
+    try:
+        import_module(_m)
+    except Exception as _exc:  # noqa: BLE001
+        # A broken module must not take the whole driver surface down;
+        # surface the failure loudly and keep the other packs alive.
+        import sys as _sys
+
+        print(f"capital.queries: FAILED to load {_m}: {_exc}", file=_sys.stderr)
 
 
 def all_queries() -> dict[str, QueryFn]:
