@@ -548,6 +548,65 @@ def w5_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "w6_trailing_7day_sum",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+             PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+             RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS trailing_7d_total
+    FROM orders
+    """,
+)
+def w6_trailing_7day_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window: trailing 7-day spend per customer — the
+    event-time moving aggregate OHLCV analytics need. Spark's numeric
+    rangeBetween over epoch-days == SQL RANGE INTERVAL 7 DAY (both
+    inclusive, both include date peers)."""
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-7, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_7d_total"),
+    )
+
+
+@query(
+    "ud3_group_apply_rank",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS INTEGER) AS rank_in_user
+    FROM events
+    """,
+)
+def ud3_group_apply_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UD3: per-group Python transform via ``applyInPandas`` — ranks
+    each user's events by time in pandas. Integer outputs keep the
+    Arrow path oracle-checkable; the JVM twin is a row_number window
+    (prefer it in hot paths)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+
+    def rank_group(pdf):
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        pdf["rank_in_user"] = (pdf.index + 1).astype("int32")
+        return pdf[["event_id", "user_id", "rank_in_user"]]
+
+    return ev.groupBy("user_id").applyInPandas(
+        rank_group, schema="event_id long, user_id long, rank_in_user int"
+    )
+
+
 # --- §2.2 zero-fill (F14) -----------------------------------------------
 
 

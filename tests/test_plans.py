@@ -91,7 +91,11 @@ def test_asof_join_single_shuffle_no_explosion(spark, sf_dir):
 def test_no_python_udfs_in_relational_surface(spark, sf_dir):
     """Everything except the explicitly-Pandas multimodal stage must
     stay JVM-side (no BatchEvalPython / ArrowEvalPython in plans)."""
-    explicitly_python = {"mm_decode_stub", "ud2_pandas_udf_tokens"}
+    explicitly_python = {
+        "mm_decode_stub",
+        "ud2_pandas_udf_tokens",
+        "ud3_group_apply_rank",
+    }
     for name, fn in _QUERIES.items():
         if name in explicitly_python:
             continue
