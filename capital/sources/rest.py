@@ -31,6 +31,43 @@ from pyspark.sql import DataFrame, SparkSession
 Fetcher = Callable[[int], dict]
 
 
+class TokenBucket:
+    """Per-host politeness throttle (SURVEY.md §4 'rate limiting').
+
+    Replaces the reference's fixed ``sleep(2..10)`` between requests
+    (dags/brz_industry_code_daily/extractors.py:39) with a refillable
+    budget: bursts up to ``capacity``, sustained ``rate`` req/s after.
+    ``clock``/``sleeper`` are injectable so tests run instantly.
+    """
+
+    def __init__(
+        self,
+        rate: float,
+        capacity: int = 1,
+        clock: Callable[[], float] = time.monotonic,
+        sleeper: Callable[[float], None] = time.sleep,
+    ) -> None:
+        self.rate = rate
+        self.capacity = capacity
+        self._tokens = float(capacity)
+        self._last = clock()
+        self._clock = clock
+        self._sleep = sleeper
+
+    def acquire(self) -> None:
+        now = self._clock()
+        self._tokens = min(
+            self.capacity, self._tokens + (now - self._last) * self.rate
+        )
+        self._last = now
+        if self._tokens < 1.0:
+            wait = (1.0 - self._tokens) / self.rate
+            self._sleep(wait)
+            self._last = self._clock()
+            self._tokens = 1.0
+        self._tokens -= 1.0
+
+
 @dataclass
 class PaginatedRestSource:
     """Pagination driver equivalent to the reference's operator loops.
@@ -76,6 +113,34 @@ class PaginatedRestSource:
     def to_dataframe(self, spark: SparkSession, schema) -> DataFrame:
         rows = list(self.records())
         return spark.createDataFrame(rows, schema=schema)
+
+
+def page_windows_udtf():
+    """UD1: a Python UDTF generating pagination windows — the
+    table-function form of the reference's offset loop
+    (plugins/operators/bank_of_korea_operator.py:60-98):
+    ``SELECT * FROM page_windows(257, 100)`` →
+    (page, start_offset, end_offset) rows.
+
+    Built lazily (the ``udtf`` decorator needs an active session).
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="page int, start_offset int, end_offset int")
+    class PageWindows:
+        def eval(self, total: int, page_size: int):
+            # P13-style parameter validation (the reference raises on
+            # bad enum/params, bank_of_korea_operator.py:127-145).
+            if page_size <= 0:
+                raise ValueError(
+                    f"page_windows: page_size must be positive, got {page_size}"
+                )
+            page = 0
+            for start in range(0, max(total, 0), page_size):
+                yield page, start, min(start + page_size, total) - 1
+                page += 1
+
+    return PageWindows
 
 
 def load_config_registry(spark: SparkSession, path: str) -> DataFrame:

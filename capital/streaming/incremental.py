@@ -122,6 +122,46 @@ def tumbling_counts(
     )
 
 
+def incremental_with_dead_letter(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    sink_dir: str,
+    dead_letter_dir: str,
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+    max_age: str = "30 days",
+    fmt: str = "parquet",
+) -> StreamingQuery:
+    """Late-data dead-lettering (SURVEY.md §2.9 'dead-letter
+    partition'): rows older than ``max_age`` relative to the batch's
+    max event time are diverted to a quarantine directory instead of
+    silently corrupting historical partitions; everything else flows to
+    the main sink. Both writes happen in the same ``foreachBatch`` so
+    a replayed batch routes identically."""
+    amount, unit = max_age.split()
+    age = F.expr(f"INTERVAL {amount} {unit}")
+
+    def _route(batch_df: DataFrame, batch_id: int) -> None:
+        horizon = batch_df.agg(F.max(ts_col)).collect()[0][0]
+        if horizon is None:
+            return
+        late = batch_df.filter(F.col(ts_col) < F.lit(horizon) - age)
+        fresh = batch_df.filter(F.col(ts_col) >= F.lit(horizon) - age)
+        late.write.mode("append").parquet(dead_letter_dir)
+        fresh.write.mode("append").parquet(sink_dir)
+
+    return (
+        spark.readStream.schema(schema)
+        .format(fmt)
+        .load(source_dir)
+        .writeStream.foreachBatch(_route)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def dedup_within_watermark(
     events: DataFrame,
     keys: list[str],
