@@ -79,11 +79,15 @@ def main() -> None:
             print(f"# {name} FAILED: {exc}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    failed = sorted(n for n, t in timings.items() if t < 0)
     out = {
         "metric": "headline_queries_wall_clock",
-        "value": round(sum(timings.values()), 4),
+        # Failures are excluded from the total (never subtracted) and
+        # reported separately so a failing run can't look faster.
+        "value": round(sum(t for t in timings.values() if t >= 0), 4),
         "unit": "sec",
         "queries": timings,
+        "failed": failed,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
     }
     print(json.dumps(out))

@@ -82,10 +82,23 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Expose the driver tables as temp views for ``spark.sql`` use."""
-    for name, df in load_all(spark, sf_dir).items():
-        df.createOrReplaceTempView(name)
+def register_views(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] | None = None
+) -> None:
+    """Expose driver tables as temp views for ``spark.sql`` use.
+
+    Pass ``tables`` to register only what the query touches — the
+    default registers all ten, which re-plans ten reads per call.
+    """
+    for name in tables if tables is not None else TESTDATA_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def clear_engine_cache(spark: SparkSession) -> None:
+    """Release every DataFrame the engine persisted (LSH signatures,
+    shingle sets, bucketed corpora). The long-lived driver session
+    accumulates these otherwise; call between unrelated workloads."""
+    spark.catalog.clearCache()
 
 
 def write_partitioned(

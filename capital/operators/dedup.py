@@ -18,11 +18,26 @@ from pyspark.sql import functions as F
 
 
 def first_wins(
-    df: DataFrame, keys: list[str], order_col: str, value_cols: list[str]
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    value_cols: list[str],
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Keep, per key, each value from the row with the smallest
-    ``order_col`` (deterministic "first wins", reference A4)."""
-    aggs = [F.min_by(c, order_col).alias(c) for c in value_cols]
+    ``order_col`` (deterministic "first wins", reference A4).
+
+    ``min_by`` on ``order_col`` alone is nondeterministic when two rows
+    tie; pass a unique ``tiebreak_col`` to pin the winner (ordering
+    becomes the struct (order_col, tiebreak_col), and all value columns
+    come from that single winning row).
+    """
+    order = (
+        F.struct(F.col(order_col), F.col(tiebreak_col))
+        if tiebreak_col
+        else F.col(order_col)
+    )
+    aggs = [F.min_by(c, order).alias(c) for c in value_cols]
     return df.groupBy(*keys).agg(F.min(order_col).alias(order_col), *aggs)
 
 

@@ -15,34 +15,53 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+#: Decomposable aggregates: phase-1 builder and phase-2 combiner.
+#: (count partials merge with SUM; avg must be decomposed by the
+#: caller into a sum and a count.)
+_SALTED_FNS: dict[str, tuple] = {
+    "sum": (F.sum, F.sum),
+    "count": (lambda c: F.count(c if c is not None else F.lit(1)), F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],
-    aggs: dict[str, Column],
+    aggs: dict[str, tuple[str, Column | None]],
     salt_buckets: int = 16,
 ) -> DataFrame:
     """Two-phase aggregation over salted keys.
 
     Phase 1 groups on (keys, salt) — the hot key's rows spread over
     ``salt_buckets`` reducers; phase 2 merges the per-salt partials on
-    the true keys. ``aggs`` maps output name → *mergeable* aggregate
-    expression over phase-1 columns (sum/count/min/max; avg must be
-    decomposed by the caller into sum+count).
+    the true keys with the combiner that matches each aggregate
+    (sum/count→SUM of partials, min→MIN, max→MAX).
+
+    ``aggs`` maps output name → ("sum"|"count"|"min"|"max", column);
+    the column may be None for count(*).
     """
+    for name, (fn, _col) in aggs.items():
+        if fn not in _SALTED_FNS:
+            raise ValueError(
+                f"salted_agg: {name!r} uses {fn!r}; supported: "
+                f"{sorted(_SALTED_FNS)} (decompose avg into sum+count)"
+            )
     salted = df.withColumn(
         "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
     )
     phase1 = salted.groupBy(*keys, "__salt").agg(
-        *[expr.alias(f"__p_{name}") for name, expr in aggs.items()]
+        *[
+            _SALTED_FNS[fn][0](col).alias(f"__p_{name}")
+            for name, (fn, col) in aggs.items()
+        ]
     )
-    merge = {
-        name: F.sum(f"__p_{name}")
-        if "count" in name or "sum" in name or "n_" in name
-        else F.max(f"__p_{name}")
-        for name in aggs
-    }
     return phase1.groupBy(*keys).agg(
-        *[expr.alias(name) for name, expr in merge.items()]
+        *[
+            _SALTED_FNS[fn][1](f"__p_{name}").alias(name)
+            for name, (fn, _col) in aggs.items()
+        ]
     )
 
 

@@ -26,7 +26,7 @@ from capital.transforms.indicators import bok_time_string
 def a8_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (beyond rollup/cube) via Spark SQL —
     engine surface the reference's warehouse would provide."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables=("lineitem",))
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
@@ -50,7 +50,7 @@ def s12_sql_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S11/S12: the warehouse SQL-result source — arbitrary SQL against
     registered engine tables (``RedshiftDataOperator(return_sql_result
     =True)`` becomes plain ``spark.sql``)."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables=("orders",))
     return spark.sql(
         """
         SELECT o_orderpriority, COUNT(*) AS n_orders
@@ -74,7 +74,7 @@ def j6_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame
     """Correlated scalar subquery — Catalyst decorrelates it into an
     aggregate + left outer join (the rewrite Redshift applies to the
     reference's J1, SURVEY.md §4 'Scalar-subquery decorrelation')."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables=("part", "lineitem"))
     return spark.sql(
         """
         SELECT p_partkey, p_name,

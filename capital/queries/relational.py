@@ -136,8 +136,6 @@ def p12_partition_prunable_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
 def p3b_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3 inverse: long→wide pivot with explicit pivot values (skips
     the distinct-discovery scan — mandatory at scale)."""
-    from capital.operators.reshape import pivot_wide  # noqa: PLC0415
-
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", F.lit(1).alias("one")
     )
@@ -275,20 +273,25 @@ def a2_events_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "a4_first_wins_dedup",
     oracle="""
-    SELECT user_id, MIN(ts) AS ts,
-           arg_min(event_type, ts) AS event_type,
-           arg_min(value, ts) AS value
-    FROM events
-    GROUP BY user_id
+    SELECT user_id, ts, event_type, value FROM (
+      SELECT user_id, ts, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events) WHERE rn = 1
     """,
 )
 def a4_first_wins_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: first-value-wins per key (crawled-header fold,
     dags/brz_bonds_meta_monthly/extractors.py:44-49) via order-free
-    ``min_by`` — no window sort."""
+    ``min_by`` — no window sort. event_id tiebreaks equal timestamps
+    so the winner is unique under any partitioning."""
     ev = load_table(spark, sf_dir, "events")
     return first_wins(
-        ev, keys=["user_id"], order_col="ts", value_cols=["event_type", "value"]
+        ev,
+        keys=["user_id"],
+        order_col="ts",
+        value_cols=["event_type", "value"],
+        tiebreak_col="event_id",
     )
 
 

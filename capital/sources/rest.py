@@ -91,15 +91,22 @@ class PaginatedRestSource:
         fetched = 0
         total: int | None = None
         for page in range(self.max_pages):
-            payload = self.fetch_page(page)
+            # Offset mode passes the record offset (BOK start/end
+            # windows); page mode passes the 0-based page number.
+            cursor = page * self.page_size if self.mode == "offset" else page
+            payload = self.fetch_page(cursor)
             rows = payload.get(self.records_key, [])
             # Row-type filter (P14): mixed payloads may carry non-dict
             # entries (dags/brz_industry_code_daily/extractors.py:48).
             rows = [r for r in rows if isinstance(r, dict)]
             yield from rows
             fetched += len(rows)
-            total = int(payload.get(self.total_key, 0))
-            if fetched >= total or not rows:
+            raw_total = payload.get(self.total_key)
+            # A payload without the totals field must not read as
+            # total=0 (which would silently truncate after page 0):
+            # keep paginating until an empty page instead.
+            total = int(raw_total) if raw_total is not None else None
+            if not rows or (total is not None and fetched >= total):
                 break
             if self.throttle_s:
                 time.sleep(self.throttle_s)

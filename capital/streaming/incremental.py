@@ -137,8 +137,13 @@ def incremental_with_dead_letter(
     partition'): rows older than ``max_age`` relative to the batch's
     max event time are diverted to a quarantine directory instead of
     silently corrupting historical partitions; everything else flows to
-    the main sink. Both writes happen in the same ``foreachBatch`` so
-    a replayed batch routes identically."""
+    the main sink.
+
+    Replay safety: each write is partitioned by ``__batch`` and uses
+    dynamic partition overwrite, so a batch replayed after a crash
+    (sink written, checkpoint not committed) overwrites its own
+    partition instead of appending duplicates.
+    """
     amount, unit = max_age.split()
     age = F.expr(f"INTERVAL {amount} {unit}")
 
@@ -146,10 +151,13 @@ def incremental_with_dead_letter(
         horizon = batch_df.agg(F.max(ts_col)).collect()[0][0]
         if horizon is None:
             return
-        late = batch_df.filter(F.col(ts_col) < F.lit(horizon) - age)
-        fresh = batch_df.filter(F.col(ts_col) >= F.lit(horizon) - age)
-        late.write.mode("append").parquet(dead_letter_dir)
-        fresh.write.mode("append").parquet(sink_dir)
+        stamped = batch_df.withColumn("__batch", F.lit(batch_id))
+        late = stamped.filter(F.col(ts_col) < F.lit(horizon) - age)
+        fresh = stamped.filter(F.col(ts_col) >= F.lit(horizon) - age)
+        late.write.mode("overwrite").partitionBy("__batch").parquet(
+            dead_letter_dir
+        )
+        fresh.write.mode("overwrite").partitionBy("__batch").parquet(sink_dir)
 
     return (
         spark.readStream.schema(schema)

@@ -44,11 +44,17 @@ def unpivot_price_panel(
 
 def yf_ticker(code, market):
     """F11: ``f"{code}.{MARKET_MAPPING[market]}"`` as a map-literal
-    lookup (yfinance_operator.py:17,82)."""
+    lookup (yfinance_operator.py:17,82). Unknown markets raise, like
+    the reference's dict KeyError — concat_ws would otherwise silently
+    emit a bare, wrong ticker."""
     mapping = F.create_map(
         *[F.lit(x) for kv in MARKET_SUFFIX.items() for x in kv]
     )
-    return F.concat_ws(".", code, F.element_at(mapping, market))
+    suffix = F.element_at(mapping, market)
+    checked = F.when(suffix.isNull(), F.raise_error(
+        F.concat(F.lit("yf_ticker: unknown market "), market)
+    )).otherwise(suffix)
+    return F.concat_ws(".", code, checked)
 
 
 def missing_tickers(requested: DataFrame, fetched: DataFrame) -> DataFrame:

@@ -32,17 +32,27 @@ def test_salted_agg_matches_plain(spark, sf_dir):
         li,
         ["l_returnflag"],
         {
-            "sum_qty": F.sum(F.col("l_quantity").cast("decimal(28,6)")),
-            "n_rows": F.count(F.lit(1)),
+            "sum_qty": ("sum", F.col("l_quantity").cast("decimal(28,6)")),
+            "n_rows": ("count", None),
+            "min_ship": ("min", F.col("l_shipdate")),
+            "max_price": ("max", F.col("l_extendedprice")),
         },
     )
     plain = li.groupBy("l_returnflag").agg(
         F.sum(F.col("l_quantity").cast("decimal(28,6)")).alias("sum_qty"),
         F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_extendedprice").alias("max_price"),
     )
-    s = {r.l_returnflag: (r.sum_qty, r.n_rows) for r in salted.collect()}
-    p = {r.l_returnflag: (r.sum_qty, r.n_rows) for r in plain.collect()}
+    s = {r.l_returnflag: (r.sum_qty, r.n_rows, r.min_ship, r.max_price)
+         for r in salted.collect()}
+    p = {r.l_returnflag: (r.sum_qty, r.n_rows, r.min_ship, r.max_price)
+         for r in plain.collect()}
     assert s == p
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="supported"):
+        salted_agg(li, ["l_returnflag"], {"bad": ("avg", F.col("l_quantity"))})
 
 
 def test_salted_join_matches_plain(spark, sf_dir):

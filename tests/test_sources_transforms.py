@@ -72,6 +72,37 @@ def test_paginated_rest_source_reconciliation_failure(spark):
         list(src.records())
 
 
+def test_paginated_rest_source_no_total_key_paginates_to_empty(spark):
+    # A payload missing the totals field must not truncate to one page.
+    pages = [
+        {"items": _KRX_ROWS[:2]},
+        {"items": _KRX_ROWS[2:]},
+        {"items": []},
+    ]
+    src = PaginatedRestSource(
+        fetch_page=lambda i: pages[i],
+        records_key="items",
+        total_key="totalCount",
+    )
+    assert len(list(src.records())) == 3
+
+
+def test_paginated_rest_source_offset_mode(spark):
+    cursors: list[int] = []
+
+    def fetch(offset):
+        cursors.append(offset)
+        return {"items": _KRX_ROWS[offset // 100: offset // 100 + 1],
+                "totalCount": 3}
+
+    src = PaginatedRestSource(
+        fetch_page=fetch, records_key="items", total_key="totalCount",
+        page_size=100, mode="offset",
+    )
+    assert len(list(src.records())) == 3
+    assert cursors == [0, 100, 200]  # record offsets, not page numbers
+
+
 def test_paginated_rest_source_filters_non_dict_rows(spark):
     # P14 row-type filter: mixed payload entries are dropped.
     src = PaginatedRestSource(
@@ -147,6 +178,20 @@ def test_unpivot_price_panel(spark):
     tickers = {r.Ticker for r in rows}
     assert tickers == {"005930.KS", "035720.KS"}
     assert all(r.field == "Close" for r in rows)
+
+
+def test_yf_ticker_raises_on_unknown_market(spark):
+    from capital.transforms.market_data import yf_ticker
+
+    df = spark.createDataFrame(
+        [("005930", "kospi"), ("247540", "kosdaq")], "code string, market string"
+    )
+    out = df.select(yf_ticker(F.col("code"), F.col("market")).alias("t"))
+    assert {r.t for r in out.collect()} == {"005930.KS", "247540.KQ"}
+
+    bad = spark.createDataFrame([("X", "nyse")], "code string, market string")
+    with pytest.raises(Exception, match="unknown market"):
+        bad.select(yf_ticker(F.col("code"), F.col("market"))).collect()
 
 
 def test_missing_tickers_anti_join(spark):

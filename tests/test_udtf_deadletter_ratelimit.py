@@ -54,3 +54,13 @@ def test_dead_letter_routing(spark, sf_dir, tmp_path):
     q.awaitTermination(120)
     assert spark.read.parquet(sink).count() == ev.count()
     assert spark.read.parquet(dlq).count() == 5
+
+    # Replay with a fresh checkpoint (crash-before-commit): the batch
+    # overwrites its own __batch partition — no duplicates.
+    q2 = incremental_with_dead_letter(
+        spark, src, EVENTS, sink, dlq, str(tmp_path / "ckpt2"),
+        max_age="60 days",
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == ev.count()
+    assert spark.read.parquet(dlq).count() == 5
