@@ -83,6 +83,39 @@ def st_sliding_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "st_interval_cadences",
+    oracle="""
+    SELECT date_trunc('week', CAST(o_orderdate AS TIMESTAMP)) AS week_start,
+           strftime(o_orderdate, '%Y%m') AS month_id,
+           strftime(o_orderdate, '%Y') || 'Q' || CAST(quarter(o_orderdate) AS VARCHAR)
+             AS quarter_id,
+           CAST(year(o_orderdate) AS INTEGER) AS year,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def st_interval_cadences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's Interval enum cadences (daily/weekly/monthly/
+    quarterly/yearly collection schedules, dags/common/constants.py:
+    4-13) as one tumbling rollup: weekly grain with month/quarter/year
+    labels derived in the same pass."""
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.date_trunc("week", "o_orderdate").alias("week_start"),
+        F.date_format("o_orderdate", "yyyyMM").alias("month_id"),
+        F.concat(
+            F.date_format("o_orderdate", "yyyy"),
+            F.lit("Q"),
+            F.quarter("o_orderdate"),
+        ).alias("quarter_id"),
+        F.year("o_orderdate").alias("year"),
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@query(
     "st_session_30m",
     oracle="""
     WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
