@@ -360,6 +360,65 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(d, shingle_k=3, threshold=_JACCARD_THRESHOLD)
 
 
+def _clusters_oracle() -> str:
+    """Transitive closure of the verified near-dup pairs as a recursive
+    CTE: label(v) = min doc_id reachable from v = component id."""
+    return f"""
+    WITH RECURSIVE pairs AS ({_verified_neardup_oracle()}),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+    reach(id, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id AS doc_id, MIN(label) AS component_id FROM reach GROUP BY id
+    """
+
+
+def _neardup_pair_graph(spark: SparkSession, sf_dir: str):
+    """Shared input for the cluster queries: corpus + verified pairs."""
+    from capital.llm.dedup import verified_neardup_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = verified_neardup_pairs(
+        d, num_hashes=_MH_HASHES, bands=_MH_BANDS,
+        rows_per_band=_MH_ROWS, shingle_k=3, threshold=0.5,
+    )
+    return d, pairs
+
+
+@query("dedup_clusters", oracle=_clusters_oracle())
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: MinHash→LSH→verified pairs, then
+    connected components (iterative min-label propagation) assigns every
+    document its duplicate-group id. The oracle computes the same
+    closure as a recursive CTE."""
+    from capital.llm.clusters import connected_components
+
+    d, pairs = _neardup_pair_graph(spark, sf_dir)
+    return connected_components(pairs, d.select("doc_id"))
+
+
+@query(
+    "dedup_canonical_corpus",
+    oracle=f"""
+    WITH comp AS ({_clusters_oracle()})
+    SELECT component_id, MIN(doc_id) AS keep_id, COUNT(*) AS n_members
+    FROM comp GROUP BY component_id
+    """,
+)
+def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection over the duplicate clusters: min-id canonical
+    document per component + member count (n_members-1 = docs removed).
+    The end state of the whole dedup pipeline."""
+    from capital.llm.clusters import component_summary, connected_components
+
+    d, pairs = _neardup_pair_graph(spark, sf_dir)
+    comps = connected_components(pairs, d.select("doc_id"))
+    return component_summary(comps)
+
+
 # --- similarity search ---------------------------------------------------
 
 _DIM = 64

@@ -1,0 +1,54 @@
+"""Connected-components / duplicate-cluster resolution unit tests.
+
+The oracle-parity test covers the end-to-end pipeline; these pin the
+algorithm on hand-built graphs where the answer is obvious — including
+a long chain, which forces multiple propagation rounds (the fixpoint
+logic, not just one join).
+"""
+
+from __future__ import annotations
+
+from capital.llm.clusters import (
+    component_summary,
+    connected_components,
+    deduplicated_corpus,
+)
+
+
+def _components(spark, pair_rows, vertex_ids):
+    pairs = spark.createDataFrame(pair_rows, "id_a long, id_b long")
+    verts = spark.createDataFrame(
+        [(v,) for v in vertex_ids], "doc_id long"
+    )
+    out = connected_components(pairs, verts)
+    return {r.doc_id: r.component_id for r in out.collect()}
+
+
+def test_chain_collapses_to_min_label(spark):
+    # 0-1-2-3-4-5 chain: diameter 5 ⇒ needs several rounds to converge.
+    chain = [(i, i + 1) for i in range(5)]
+    got = _components(spark, chain, range(8))
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 0, 6: 6, 7: 7}
+
+
+def test_two_components_and_unordered_pairs(spark):
+    # Pair direction must not matter; 10 appears only as id_a.
+    got = _components(spark, [(3, 1), (1, 2), (10, 11)], [1, 2, 3, 10, 11, 99])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_summary_and_survivor_corpus(spark):
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in [1, 2, 3, 7]], "doc_id long, text string"
+    )
+    comps = connected_components(pairs, docs.select("doc_id"))
+    summary = {
+        r.component_id: (r.keep_id, r.n_members)
+        for r in component_summary(comps).collect()
+    }
+    assert summary == {1: (1, 3), 7: (7, 1)}
+    survivors = sorted(
+        r.doc_id for r in deduplicated_corpus(docs, comps).collect()
+    )
+    assert survivors == [1, 7]
