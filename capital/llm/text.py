@@ -91,6 +91,85 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("pred_lang", pred)
 
 
+#: PII patterns, kept to syntax valid in both Java regex (Spark) and
+#: RE2 (DuckDB) so the oracle replicates the scrub exactly.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+
+
+def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al., "Scaling Language
+    Models: ... Gopher", 2021, §A1.1 repetition filters):
+
+    - ``dup_bigram_frac``: fraction of word bigrams that are repeats —
+      high for boilerplate/spam pages;
+    - ``top_token_frac``: frequency share of the most common token —
+      high for keyword-stuffed or degenerate text.
+
+    Pure array expressions per row; no shuffle, no Python.
+    """
+    toks = tokens(normalized(F.col(text_col)))
+    n = F.size(toks)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )
+    dup_frac = F.lit(1.0) - F.size(F.array_distinct(bigrams)) / F.size(bigrams)
+    top_freq = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )
+    return df.withColumn(
+        "dup_bigram_frac", F.round(dup_frac, 6)
+    ).withColumn(
+        "top_token_frac", F.round(top_freq / F.greatest(n, F.lit(1)), 6)
+    )
+
+
+def with_char_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Shannon entropy (bits/char) of the character distribution — low
+    entropy flags degenerate/repetitive text, very high flags noise.
+
+    Accumulation discipline: terms are summed in sorted-distinct-char
+    order on both engines (array order is the reduction order), so the
+    float result is bit-replicable in the DuckDB oracle.
+    """
+    text = F.col(text_col)
+    # greatest(n,1) guards the empty doc: ANSI mode makes /0 an error,
+    # and ['']/1 yields entropy 0 identically on both engines.
+    ng = F.greatest(F.length(text), F.lit(1))
+    chars = F.transform(
+        F.sequence(F.lit(1), ng), lambda i: F.substring(text, i, 1)
+    )
+    terms = F.transform(
+        F.array_sort(F.array_distinct(chars)),
+        lambda c: (F.size(F.filter(chars, lambda x: x == c)) / ng)
+        * F.log2(F.size(F.filter(chars, lambda x: x == c)) / ng),
+    )
+    entropy = -F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+    # abs() canonicalizes IEEE -0.0 (single-repeated-char docs) so the
+    # row sort order cannot diverge from the oracle's.
+    return df.withColumn("char_entropy", F.abs(F.round(entropy, 6)))
+
+
+def with_pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Detect-and-redact PII-ish spans (emails, URLs): per-doc match
+    counts plus the redacted text. Narrow regexp projection — the
+    standard pre-training scrub pass, zero shuffle at any scale.
+    """
+    text = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
+    )
+    return (
+        df.withColumn("n_emails", F.regexp_count(text, F.lit(EMAIL_RE)))
+        .withColumn("n_urls", F.regexp_count(text, F.lit(URL_RE)))
+        .withColumn("scrubbed_text", redacted)
+    )
+
+
 def normalized(text: Column) -> Column:
     """Canonical text form for fingerprinting: lowercase, collapsed
     whitespace, trimmed."""

@@ -153,6 +153,86 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_repetition",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_NTOKS} AS toks FROM documents),
+    b AS (SELECT doc_id, toks,
+            [array_to_string(toks[i:i+1], ' ')
+             FOR i IN range(1, greatest(len(toks) - 1, 1) + 1)] AS bg
+          FROM t)
+    SELECT doc_id,
+      round(1.0 - len(list_distinct(bg)) / len(bg), 6) AS dup_bigram_frac,
+      round(list_max(list_transform(list_distinct(toks),
+                w -> len(list_filter(toks, x -> x = w))))
+            / greatest(len(toks), 1), 6) AS top_token_frac
+    FROM b
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: duplicate-bigram fraction and
+    most-common-token share — the cheap boilerplate/spam signals."""
+    from capital.llm.text import with_repetition
+
+    d = load_table(spark, sf_dir, "documents")
+    return with_repetition(d).select(
+        "doc_id", "dup_bigram_frac", "top_token_frac"
+    )
+
+
+@query(
+    "text_char_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, greatest(length(text), 1) AS ng,
+             [substr(text, i, 1)
+              FOR i IN range(1, greatest(length(text), 1) + 1)] AS chars
+      FROM documents)
+    SELECT doc_id,
+      abs(round(-list_sum(list_transform(list_sort(list_distinct(chars)),
+          d -> (len(list_filter(chars, x -> x = d)) / ng)
+               * log2(len(list_filter(chars, x -> x = d)) / ng))), 6))
+        AS char_entropy
+    FROM c
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy (bits/char): degenerate
+    text scores low, random noise high. Terms accumulate in
+    sorted-distinct-char order on both engines for float parity."""
+    from capital.llm.text import with_char_entropy
+
+    d = load_table(spark, sf_dir, "documents")
+    return with_char_entropy(d).select("doc_id", "char_entropy")
+
+
+def _pii_oracle() -> str:
+    from capital.llm.text import EMAIL_RE, URL_RE
+
+    return f"""
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS INTEGER)
+        AS n_emails,
+      CAST(len(regexp_extract_all(text, '{URL_RE}')) AS INTEGER) AS n_urls,
+      regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                     '{URL_RE}', '<URL>', 'g') AS scrubbed_text
+    FROM documents
+    """
+
+
+@query("text_pii_scrub", oracle=_pii_oracle())
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect-and-redact (emails, URLs): match counts + scrubbed
+    text. Patterns are valid in both Java regex and RE2, so the oracle
+    replicates the redaction byte-for-byte."""
+    from capital.llm.text import with_pii_scrub
+
+    d = load_table(spark, sf_dir, "documents")
+    return with_pii_scrub(d).select(
+        "doc_id", "n_emails", "n_urls", "scrubbed_text"
+    )
+
+
 # --- deduplication -------------------------------------------------------
 
 
