@@ -19,6 +19,7 @@ from capital.queries.registry import (  # noqa: F401
 _MODULES = [
     "capital.queries.pricing",
     "capital.queries.relational",
+    "capital.queries.tpc_extended",
     "capital.queries.calendar_queries",
     "capital.queries.functions_queries",
     "capital.queries.llm_queries",

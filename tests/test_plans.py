@@ -101,3 +101,26 @@ def test_no_python_udfs_in_relational_surface(spark, sf_dir):
             continue
         plan = plan_of(fn(spark, sf_dir))
         assert "EvalPython" not in plan, name
+
+
+def test_tpc_extended_join_strategy(spark, sf_dir):
+    """Q7/Q8/Q14/Q19: every dim side must broadcast; the only
+    sort-merge-eligible shuffle is fact↔fact on orderkey."""
+    for name in ("q7_volume_shipping", "q8_market_share",
+                 "q14_promo_revenue", "q19_discounted_revenue"):
+        plan = plan_of(_QUERIES[name](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_q18_topk_and_semi_join(spark, sf_dir):
+    plan = plan_of(_QUERIES["q18_large_orders"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "LeftSemi" in plan
+
+
+def test_q22_anti_join_not_nested_loop(spark, sf_dir):
+    plan = plan_of(_QUERIES["q22_global_sales_opportunity"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
