@@ -20,6 +20,7 @@ _MODULES = [
     "capital.queries.pricing",
     "capital.queries.relational",
     "capital.queries.tpc_extended",
+    "capital.queries.rangejoin_queries",
     "capital.queries.calendar_queries",
     "capital.queries.functions_queries",
     "capital.queries.llm_queries",
