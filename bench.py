@@ -34,12 +34,18 @@ def headline_names(all_names) -> list[str]:
         "a2_events_by_day",
         "st_session_30m",
         "j1_asof_latest_order",
+        "q8_market_share",
+        "q18_large_orders",
+        "j7_range_join_shipments",
         "dedup_exact",
         "dedup_minhash_lsh",
         "dedup_simhash",
+        "dedup_clusters",
         "sim_cosine_topk",
         "sim_lsh_topk",
         "text_quality_score",
+        "text_repetition",
+        "text_char_entropy",
     ]
     return [n for n in preferred if n in all_names] or sorted(all_names)[:8]
 

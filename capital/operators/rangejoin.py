@@ -36,6 +36,7 @@ def point_in_interval_join(
     start_col: str,
     end_col: str,
     bucket_days: int = 30,
+    broadcast_intervals: bool = False,
 ) -> DataFrame:
     """Inner-join ``points`` to ``intervals`` where
     ``start <= point < end`` (half-open, the streaming-window
@@ -45,6 +46,14 @@ def point_in_interval_join(
     ``end - start`` may span any number of buckets; pick
     ``bucket_days`` near the typical interval length so replication
     stays ~2×.
+
+    Set ``broadcast_intervals=True`` when the interval side is small
+    (a sample, a calendar, an alert window list): the bucket key has
+    only ``time_range / width`` distinct values, so a shuffled join on
+    it caps parallelism at the bucket count and skews hot buckets —
+    broadcasting keeps the big point side un-shuffled entirely
+    (measured 5× at sf0.1). With two large sides, keep the shuffle and
+    let AQE's skew-join splitting handle hot buckets.
     """
     width = F.lit(bucket_days * _DAY)
     p_bucket = F.floor(F.unix_timestamp(F.col(point_col)) / width)
@@ -58,6 +67,8 @@ def point_in_interval_join(
         "__bucket",
         F.explode(F.sequence(i_first, F.greatest(i_last, i_first))),
     )
+    if broadcast_intervals:
+        bucketed_intervals = F.broadcast(bucketed_intervals)
     joined = bucketed_points.join(bucketed_intervals, "__bucket")
     return joined.filter(
         (F.col(point_col) >= F.col(start_col))

@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from capital.io import load_table
+from capital.io import load_table, parallelize_narrow
 from capital.operators.rangejoin import point_in_interval_join
 from capital.queries.registry import decimal_sum, query
 
@@ -53,8 +53,13 @@ def j7_range_join_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.expr(f"INTERVAL {_WINDOW_DAYS} DAYS")
         ).alias("window_end"),
     )
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"
+    # Single-file parquet scans as one split; with the interval side
+    # broadcast there is no shuffle to restore parallelism, so the
+    # join+agg would run on one core without this repartition.
+    li = parallelize_narrow(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"
+        )
     )
     matched = point_in_interval_join(
         li,
@@ -63,6 +68,7 @@ def j7_range_join_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
         start_col="o_orderdate",
         end_col="window_end",
         bucket_days=_WINDOW_DAYS,
+        broadcast_intervals=True,
     )
     per_order = matched.groupBy("o_orderkey").agg(
         F.count(F.lit(1)).alias("n_shipments"),
