@@ -1,0 +1,150 @@
+"""IVF (inverted-file) approximate nearest neighbor search.
+
+The third ANN tier after brute force and sign-LSH
+(:mod:`capital.llm.similarity`): a *learned* coarse quantizer. KMeans
+centroids partition the corpus into cells ("inverted lists"); a query
+scores only the vectors in its ``nprobe`` nearest cells. This is the
+IVF-Flat layout of Faiss/Milvus (Jégou et al., "Product quantization
+for nearest neighbor search", TPAMI 2011 — coarse-quantizer stage,
+without the PQ compression), expressed on Spark:
+
+- **train**: ``pyspark.ml.clustering.KMeans`` (distributed Lloyd's,
+  fixed seed) over the corpus — at 100 TB, train on a sample; the fit
+  is one-time index-build cost;
+- **assign**: one narrow pass scoring each vector against the k
+  centroids (broadcast as literals — k×dim doubles);
+- **search**: queries explode to their ``nprobe`` nearest cells, then
+  an ordinary equi-join on cell id + exact cosine + windowed top-k.
+  Comparisons drop by ~k/nprobe vs brute force.
+
+Determinism: KMeans with a fixed seed on fixed input is reproducible,
+but the *model* is not SQL-expressible, so the IVF query is registered
+rows-only; correctness is held by recall tests against the exact
+brute-force baseline (the standard way ANN indexes are validated).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from capital.llm.similarity import cosine
+
+
+def _dist2_to_center(vec: Column, center: list[float]) -> Column:
+    """Squared L2 distance to one centroid, as a codegen expression."""
+    c = F.array(*[F.lit(float(w)) for w in center])
+    return F.aggregate(
+        F.zip_with(
+            vec, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def train_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> list[list[float]]:
+    """Fit the coarse quantizer; returns centroids as plain lists
+    (small: n_cells × dim doubles — broadcastable as literals)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__v")
+    )
+    model = KMeans(
+        k=n_cells, seed=seed, featuresCol="__v", predictionCol="__cell"
+    ).fit(vecs)
+    return [list(map(float, c)) for c in model.clusterCenters()]
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Attach the ``nprobe`` nearest cell ids to each row.
+
+    ``nprobe=1`` (corpus side) adds one int column; ``nprobe>1``
+    (query side) explodes to one row per probed cell. All distance
+    math is inline expressions — no UDF, no model object at runtime.
+    """
+    dists = F.array(
+        *[
+            F.struct(
+                _dist2_to_center(F.col(vec_col), c).alias("d"),
+                F.lit(i).alias("i"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    # sort_array on (d, i) structs orders by distance, ties by cell id.
+    nearest = F.slice(F.sort_array(dists), 1, nprobe)
+    probed = df.withColumn(
+        "__probe", F.explode(F.transform(nearest, lambda s: s["i"]))
+    )
+    return probed.withColumn(cell_col, F.col("__probe")).drop("__probe")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF-Flat approximate top-k cosine neighbors.
+
+    Pass precomputed ``centroids`` to reuse an index across queries
+    (the production shape: build once, search many).
+    """
+    from capital.io import parallelize_narrow
+
+    if centroids is None:
+        centroids = train_centroids(corpus, n_cells, vec_col, seed)
+    c = assign_cells(
+        parallelize_narrow(corpus).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+        ),
+        centroids,
+        vec_col="c_vec",
+        nprobe=1,
+    )
+    q = assign_cells(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        ),
+        centroids,
+        vec_col="q_vec",
+        nprobe=nprobe,
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.round("cosine_sim", 6).alias("cosine_sim"),
+        )
+    )

@@ -596,6 +596,20 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sim_ivf_topk")
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN top-k (learned coarse quantizer; see
+    capital/llm/ivf.py). No SQL oracle: the KMeans index is not
+    SQL-expressible — correctness is held by recall tests against the
+    exact brute-force baseline (tests/test_ivf.py), the standard ANN
+    validation."""
+    from capital.llm.ivf import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return ivf_topk(emb, queries_df, k=_TOPK, n_cells=16, nprobe=4)
+
+
 _NEARDUP_PLANES = 6
 _NEARDUP_THRESHOLD = 0.9
 

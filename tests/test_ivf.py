@@ -1,0 +1,58 @@
+"""IVF ANN validation: the index is not SQL-expressible (KMeans
+model), so correctness is held the way ANN indexes are validated in
+production — recall against the exact brute-force baseline, plus
+structural invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from capital.io import load_table
+from capital.llm.ivf import assign_cells, ivf_topk, train_centroids
+from capital.llm.similarity import cosine_topk
+
+_K = 5
+_N_QUERIES = 8
+
+
+def _tables(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb, emb.filter(F.col("vec_id") < _N_QUERIES)
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    emb, queries = _tables(spark, sf_dir)
+    exact = cosine_topk(emb, queries, k=_K)
+    approx = ivf_topk(emb, queries, k=_K, n_cells=8, nprobe=4)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # nprobe=4 of 8 cells: half the space probed; recall must be high
+    # for clustered data and is deterministic (fixed KMeans seed).
+    assert recall >= 0.6, f"recall {recall:.2f}"
+    # Every query returns exactly k ranked neighbors.
+    counts = {r.query_id: r.n for r in approx.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert all(v == _K for v in counts.values()), counts
+
+
+def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
+    # Probing every cell must recover the exact result: the cell
+    # partition is lossless, only the pruning is approximate.
+    emb, queries = _tables(spark, sf_dir)
+    exact = cosine_topk(emb, queries, k=_K)
+    full = ivf_topk(emb, queries, k=_K, n_cells=8, nprobe=8)
+    e = sorted((r.query_id, r.rank, r.neighbor_id) for r in exact.collect())
+    f = sorted((r.query_id, r.rank, r.neighbor_id) for r in full.collect())
+    assert e == f
+
+
+def test_assign_cells_partitions_corpus(spark, sf_dir):
+    emb, _ = _tables(spark, sf_dir)
+    centroids = train_centroids(emb, n_cells=8)
+    assert len(centroids) == 8 and len(centroids[0]) == 64
+    assigned = assign_cells(emb, centroids, nprobe=1)
+    # nprobe=1: a partition, not a replication.
+    assert assigned.count() == emb.count()
+    n_cells_used = assigned.select("cell").distinct().count()
+    assert 1 < n_cells_used <= 8
