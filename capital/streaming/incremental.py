@@ -208,3 +208,26 @@ def session_windows(
         F.col("win.end").alias("session_end"),
         "n_events",
     )
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: list[str] | str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join (J5's registry lookup, live).
+
+    Structured Streaming re-evaluates the static side per micro-batch,
+    so a dimension refresh (new registry upload, updated calendar) is
+    picked up on the next trigger without restarting the query. The
+    broadcast hint keeps every micro-batch a map-side hash join — no
+    per-batch shuffle of the stream, the only join shape that holds at
+    100 TB/day ingest against a small dim.
+
+    Reference behavior re-expressed: bond facts enriched from the URL
+    registry (dags/brz_bonds_daily/extractors.py:54,80-87) and the
+    calendar-driven gating joins (dags/brz_kr_etf_daily/
+    brz_kr_etf_daily.py:21-33).
+    """
+    return stream.join(F.broadcast(dim), on, how)

@@ -144,3 +144,42 @@ def test_stream_window_agg_matches_batch(spark, sf_dir, tmp_path):
     }
     assert finalized <= s_rows
     assert len(s_rows) > 0
+
+
+def test_stream_static_enrich_matches_batch_join(spark, sf_dir, tmp_path):
+    from capital.streaming.incremental import stream_static_enrich
+
+    src = str(tmp_path / "enrich_src")
+    ev = _write_batches(spark, sf_dir, src)
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+
+    stream = spark.readStream.schema(EVENTS).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        stream_static_enrich(stream, dim, on="user_id")
+        .select("event_id", "user_id", "segment")
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {tuple(r) for r in spark.sql("SELECT * FROM enriched").collect()}
+    want = {
+        tuple(r)
+        for r in ev.join(dim, "user_id", "left")
+        .select("event_id", "user_id", "segment")
+        .collect()
+    }
+    assert got == want
+    # The enrichment must actually attach segments for known users.
+    assert any(seg is not None for (_, _, seg) in got)
