@@ -675,3 +675,48 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     No SQL oracle: mapInPandas is not SQL-expressible."""
     d = load_table(spark, sf_dir, "documents")
     return decode_assets(text_as_assets(d))
+
+
+# --- pyspark.ml library-path surface ------------------------------------
+
+
+@query("dedup_ml_minhash")
+def dedup_ml_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via the pyspark.ml MinHashLSH approx-similarity
+    join (library path; see capital/llm/ml_variants.py). Rows-only: the
+    MinHashLSH model's hash family is JVM-internal, not
+    SQL-replicable — the md5-based twin dedup_minhash_lsh carries the
+    oracle; equivalence of the two paths is tested in
+    tests/test_ml_variants.py."""
+    from capital.llm.ml_variants import ml_minhash_neardup_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return ml_minhash_neardup_pairs(d, max_jaccard_distance=0.6)
+
+
+@query("text_tfidf_stats")
+def text_tfidf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF vectors (tokenize → hashed TF → IDF) reduced to scalar
+    stats per doc (nnz, l2 norm). Rows-only: IDF weights depend on the
+    fitted corpus model."""
+    from pyspark.ml.functions import vector_to_array
+
+    from capital.llm.ml_variants import tfidf_features
+
+    d = load_table(spark, sf_dir, "documents")
+    arr = vector_to_array(F.col("tfidf"))
+    nonzero = F.filter(arr, lambda x: x != 0.0)
+    return tfidf_features(d).select(
+        "doc_id",
+        F.size(nonzero).alias("n_terms"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.transform(nonzero, lambda x: x * x),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+            ),
+            6,
+        ).alias("l2_norm"),
+    )

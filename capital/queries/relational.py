@@ -642,3 +642,28 @@ def f14_zero_fill_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("total"), F.lit(0.0)).alias("total_spent"),
         F.coalesce(F.col("n"), F.lit(0)).alias("n_orders"),
     )
+
+
+@query(
+    "a9_exact_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_extendedprice, 0.25) AS p25_price,
+           quantile_cont(l_extendedprice, 0.75) AS p75_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a9_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (Spark
+    ``percentile`` == DuckDB ``quantile_cont``). The exact twin of the
+    approx-sketch path: use this shape on grouped/dimension-sized data,
+    ``approx_percentile`` (t-digest) when a full sort per group is too
+    expensive at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pair = F.expr("percentile(l_extendedprice, array(0.25, 0.75))")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        pair[0].alias("p25_price"),
+        pair[1].alias("p75_price"),
+    )
