@@ -1,0 +1,93 @@
+"""Property tests for the round's new operators: entropy/repetition
+bounds, PII-scrub idempotence, and cluster-partition invariants on the
+real corpus."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from capital.llm.text import (
+    with_char_entropy,
+    with_pii_scrub,
+    with_repetition,
+)
+
+_text = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_characters="\x00"
+    ),
+    min_size=0,
+    max_size=60,
+)
+_slow = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+@given(texts=st.lists(_text, min_size=1, max_size=6))
+@_slow
+def test_entropy_and_repetition_bounds(spark, texts):
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = with_repetition(with_char_entropy(df)).collect()
+    assert len(rows) == len(texts)
+    for r in rows:
+        # Entropy: 0 <= H <= log2(#chars) <= log2(len).
+        assert r.char_entropy >= 0.0
+        n = len(r.text)
+        if n:
+            assert r.char_entropy <= math.log2(max(n, 2)) + 1e-6
+        assert 0.0 <= r.dup_bigram_frac <= 1.0
+        assert 0.0 < r.top_token_frac <= 1.0
+
+
+@given(texts=st.lists(_text, min_size=1, max_size=6))
+@_slow
+def test_pii_scrub_idempotent(spark, texts):
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    once = with_pii_scrub(df).select(
+        "doc_id", F.col("scrubbed_text").alias("text")
+    )
+    twice = with_pii_scrub(once)
+    # Redaction placeholders must not re-match: scrub∘scrub == scrub.
+    bad = twice.filter(
+        (F.col("n_emails") > 0)
+        | (F.col("n_urls") > 0)
+        | (F.col("scrubbed_text") != F.col("text"))
+    ).count()
+    assert bad == 0
+
+
+def test_clusters_partition_and_pair_consistency(spark, sf_dir):
+    """On the real corpus: components cover every doc exactly once,
+    every verified near-dup pair lands inside one component, and the
+    component id is a member of its own component."""
+    from capital.llm.clusters import connected_components
+    from capital.llm.dedup import verified_neardup_pairs
+    from capital.io import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = verified_neardup_pairs(
+        d, num_hashes=16, bands=4, rows_per_band=4, threshold=0.5
+    ).persist()
+    comps = connected_components(pairs, d.select("doc_id")).persist()
+
+    assert comps.count() == d.count()
+    assert comps.select("doc_id").distinct().count() == d.count()
+
+    labels = {r.doc_id: r.component_id for r in comps.collect()}
+    for r in pairs.select("id_a", "id_b").collect():
+        assert labels[r.id_a] == labels[r.id_b], (r.id_a, r.id_b)
+    # component_id = min member id, and it is itself in the component.
+    for doc, comp in labels.items():
+        assert comp <= doc
+        assert labels[comp] == comp
