@@ -667,3 +667,34 @@ def a9_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         pair[0].alias("p25_price"),
         pair[1].alias("p75_price"),
     )
+
+
+@query("sk_hll_rollup_distinct")
+def sk_hll_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-HLL rollup (operators/sketches.py): daily per-type
+    sketches merged to global distinct-user estimates — the
+    pre-aggregation that answers range-distinct queries without
+    rescanning facts. Rows-only: DataSketches blobs are not
+    DuckDB-replicable; error bounds + merge==direct invariants are
+    pinned in tests/test_sketches.py, exact twin a7_distinct_agg."""
+    from capital.operators.sketches import (
+        daily_distinct_sketches,
+        rollup_distinct,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return rollup_distinct(daily_distinct_sketches(ev))
+
+
+@query("sk_kll_quantiles")
+def sk_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantile-sketch rollup: daily value sketches merged, then
+    p50/p95 read from the merged sketch. Rows-only; rank-error bound
+    vs exact percentiles tested, exact twin a9_exact_quantiles."""
+    from capital.operators.sketches import (
+        daily_value_sketches,
+        rollup_quantiles,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return rollup_quantiles(daily_value_sketches(ev))
