@@ -21,7 +21,9 @@ from typing import TYPE_CHECKING
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -108,3 +110,94 @@ def decode_assets(assets: DataFrame) -> DataFrame:
     ``spark.sql.execution.arrow.maxRecordsPerBatch``.
     """
     return assets.mapInPandas(fake_decode_batch, schema=DECODED_SCHEMA)
+
+
+#: Output of the frame-sampling stage: one row per sampled frame.
+FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_bytes", BinaryType(), True),
+        StructField("n_bytes", LongType(), True),
+    ]
+)
+
+
+def sample_frames(assets: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame-sampling stage: one asset row → ``n_frames`` frame rows.
+
+    STUB frame extraction (no video codecs in this container): frames
+    are equal byte-slices of the payload, deterministic per asset. The
+    Spark-side contract is the real one — a row-expanding
+    ``mapInPandas`` (Arrow in, Arrow out, no shuffle), exactly how a
+    pyav-based sampler would run; only the slicing body changes.
+    """
+
+    def _sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"asset_id": [], "frame_idx": [], "frame_bytes": [], "n_bytes": []}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                data = b"" if payload is None else bytes(payload)
+                step = max(len(data) // n_frames, 1)
+                for i in range(n_frames):
+                    chunk = data[i * step : (i + 1) * step] or data[:step]
+                    out["asset_id"].append(aid)
+                    out["frame_idx"].append(i)
+                    out["frame_bytes"].append(chunk)
+                    out["n_bytes"].append(len(chunk))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(_sample, schema=FRAME_SCHEMA)
+
+
+#: Output of the feature-extraction stage.
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("features", ArrayType(DoubleType()), True),
+    ]
+)
+
+
+def byte_histogram_features(frames: DataFrame, bins: int = 16) -> DataFrame:
+    """Feature extraction over frames — NOT a stub: an L2-normalized
+    byte-value histogram is a genuine (if crude) content signature for
+    any binary payload. Runs as a vectorized ``mapInPandas`` with
+    numpy doing the binning per Arrow batch.
+
+    The output ``features`` column is the same ``array<double>`` shape
+    as the ``embeddings`` table, so the ANN operators
+    (:mod:`capital.llm.similarity`, :mod:`capital.llm.ivf`) consume it
+    directly — the multimodal → similarity pipeline end to end.
+    """
+
+    def _featurize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            feats = []
+            for blob in pdf["frame_bytes"]:
+                arr = np.frombuffer(
+                    b"" if blob is None else bytes(blob), dtype=np.uint8
+                )
+                if arr.size == 0:
+                    feats.append([0.0] * bins)
+                    continue
+                hist = np.bincount(
+                    arr // (256 // bins), minlength=bins
+                ).astype("float64")
+                norm = np.linalg.norm(hist)
+                feats.append((hist / norm if norm else hist).tolist())
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "features": feats,
+                }
+            )
+
+    return frames.mapInPandas(_featurize, schema=FEATURE_SCHEMA)

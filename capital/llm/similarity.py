@@ -207,3 +207,84 @@ def cosine_neardup_pairs(
             F.round("cosine_sim", 6).alias("cosine_sim"),
         )
     )
+
+
+def cosine_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Vectorized twin of :func:`cosine_topk`: one numpy GEMM per Arrow
+    batch against the broadcast query matrix, then the same windowed
+    top-k.
+
+    Why it exists: Catalyst higher-order functions (zip_with/aggregate)
+    evaluate their lambda per element *interpreted* — they never enter
+    whole-stage codegen — so the expression form pays ~100 ns/element.
+    A mapInPandas stage turns each Arrow batch into a (batch × dim) @
+    (dim × queries) matrix multiply at BLAS speed. Same shuffle
+    profile as the expression form (corpus scan + per-query window);
+    only the kernel changes. Measured ~8× at sf0.1 — the gap grows
+    with dim.
+
+    The expression form remains the *oracle-checked* path (bit-exact
+    sequential accumulation); this is the throughput path. Equivalence
+    within float tolerance is pinned in tests/test_ivf.py-style recall
+    tests (tests/test_arrow_sim.py).
+    """
+    from capital.io import parallelize_narrow
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = [r[0] for r in q_rows]
+    q_mat = [list(map(float, r[1])) for r in q_rows]
+
+    out_schema = (
+        "query_id long, neighbor_id long, cosine_sim double"
+    )
+
+    def _score(batches):
+        import numpy as np
+        import pandas as pd
+
+        qm = np.asarray(q_mat, dtype=np.float64)  # (Q, D)
+        qn = np.linalg.norm(qm, axis=1)
+        qn[qn == 0] = 1.0
+        qids = np.asarray(q_ids, dtype=np.int64)
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            cm = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )  # (B, D)
+            cn = np.linalg.norm(cm, axis=1)
+            cn[cn == 0] = 1.0
+            sims = (cm @ qm.T) / np.outer(cn, qn)  # (B, Q)
+            b, q = sims.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, b),
+                    "neighbor_id": np.tile(ids, q),
+                    "cosine_sim": sims.T.ravel(),
+                }
+            )
+
+    scored = (
+        parallelize_narrow(corpus)
+        .select(id_col, vec_col)
+        .mapInPandas(_score, schema=out_schema)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.round("cosine_sim", 6).alias("cosine_sim"),
+        )
+    )

@@ -202,6 +202,29 @@ def with_char_entropy(
     return df.join(ent, id_col, "left")
 
 
+#: GPT-2-style pretokenizer pattern, reduced to syntax shared by Java
+#: regex and RE2 (no lookahead): letter runs, digit runs, and
+#: punctuation/symbol runs, each with an optional leading space.
+#: Unicode classes keep CJK/Hangul text tokenizing sensibly.
+BPE_SPLIT_RE = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def with_bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """BPE-ish token budget: counts pretokenizer segments (the pieces a
+    byte-pair encoder would merge within) — a far better cost proxy for
+    LLM training than whitespace words, especially for unsegmented
+    scripts. Adds ``chars_per_token`` as the compression-ratio signal.
+    Narrow regexp projection; no shuffle.
+    """
+    text = F.col(text_col)
+    toks = F.regexp_extract_all(text, F.lit(BPE_SPLIT_RE), 0)
+    n = F.size(toks)
+    return df.withColumn("n_bpe_tokens", n).withColumn(
+        "chars_per_token",
+        F.round(F.length(text) / F.greatest(n, F.lit(1)), 6),
+    )
+
+
 def with_pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Detect-and-redact PII-ish spans (emails, URLs): per-doc match
     counts plus the redacted text. Narrow regexp projection — the

@@ -720,3 +720,59 @@ def text_tfidf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("l2_norm"),
     )
+
+
+@query("mm_frame_features")
+def mm_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline: asset → frame-sample (stubbed codec, real
+    row-expanding mapInPandas) → L2-normalized byte-histogram features
+    (real numpy featurizer) — output is ANN-ready array<double>.
+    Rows-only: mapInPandas stages are not SQL-expressible; shape,
+    determinism, and ANN interop are pinned in
+    tests/test_multimodal_pipeline.py."""
+    from capital.llm.multimodal import byte_histogram_features, sample_frames
+
+    d = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(text_as_assets(d), n_frames=4)
+    return byte_histogram_features(frames, bins=16)
+
+
+def _bpe_oracle() -> str:
+    from capital.llm.text import BPE_SPLIT_RE
+
+    return f"""
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '{BPE_SPLIT_RE}')) AS INTEGER)
+        AS n_bpe_tokens,
+      round(length(text)
+            / greatest(len(regexp_extract_all(text, '{BPE_SPLIT_RE}')), 1), 6)
+        AS chars_per_token
+    FROM documents
+    """
+
+
+@query("text_bpe_token_count", oracle=_bpe_oracle())
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pretokenizer token budget + chars/token compression
+    proxy (unicode-aware letter/digit/punct runs; identical regex
+    semantics in Java regex and RE2)."""
+    from capital.llm.text import with_bpe_token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    return with_bpe_token_count(d).select(
+        "doc_id", "n_bpe_tokens", "chars_per_token"
+    )
+
+
+@query("sim_cosine_topk_arrow")
+def sim_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Throughput twin of sim_cosine_topk: Arrow-batched numpy GEMM
+    kernel (Catalyst higher-order lambdas are interpreted per element,
+    so the expression form caps out ~100ns/element; BLAS does not).
+    Rows-only: kernel equivalence vs the oracle-checked expression
+    form is pinned in tests/test_arrow_sim.py."""
+    from capital.llm.similarity import cosine_topk_arrow
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return cosine_topk_arrow(emb, queries_df, k=_TOPK)

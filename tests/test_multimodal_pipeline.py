@@ -1,0 +1,77 @@
+"""Multimodal pipeline: asset → frame-sample → byte-histogram features
+→ ANN search, end to end on the driver corpus. The frame sampler is a
+stub (no codecs here); the featurizer and every Spark-side contract
+(row expansion, Arrow batching, array<double> interop with the
+similarity operators) are real."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from capital.io import load_table
+from capital.llm.multimodal import (
+    byte_histogram_features,
+    sample_frames,
+    text_as_assets,
+)
+from capital.llm.similarity import cosine_topk
+
+_N_FRAMES = 4
+_BINS = 16
+
+
+def _frames(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 40
+    )
+    return docs, sample_frames(text_as_assets(docs), n_frames=_N_FRAMES)
+
+
+def test_frame_sampling_expands_rows_deterministically(spark, sf_dir):
+    docs, frames = _frames(spark, sf_dir)
+    n_docs = docs.count()
+    assert frames.count() == n_docs * _N_FRAMES
+    per_asset = frames.groupBy("asset_id").agg(
+        F.countDistinct("frame_idx").alias("n")
+    )
+    assert all(r.n == _N_FRAMES for r in per_asset.collect())
+    # Determinism: two runs produce identical frame bytes.
+    a = sorted((r.asset_id, r.frame_idx, bytes(r.frame_bytes))
+               for r in frames.collect())
+    _, frames2 = _frames(spark, sf_dir)
+    b = sorted((r.asset_id, r.frame_idx, bytes(r.frame_bytes))
+               for r in frames2.collect())
+    assert a == b
+
+
+def test_features_are_unit_norm_histograms(spark, sf_dir):
+    _, frames = _frames(spark, sf_dir)
+    feats = byte_histogram_features(frames, bins=_BINS)
+    rows = feats.collect()
+    assert rows
+    for r in rows:
+        assert len(r.features) == _BINS
+        norm = math.sqrt(sum(x * x for x in r.features))
+        assert math.isclose(norm, 1.0, abs_tol=1e-9) or norm == 0.0
+
+
+def test_features_feed_ann_search(spark, sf_dir):
+    # The multimodal features must plug straight into the ANN surface:
+    # frame 0 of each asset becomes its "embedding"; nearest-neighbor
+    # search runs unchanged.
+    _, frames = _frames(spark, sf_dir)
+    emb = (
+        byte_histogram_features(frames, bins=_BINS)
+        .filter(F.col("frame_idx") == 0)
+        .select(
+            F.col("asset_id").alias("vec_id"),
+            F.col("features").alias("embedding"),
+        )
+    )
+    queries = emb.filter(F.col("vec_id") < 3)
+    topk = cosine_topk(emb, queries, k=3)
+    got = {(r.query_id, r.rank) for r in topk.collect()}
+    assert len(got) == 3 * 3
+    assert all(-1.0 <= r.cosine_sim <= 1.0 for r in topk.collect())
