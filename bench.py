@@ -46,6 +46,9 @@ def headline_names(all_names) -> list[str]:
         "text_quality_score",
         "text_repetition",
         "text_char_entropy",
+        "text_bpe_token_count",
+        "sim_cosine_topk_arrow",
+        "sk_hll_rollup_distinct",
     ]
     return [n for n in preferred if n in all_names] or sorted(all_names)[:8]
 
