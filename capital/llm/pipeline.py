@@ -1,0 +1,107 @@
+"""The end-to-end training-corpus cleaning pipeline — every LLM-data
+operator composed into the shape it exists for:
+
+    raw docs → quality gate → repetition gate → PII scrub
+             → near-dup cluster dedup (MinHash→LSH→verify→components)
+             → clean corpus + funnel stats
+
+Each stage is one of the engine's tested operators; this module only
+composes them, so the pipeline inherits their scale posture: the gates
+and scrub are narrow projections fused into the scan, and the dedup
+stages shuffle the blocked pair space, never O(n²). The DuckDB oracle
+for the composed pipeline is built from the same SQL fragments as the
+per-operator oracles (capital/queries/llm_queries.py), so the whole
+funnel is hash-checked end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from capital.llm.clusters import component_summary, connected_components
+from capital.llm.dedup import verified_neardup_pairs
+from capital.llm.text import (
+    with_pii_scrub,
+    with_quality_score,
+    with_repetition,
+)
+
+#: Default gates — chosen so each stage visibly drops documents on the
+#: driver corpus while keeping the pipeline meaningful at any scale.
+QUALITY_MIN = 0.5
+DUP_BIGRAM_MAX = 0.3
+
+
+def clean_corpus(
+    docs: DataFrame,
+    quality_min: float = QUALITY_MIN,
+    dup_bigram_max: float = DUP_BIGRAM_MAX,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Run the full cleaning funnel; returns one row per *surviving*
+    document: ``doc_id, n_tokens, quality_score, scrubbed_md5``.
+
+    Near-dup clustering runs on the gate-surviving corpus (cheaper,
+    and dropping a low-quality doc must not change which of its
+    duplicates survives — the canonical member is chosen among kept
+    docs only).
+    """
+    scored = with_repetition(with_quality_score(docs))
+    kept = scored.filter(
+        (F.col("quality_score") >= quality_min)
+        & (F.col("dup_bigram_frac") <= dup_bigram_max)
+    )
+    # Both the pair graph and the final projection reuse `kept`.
+    kept = kept.persist()
+
+    pairs = verified_neardup_pairs(
+        kept,
+        num_hashes=num_hashes,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        threshold=jaccard_threshold,
+    )
+    comps = connected_components(pairs, kept.select("doc_id"))
+    keepers = component_summary(comps).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    return (
+        with_pii_scrub(kept)
+        .join(keepers, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "quality_score",
+            F.md5("scrubbed_text").alias("scrubbed_md5"),
+        )
+    )
+
+
+def funnel_stats(
+    docs: DataFrame,
+    quality_min: float = QUALITY_MIN,
+    dup_bigram_max: float = DUP_BIGRAM_MAX,
+) -> DataFrame:
+    """One-row funnel: input docs → gate survivors → dedup survivors,
+    plus the surviving token budget. The number every corpus run is
+    reported by."""
+    survivors = clean_corpus(
+        docs, quality_min=quality_min, dup_bigram_max=dup_bigram_max
+    )
+    scored = with_repetition(with_quality_score(docs))
+    # Three single-row aggregates cross-joined: one distributed plan,
+    # nothing collected to the driver.
+    n_input = docs.agg(F.count(F.lit(1)).alias("n_input"))
+    n_gates = scored.filter(
+        (F.col("quality_score") >= quality_min)
+        & (F.col("dup_bigram_frac") <= dup_bigram_max)
+    ).agg(F.count(F.lit(1)).alias("n_after_gates"))
+    n_surv = survivors.agg(
+        F.count(F.lit(1)).alias("n_survivors"),
+        F.sum("n_tokens").cast("long").alias("tokens_kept"),
+    )
+    return n_input.crossJoin(n_gates).crossJoin(n_surv)

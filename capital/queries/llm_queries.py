@@ -255,7 +255,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MH_HASHES, _MH_BANDS, _MH_ROWS = 16, 4, 4
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(table: str = "documents") -> str:
     band_key = " || '|' || ".join(
         f"sig[bi * {_MH_ROWS} + {r} + 1]" for r in range(_MH_ROWS)
     )
@@ -264,7 +264,7 @@ def _minhash_oracle() -> str:
       SELECT doc_id,
              list_distinct([array_to_string(t[i:i+2], ' ')
                             FOR i IN range(1, greatest(len(t) - 2, 1) + 1)]) AS s
-      FROM (SELECT doc_id, {_NTOKS} AS t FROM documents)),
+      FROM (SELECT doc_id, {_NTOKS} AS t FROM {table})),
     sig AS (
       SELECT doc_id,
              [list_sort([md5(CAST(h AS VARCHAR) || '|' || x) FOR x IN s])[1]
@@ -369,10 +369,10 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _verified_neardup_oracle() -> str:
+def _verified_neardup_oracle(table: str = "documents") -> str:
     """LSH candidates → exact Jaccard, as one SQL pipeline (reuses the
     minhash CTE construction)."""
-    mh = _minhash_oracle()
+    mh = _minhash_oracle(table)
     # _minhash_oracle ends with the pair SELECT; wrap it as a CTE.
     return f"""
     WITH cand AS ({mh}),
@@ -380,7 +380,7 @@ def _verified_neardup_oracle() -> str:
       SELECT doc_id,
              list_distinct([array_to_string(t[i:i+2], ' ')
                             FOR i IN range(1, greatest(len(t) - 2, 1) + 1)]) AS s
-      FROM (SELECT doc_id, {_NTOKS} AS t FROM documents))
+      FROM (SELECT doc_id, {_NTOKS} AS t FROM {table}))
     SELECT * FROM (
       SELECT c.id_a, c.id_b,
              round(len(list_intersect(a.s, b.s))
@@ -440,15 +440,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(d, shingle_k=3, threshold=_JACCARD_THRESHOLD)
 
 
-def _clusters_oracle() -> str:
+def _clusters_oracle(table: str = "documents") -> str:
     """Transitive closure of the verified near-dup pairs as a recursive
     CTE: label(v) = min doc_id reachable from v = component id."""
     return f"""
-    WITH RECURSIVE pairs AS ({_verified_neardup_oracle()}),
+    WITH RECURSIVE pairs AS ({_verified_neardup_oracle(table)}),
     edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
               UNION SELECT id_b AS src, id_a AS dst FROM pairs),
     reach(id, label) AS (
-        SELECT doc_id, doc_id FROM documents
+        SELECT doc_id, doc_id FROM {table}
         UNION
         SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
     )
@@ -776,3 +776,78 @@ def sim_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < _N_QUERIES)
     return cosine_topk_arrow(emb, queries_df, k=_TOPK)
+
+
+# --- end-to-end corpus-cleaning pipeline --------------------------------
+
+
+def _pipeline_ctes() -> str:
+    """Shared CTE prefix for the pipeline oracles, composed from the
+    same registered fragments as the per-operator oracles (gates from
+    the quality/repetition oracles, clusters over the kept corpus)."""
+    from capital.llm.pipeline import DUP_BIGRAM_MAX, QUALITY_MIN
+    from capital.queries.registry import registered_oracles
+
+    oracles = registered_oracles()
+    q_sql = oracles["text_quality_score"]
+    r_sql = oracles["text_repetition"]
+    return f"""
+    kept AS (
+      SELECT d.doc_id, d.text, q.n_tokens, q.quality_score
+      FROM documents d
+      JOIN ({q_sql}) q USING (doc_id)
+      JOIN ({r_sql}) r USING (doc_id)
+      WHERE q.quality_score >= {QUALITY_MIN}
+        AND r.dup_bigram_frac <= {DUP_BIGRAM_MAX}),
+    comp AS ({_clusters_oracle("kept")}),
+    keepers AS (SELECT MIN(doc_id) AS doc_id FROM comp
+                GROUP BY component_id)
+    """
+
+
+def _pipe_corpus_oracle() -> str:
+    from capital.llm.text import EMAIL_RE, URL_RE
+
+    scrub = (
+        f"regexp_replace(regexp_replace(k.text, '{EMAIL_RE}', '<EMAIL>', 'g'),"
+        f" '{URL_RE}', '<URL>', 'g')"
+    )
+    return f"""
+    WITH {_pipeline_ctes()}
+    SELECT k.doc_id, k.n_tokens, k.quality_score,
+           md5({scrub}) AS scrubbed_md5
+    FROM kept k JOIN keepers USING (doc_id)
+    """
+
+
+@query("pipe_clean_corpus", oracle=_pipe_corpus_oracle())
+def pipe_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-corpus cleaning funnel as one composed query:
+    quality gate → repetition gate → PII scrub → near-dup cluster
+    dedup → surviving documents. Every stage is an engine operator;
+    the oracle is composed from the same SQL fragments as the
+    per-operator oracles, so the whole funnel is hash-checked."""
+    from capital.llm.pipeline import clean_corpus
+
+    d = load_table(spark, sf_dir, "documents")
+    return clean_corpus(d)
+
+
+@query(
+    "pipe_funnel_stats",
+    oracle=f"""
+    WITH {{ctes}}
+    SELECT (SELECT COUNT(*) FROM documents) AS n_input,
+           (SELECT COUNT(*) FROM kept) AS n_after_gates,
+           (SELECT COUNT(*) FROM keepers) AS n_survivors,
+           (SELECT CAST(SUM(n_tokens) AS BIGINT)
+            FROM kept JOIN keepers USING (doc_id)) AS tokens_kept
+    """.replace("{ctes}", _pipeline_ctes()),
+)
+def pipe_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row pipeline funnel: input → gate survivors → dedup
+    survivors → surviving token budget (the corpus-run report card)."""
+    from capital.llm.pipeline import funnel_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return funnel_stats(d)
