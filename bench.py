@@ -49,6 +49,8 @@ def headline_names(all_names) -> list[str]:
         "text_bpe_token_count",
         "sim_cosine_topk_arrow",
         "sk_hll_rollup_distinct",
+        "asm_contamination",
+        "asm_pack_chunks",
     ]
     return [n for n in preferred if n in all_names] or sorted(all_names)[:8]
 

@@ -1,0 +1,242 @@
+"""Corpus-assembly operators: the stage after cleaning, where a
+training corpus is mixed, split, packed, decontaminated, and sharded
+for the trainer.
+
+Reference analogy: the reference assembles per-source daily partitions
+into warehouse tables on a schedule (`dags/common/constants.py:23-33`
+layer/partition conventions); these operators are the same assembly
+step for an LLM corpus at 100 TB.
+
+Determinism discipline: every sampling/ordering decision derives from
+:func:`hash_fraction` — an md5-based uniform, not ``rand()`` — so runs
+are reproducible across engines, retries, and cluster sizes, and every
+operator is DuckDB-oracle-checkable. At scale this matters more than in
+tests: a resampled retry that disagrees with the first run poisons
+incremental downstream state.
+
+Scale posture per operator is documented on the function; none of them
+collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from capital.llm.text import normalized, tokens
+
+#: 2^32 — the hash-fraction denominator.
+_HASH_SPACE = 4294967296.0
+
+
+def hash_fraction(key: Column, seed: str) -> Column:
+    """Deterministic uniform in [0, 1) from md5(seed:key).
+
+    The first 8 hex chars of the digest, read as an unsigned 32-bit
+    int, divided by 2^32 — exactly representable in a double, so Spark
+    and any SQL engine compute the identical value (DuckDB twin:
+    ``('0x' || substr(md5(k),1,8))::UBIGINT / 4294967296.0``).
+    """
+    h = F.md5(F.concat(F.lit(f"{seed}:"), key.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") / F.lit(
+        _HASH_SPACE
+    )
+
+
+def hash_bucket(key: Column, seed: str, n: int) -> Column:
+    """Deterministic bucket in [0, n) from the same md5 construction."""
+    h = F.md5(F.concat(F.lit(f"{seed}:"), key.cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n).alias(
+        "bucket"
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    """Per-source weighted sampling — the corpus-mixing primitive
+    (upsample/downsample sources to a target mixture, à la the
+    Pile/C4-style mixture tables).
+
+    Keeps a row iff ``hash_fraction(id) < rates[source]``; sources
+    missing from ``rates`` are dropped (rate 0). Narrow map + filter
+    fused into the scan: no shuffle, no RNG state, any executor count.
+    """
+    rate_map = F.create_map(
+        *[F.lit(x) for kv in sorted(rates.items()) for x in kv]
+    )
+    rate = F.coalesce(rate_map[F.col(source_col)], F.lit(0.0))
+    u = hash_fraction(F.col(id_col), seed)
+    return df.withColumn("sample_u", F.round(u, 6)).filter(u < rate)
+
+
+def split_assign(
+    df: DataFrame,
+    val_frac: float = 0.1,
+    test_frac: float = 0.1,
+    id_col: str = "doc_id",
+    seed: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by hash threshold.
+
+    A document's split never changes when the corpus grows (membership
+    depends only on its own id) — the property that keeps eval sets
+    stable across corpus versions. Narrow projection, no shuffle.
+    """
+    u = hash_fraction(F.col(id_col), seed)
+    split = (
+        F.when(u < F.lit(test_frac), F.lit("test"))
+        .when(u < F.lit(test_frac + val_frac), F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("split", split)
+
+
+def pack_chunks(
+    df: DataFrame,
+    budget: int,
+    cost_col: str = "n_chars",
+    partition_col: str = "source",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Sequence packing by stream chunking: documents are concatenated
+    in deterministic order within each partition and cut into
+    fixed-budget chunks; a document belongs to the chunk where it
+    starts (exclusive running cost ``div`` budget) — how pretraining
+    token streams are actually packed.
+
+    Scale: one window per ``partition_col`` value — sorts are local to
+    each source partition and run in parallel; there is no global sort.
+    At 100 TB, pre-bucket the corpus by (source, shard) so each window
+    is one in-memory partition. Costs are integers, so the running sum
+    is exact and oracle-replicable.
+    """
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.coalesce(F.sum(cost_col).over(w), F.lit(0))
+    return df.withColumn("chunk_id", F.floor(prior / F.lit(budget)))
+
+
+def pack_chunk_stats(
+    df: DataFrame,
+    budget: int,
+    cost_col: str = "n_chars",
+    partition_col: str = "source",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Per-chunk packing report: documents per chunk and filled cost."""
+    packed = pack_chunks(df, budget, cost_col, partition_col, order_col)
+    return packed.groupBy(partition_col, "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(cost_col).alias("chunk_cost"),
+    )
+
+
+def shingle_set(text_col: Column, k: int = 5) -> Column:
+    """Distinct k-token shingles of the normalized text (the
+    contamination / fingerprint unit)."""
+    toks = tokens(normalized(text_col))
+    n = F.size(toks)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
+
+
+def contamination(
+    train: DataFrame,
+    benchmark: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: training documents sharing at least
+    one k-token shingle with any benchmark document, with the shared
+    count — the n-gram-overlap check run before every serious
+    pretraining run (per GPT-3 appx C / PaLM-style decontamination).
+
+    Shape: explode distinct shingles on both sides; the benchmark side
+    (eval suites — thousands of docs) deduplicates to a small set and
+    **broadcasts**, so the 100 TB training side is a map-side semi-join
+    with no shuffle of the big relation; the only shuffle is the final
+    per-doc count aggregation (partial-agg combined).
+    """
+    from capital.io import parallelize_narrow
+
+    t_sh = parallelize_narrow(train).select(
+        F.col(id_col), F.explode(shingle_set(F.col(text_col), k)).alias("g")
+    )
+    b_sh = (
+        benchmark.select(
+            F.explode(shingle_set(F.col(text_col), k)).alias("g")
+        )
+        .distinct()
+    )
+    return (
+        t_sh.join(F.broadcast(b_sh), "g")
+        .groupBy(id_col)
+        .agg(F.count_distinct("g").alias("n_shared"))
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The clean corpus: training docs with zero benchmark overlap."""
+    hits = contamination(train, benchmark, k, id_col, text_col)
+    return train.join(hits.select(id_col), id_col, "left_anti")
+
+
+def with_shard(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: str = "shard",
+) -> DataFrame:
+    """Deterministic shard id + within-shard shuffle key.
+
+    ``shard_id`` = md5 bucket (uniform, reproducible); ``shuffle_key``
+    = the full digest, giving a deterministic *global* shuffle of
+    training order without a global sort: ordering by (shard_id,
+    shuffle_key) is a per-shard local sort after a hash exchange.
+    """
+    key = F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+    return df.withColumn(
+        "shard_id", hash_bucket(F.col(id_col), seed, n_shards)
+    ).withColumn("shuffle_key", F.md5(key))
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: str = "shard",
+) -> None:
+    """Sharded, shuffled corpus export: ``shard_id=N`` parquet
+    directories, rows within each shard in shuffle-key order — the
+    layout a data loader streams sequentially. One hash exchange on
+    shard_id, local sorts only.
+    """
+    sharded = with_shard(df, n_shards, id_col, seed)
+    (
+        sharded.repartition(n_shards, "shard_id")
+        .sortWithinPartitions("shard_id", "shuffle_key")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(path)
+    )

@@ -24,6 +24,7 @@ _MODULES = [
     "capital.queries.calendar_queries",
     "capital.queries.functions_queries",
     "capital.queries.llm_queries",
+    "capital.queries.assemble_queries",
     "capital.queries.streaming_queries",
     "capital.queries.extras",
 ]

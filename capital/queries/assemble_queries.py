@@ -1,0 +1,194 @@
+"""Corpus-assembly queries (mixing / splitting / packing /
+decontamination / sharding) over the ``documents`` table.
+
+Oracle strategy: every operator's randomness is the md5 hash-fraction
+(``capital.llm.assemble.hash_fraction``), replicated in DuckDB as
+``('0x' || substr(md5(k),1,8))::UBIGINT / 2^32`` — bit-identical
+doubles — and every oracle is *generated from the same constants*
+(mixture table, split fractions, budgets) as the Spark code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from capital.io import load_table
+from capital.llm.assemble import (
+    contamination,
+    mixture_sample,
+    pack_chunk_stats,
+    split_assign,
+    with_shard,
+)
+from capital.queries.registry import query
+
+# --- shared SQL fragments ------------------------------------------------
+
+
+def _u_sql(seed: str, key: str = "doc_id") -> str:
+    """DuckDB twin of assemble.hash_fraction."""
+    return (
+        f"('0x' || substr(md5('{seed}:' || CAST({key} AS VARCHAR)), 1, 8))"
+        f"::UBIGINT / 4294967296.0"
+    )
+
+
+def _bucket_sql(seed: str, n: int, key: str = "doc_id") -> str:
+    """DuckDB twin of assemble.hash_bucket."""
+    return (
+        f"CAST(('0x' || substr(md5('{seed}:' || CAST({key} AS VARCHAR)), 1, 8))"
+        f"::UBIGINT % {n} AS BIGINT)"
+    )
+
+
+#: Per-source mixture rates (the corpus-mixing table). Generated, not
+#: hand-written, so engine and oracle share one source of truth.
+MIX_RATES: dict[str, float] = {
+    f"src{i}": round(0.05 + 0.045 * i, 3) for i in range(20)
+}
+_MIX_SEED = "mix1"
+
+_VAL_FRAC, _TEST_FRAC = 0.1, 0.1
+_SPLIT_SEED = "split1"
+
+_PACK_BUDGET = 4000  # chars per packed chunk
+
+_DECON_K = 5  # shingle width
+_DECON_MOD = 97  # doc_id % MOD == 0 → benchmark ("eval") doc
+
+_N_SHARDS = 8
+_SHARD_SEED = "shard1"
+
+
+def _mix_case() -> str:
+    whens = "\n             ".join(
+        f"WHEN '{s}' THEN {r}" for s, r in sorted(MIX_RATES.items())
+    )
+    return f"CASE source\n             {whens}\n             ELSE 0.0 END"
+
+
+@query(
+    "asm_mixture_sample",
+    oracle=f"""
+    SELECT doc_id, source, round({_u_sql(_MIX_SEED)}, 6) AS sample_u
+    FROM documents
+    WHERE {_u_sql(_MIX_SEED)} < {_mix_case()}
+    """,
+)
+def asm_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source weighted corpus mixing via deterministic hash
+    sampling — reproducible across runs and cluster sizes, unlike
+    ``rand()``-based sampleBy."""
+    d = load_table(spark, sf_dir, "documents")
+    return mixture_sample(d, MIX_RATES, seed=_MIX_SEED).select(
+        "doc_id", "source", "sample_u"
+    )
+
+
+@query(
+    "asm_split_assign",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN {_u_sql(_SPLIT_SEED)} < {_TEST_FRAC} THEN 'test'
+                WHEN {_u_sql(_SPLIT_SEED)} < {_TEST_FRAC + _VAL_FRAC}
+                  THEN 'val'
+                ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def asm_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-threshold train/val/test split: a doc's split is a pure
+    function of its id, so eval membership survives corpus growth."""
+    d = load_table(spark, sf_dir, "documents")
+    return split_assign(
+        d, val_frac=_VAL_FRAC, test_frac=_TEST_FRAC, seed=_SPLIT_SEED
+    ).select("doc_id", "split")
+
+
+@query(
+    "asm_pack_chunks",
+    oracle=f"""
+    WITH c AS (
+      SELECT source, doc_id, n_chars,
+             COALESCE(SUM(n_chars) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prior
+      FROM documents)
+    SELECT source, CAST(prior // {_PACK_BUDGET} AS BIGINT) AS chunk_id,
+           COUNT(*) AS n_docs, SUM(n_chars) AS chunk_cost
+    FROM c
+    GROUP BY source, chunk_id
+    """,
+)
+def asm_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing by stream chunking: per-source deterministic
+    concatenation order, cut at a fixed cost budget; reports docs and
+    filled cost per chunk. Windows are per-source — parallel, no
+    global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    return pack_chunk_stats(d, budget=_PACK_BUDGET)
+
+
+@query(
+    "asm_contamination",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id,
+             string_split_regex(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+               '\\s+') AS t
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+{_DECON_K - 1}], ' ')
+                            FOR i IN range(1,
+                              greatest(len(t) - {_DECON_K - 1}, 1) + 1)])
+               AS s
+      FROM norm),
+    bench AS (
+      SELECT DISTINCT unnest(s) AS g FROM sh
+      WHERE doc_id % {_DECON_MOD} = 0),
+    train AS (
+      SELECT doc_id, unnest(s) AS g FROM sh
+      WHERE doc_id % {_DECON_MOD} <> 0)
+    SELECT doc_id, COUNT(DISTINCT train.g) AS n_shared
+    FROM train JOIN bench USING (g)
+    GROUP BY doc_id
+    """,
+)
+def asm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination check: training docs sharing a
+    5-token shingle with the (broadcast) benchmark set, with shared
+    counts — the pre-training n-gram overlap scan."""
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % _DECON_MOD == 0)
+    train = d.filter(F.col("doc_id") % _DECON_MOD != 0)
+    return contamination(train, bench, k=_DECON_K)
+
+
+@query(
+    "asm_shard_sizes",
+    oracle=f"""
+    SELECT {_bucket_sql(_SHARD_SEED, _N_SHARDS)} AS shard_id,
+           COUNT(*) AS n_docs,
+           MIN(md5('{_SHARD_SEED}:' || CAST(doc_id AS VARCHAR)))
+             AS first_shuffle_key
+    FROM documents
+    GROUP BY shard_id
+    """,
+)
+def asm_shard_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard assignment + global shuffle order: shard
+    populations and each shard's first shuffle key (the order a data
+    loader would stream). One hash exchange; local sorts only."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        with_shard(d, _N_SHARDS, seed=_SHARD_SEED)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("shuffle_key").alias("first_shuffle_key"),
+        )
+    )

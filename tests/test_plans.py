@@ -124,3 +124,20 @@ def test_q22_anti_join_not_nested_loop(spark, sf_dir):
     plan = plan_of(_QUERIES["q22_global_sales_opportunity"](spark, sf_dir))
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_contamination_broadcasts_benchmark_side(spark, sf_dir):
+    """The 100 TB training side must never shuffle for the shingle
+    join: the benchmark shingle set broadcasts, and the split filter
+    pushes to the scan."""
+    plan = plan_of(_QUERIES["asm_contamination"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_assembly_ops_are_narrow_scans(spark, sf_dir):
+    """Mixing and splitting are pure per-row maps: no Exchange may
+    appear in their plans (any shuffle at 100 TB would be a bug)."""
+    for name in ("asm_mixture_sample", "asm_split_assign"):
+        plan = plan_of(_QUERIES[name](spark, sf_dir))
+        assert "Exchange" not in plan, name
