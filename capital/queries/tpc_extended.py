@@ -1,4 +1,5 @@
-"""Extended TPC-H-shaped relational pack (Q7/Q8/Q14/Q18/Q19/Q22).
+"""Extended TPC-H-shaped relational pack
+(Q7/Q8/Q12/Q13/Q14/Q15/Q17/Q18/Q19/Q21/Q22).
 
 Widens the engine's multi-join/analytic surface beyond the flagship
 pack in :mod:`capital.queries.pricing`. Shapes are adapted to the
@@ -375,4 +376,255 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             decimal_sum(F.col("c_acctbal"), "totacctbal"),
         )
+    )
+
+
+@query(
+    "q12_priority_lines",
+    oracle="""
+    SELECT l_linestatus,
+           COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS high_line_count,
+           COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate
+      AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                         AND TIMESTAMP '1996-12-31 00:00:00'
+    GROUP BY l_linestatus
+    """,
+)
+def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: late-shipment lines split by order priority
+    (adapted: ``l_linestatus`` stands in for the missing
+    ``l_shipmode``; "late" = shipped after the order date).
+
+    Scale: the one fact-fact shuffle on orderkey; the year predicate
+    pushes to the lineitem scan; conditional counts are map-side
+    partials — the exchange carries two longs per linestatus.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01 00:00:00").cast("timestamp"),
+            F.lit("1996-12-31 00:00:00").cast("timestamp"),
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    WITH c_orders AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+                      AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey)
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of order counts per customer, inactive
+    customers included (adapted: the priority filter stands in for the
+    missing ``o_comment`` anti-pattern match — the point is the
+    filter-inside-outer-join semantics, which must not drop
+    order-less customers).
+
+    Scale: one shuffle on custkey for the outer join + count, then a
+    tiny re-aggregation on c_count (at most #distinct counts rows).
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = (
+        cust.join(
+            orders, F.col("c_custkey") == F.col("o_custkey"), "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {ora_sum(_REVENUE, "total_revenue")}
+      FROM lineitem
+      WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                           AND TIMESTAMP '1996-03-31 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier
+    JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the supplier(s) with maximum quarterly revenue —
+    the materialized-view + scalar-subquery shape.
+
+    Scale: one shuffle to aggregate revenue per supplier (map-side
+    partials over the date-pruned scan); the max is a one-row
+    broadcast; equality on decimal-summed revenue is exact, so the
+    tie semantics match the oracle bit-for-bit.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01 00:00:00").cast("timestamp"),
+            F.lit("1996-03-31 00:00:00").cast("timestamp"),
+        )
+    )
+    revenue = li.groupBy(
+        F.col("l_suppkey").alias("supplier_no")
+    ).agg(decimal_sum(_rev(), "total_revenue"))
+    top = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(
+            F.broadcast(supp),
+            F.col("supplier_no") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+             / 7.0 AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#21' AND p_type = 'SMALL'
+      AND l_quantity < (
+        SELECT 0.2 * CAST(AVG(CAST(l_quantity AS DECIMAL(28,6)))
+                          AS DOUBLE)
+        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue lost to small-quantity orders for one
+    brand/type bucket (adapted: ``p_type`` stands in for the missing
+    ``p_container``) — the correlated-average-subquery shape.
+
+    Scale: the brand/type filter prunes part to a small key set that
+    **broadcasts**; per-part averages aggregate only the surviving
+    lineitems (map-side partials on partkey), then rejoin broadcast.
+    The full lineitem table is scanned once and never shuffled.
+    """
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#21") & (F.col("p_type") == "SMALL")
+    )
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    avg_qty = li.groupBy("l_partkey").agg(
+        (
+            F.avg(F.col("l_quantity").cast("decimal(28,6)"))
+            .cast("double")
+            * F.lit(0.2)
+        ).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(avg_qty), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(28,6)"))
+                .cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "q21_returns_sole_blame",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    """,
+)
+def q21_returns_sole_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers solely responsible for returns on
+    finished multi-supplier orders (adapted: ``l_returnflag = 'R'``
+    stands in for the missing receipt/commit lateness columns) — the
+    EXISTS + NOT-EXISTS double-correlation shape.
+
+    Scale: both correlations decorrelate to semi/anti joins keyed on
+    orderkey — the same key as the orders join, so AQE can reuse one
+    exchange; supplier broadcasts. No per-row subquery execution
+    survives in the physical plan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_ok"), F.col("l_suppkey").alias("l2_sk")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("l3_ok"), F.col("l_suppkey").alias("l3_sk")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    cand = l1.join(
+        orders, F.col("l1.l_orderkey") == F.col("o_orderkey")
+    )
+    cand = cand.join(
+        l2,
+        (F.col("l2_ok") == F.col("l1.l_orderkey"))
+        & (F.col("l2_sk") != F.col("l1.l_suppkey")),
+        "left_semi",
+    )
+    cand = cand.join(
+        l3,
+        (F.col("l3_ok") == F.col("l1.l_orderkey"))
+        & (F.col("l3_sk") != F.col("l1.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        cand.join(
+            F.broadcast(supp),
+            F.col("l1.l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
     )
