@@ -141,3 +141,16 @@ def test_assembly_ops_are_narrow_scans(spark, sf_dir):
     for name in ("asm_mixture_sample", "asm_split_assign"):
         plan = plan_of(_QUERIES[name](spark, sf_dir))
         assert "Exchange" not in plan, name
+
+
+def test_new_tpc_shapes_join_strategy(spark, sf_dir):
+    """Q17's part set and Q21's supplier dim must broadcast; Q21's
+    EXISTS/NOT-EXISTS must decorrelate to semi/anti hash joins, never
+    a nested loop over lineitem."""
+    plan = plan_of(_QUERIES["q17_small_quantity_revenue"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    plan = plan_of(_QUERIES["q21_returns_sole_blame"](spark, sf_dir))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
