@@ -122,7 +122,14 @@ def pack_chunks(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     prior = F.coalesce(F.sum(cost_col).over(w), F.lit(0))
-    return df.withColumn("chunk_id", F.floor(prior / F.lit(budget)))
+    # Long `div` long, not floor(double division): the running cost can
+    # exceed 2^53 per partition at scale, where double division loses
+    # exactness and diverges from the oracle's integer `//`.
+    return (
+        df.withColumn("__prior", prior.cast("long"))
+        .withColumn("chunk_id", F.expr(f"__prior div {int(budget)}"))
+        .drop("__prior")
+    )
 
 
 def pack_chunk_stats(

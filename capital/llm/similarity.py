@@ -256,6 +256,10 @@ def cosine_topk_arrow(
         qn[qn == 0] = 1.0
         qids = np.asarray(q_ids, dtype=np.int64)
         for pdf in batches:
+            if not len(pdf):
+                # An empty Arrow batch would make cm shape (0,) and the
+                # matmul raise; yield nothing instead.
+                continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             cm = np.asarray(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]

@@ -55,17 +55,46 @@ def point_in_interval_join(
     (measured 5× at sf0.1). With two large sides, keep the shuffle and
     let AQE's skew-join splitting handle hot buckets.
     """
-    width = F.lit(bucket_days * _DAY)
-    p_bucket = F.floor(F.unix_timestamp(F.col(point_col)) / width)
-    i_first = F.floor(F.unix_timestamp(F.col(start_col)) / width)
-    # Half-open interval: the end instant itself never matches, so the
-    # last bucket that can contain a match is floor((end - 1s) / W).
-    i_last = F.floor((F.unix_timestamp(F.col(end_col)) - 1) / width)
+    # Buckets are computed from microsecond epochs (full timestamp
+    # precision): with second-truncated epochs, an `end` with
+    # fractional seconds landing exactly on a bucket boundary would
+    # under-replicate the interval and silently drop matches in the
+    # final bucket. Long arithmetic throughout — `div` on an exact
+    # multiple, never floor(double /), which drifts past 2^53 µs.
+    wus = bucket_days * _DAY * 1_000_000
 
-    bucketed_points = points.withColumn("__bucket", p_bucket)
-    bucketed_intervals = intervals.withColumn(
-        "__bucket",
-        F.explode(F.sequence(i_first, F.greatest(i_last, i_first))),
+    def floor_div(name: str):
+        m = f"((({name} % {wus}) + {wus}) % {wus})"
+        return F.expr(f"({name} - {m}) div {wus}")
+
+    def micros(col: str):
+        # unix_micros wants TIMESTAMP; DATE / TIMESTAMP_NTZ inputs go
+        # through a cast (session tz is pinned UTC by tune_existing —
+        # and the bucket key only needs a *consistent* epoch mapping
+        # across both sides, the residual filter is exact).
+        return F.unix_micros(F.col(col).cast("timestamp"))
+
+    bucketed_points = (
+        points.withColumn("__ep", micros(point_col))
+        .withColumn("__bucket", floor_div("__ep"))
+        .drop("__ep")
+    )
+    # Half-open interval: the end instant itself never matches, so the
+    # last bucket that can contain a match is floor((end_µs - 1) / W).
+    bucketed_intervals = (
+        intervals.withColumn("__s", micros(start_col))
+        .withColumn("__e", micros(end_col) - F.lit(1))
+        .withColumn("__b0", floor_div("__s"))
+        .withColumn("__b1", floor_div("__e"))
+        .withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.col("__b0"), F.greatest(F.col("__b1"), F.col("__b0"))
+                )
+            ),
+        )
+        .drop("__s", "__e", "__b0", "__b1")
     )
     if broadcast_intervals:
         bucketed_intervals = F.broadcast(bucketed_intervals)

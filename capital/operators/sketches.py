@@ -132,3 +132,101 @@ def rollup_quantiles(
         for q in quantiles
     ]
     return merged.select(*group_cols, *cols)
+
+
+# HLL relative standard deviation at lgK: 1.04 / sqrt(2^lgK); the
+# bound-check queries use 3 sigma (≈4.9 % at the default lgK=12).
+def hll_rel_bound(lg_k: int = 12, sigmas: float = 3.0) -> float:
+    return sigmas * 1.04 / (2.0 ** (lg_k / 2.0))
+
+
+#: KLL normalized rank error at k=200 is ~1.65 % (99 % confidence);
+#: 0.05 is a 3x band.
+KLL_RANK_TOL = 0.05
+
+
+def distinct_rollup_checked(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    group_cols: tuple[str, ...] = ("event_type",),
+    lg_k: int = 12,
+) -> DataFrame:
+    """HLL rollup emitted in oracle-checkable form.
+
+    The sketch estimate itself is engine-specific, but the *claim* the
+    sketch makes — "within the documented HLL error bound of the exact
+    distinct count" — is checkable: emit the exact count plus a
+    ``within_bound`` boolean, and let the oracle compute the exact side
+    and assert TRUE. A sketch regression (wrong merge, wrong lgK,
+    corrupted blob) flips the boolean and fails the hash compare.
+    Sketches are deterministic per input multiset, so this is not
+    flaky. The exact twin costs a second fact scan — acceptable for a
+    correctness gate; production reads only the rollup.
+    """
+    est = rollup_distinct(
+        daily_distinct_sketches(events, key_col, ts_col, group_cols, lg_k),
+        group_cols,
+    )
+    exact = events.groupBy(*group_cols).agg(
+        F.count_distinct(F.col(key_col)).alias("exact_distinct")
+    )
+    bound = hll_rel_bound(lg_k)
+    return (
+        est.join(exact, list(group_cols))
+        .select(
+            *group_cols,
+            "exact_distinct",
+            "n_rows",
+            (
+                F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+                <= F.lit(bound) * F.col("exact_distinct")
+            ).alias("within_bound"),
+        )
+    )
+
+
+def quantile_rollup_checked(
+    events: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    group_cols: tuple[str, ...] = ("event_type",),
+    k: int = 200,
+    rank_tol: float = KLL_RANK_TOL,
+) -> DataFrame:
+    """KLL rollup in oracle-checkable form: exact p50/p95 values (same
+    ``percentile`` == ``quantile_cont`` parity as a9) plus booleans
+    asserting the merged sketch's quantile estimates sit within the
+    documented normalized-rank band. rank(q̂) is measured exactly as
+    the ≤-fraction per group; counts divide exactly below 2^53."""
+    est = rollup_quantiles(
+        daily_value_sketches(events, value_col, ts_col, group_cols, k),
+        (0.5, 0.95),
+        group_cols,
+    )
+    v = F.col(value_col)
+    nn = events.filter(v.isNotNull())
+    pair = F.expr(f"percentile({value_col}, array(0.5, 0.95))")
+    return (
+        nn.join(est, list(group_cols))
+        .groupBy(*group_cols)
+        .agg(
+            pair[0].alias("median_value"),
+            pair[1].alias("p95_value"),
+            (F.sum((v <= F.col("q50")).cast("long")) / F.count(F.lit(1)))
+            .alias("__r50"),
+            (F.sum((v <= F.col("q95")).cast("long")) / F.count(F.lit(1)))
+            .alias("__r95"),
+        )
+        .select(
+            *group_cols,
+            "median_value",
+            "p95_value",
+            (F.abs(F.col("__r50") - 0.5) <= rank_tol).alias(
+                "p50_within_bound"
+            ),
+            (F.abs(F.col("__r95") - 0.95) <= rank_tol).alias(
+                "p95_within_bound"
+            ),
+        )
+    )

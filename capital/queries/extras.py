@@ -107,14 +107,37 @@ def f16_sorted_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_parts")
+@query(
+    "approx_distinct_parts",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS within_bound
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct (engine surface, SURVEY.md
-    §2.4 note). No oracle: sketch estimates are engine-specific; the
-    exact twin is ``a7_distinct_agg``."""
+    §2.4 note), hash-checkable form: the estimate is engine-specific,
+    so emit the exact count plus ``within_bound`` asserting the HLL++
+    estimate is inside 3x the requested rsd (0.02 → 6 %); the oracle
+    computes the exact side and asserts TRUE. Exact twin
+    ``a7_distinct_agg``."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("__approx"),
+            F.count_distinct("l_partkey").alias("exact_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("__approx") - F.col("exact_parts"))
+                <= F.lit(0.06) * F.col("exact_parts")
+            ).alias("within_bound"),
+        )
     )
 
 

@@ -669,32 +669,54 @@ def a9_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sk_hll_rollup_distinct")
+@query(
+    "sk_hll_rollup_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_distinct,
+           COUNT(*) AS n_rows,
+           TRUE AS within_bound
+    FROM (SELECT event_type, user_id FROM events)
+    GROUP BY event_type
+    """,
+)
 def sk_hll_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-HLL rollup (operators/sketches.py): daily per-type
     sketches merged to global distinct-user estimates — the
     pre-aggregation that answers range-distinct queries without
-    rescanning facts. Rows-only: DataSketches blobs are not
-    DuckDB-replicable; error bounds + merge==direct invariants are
-    pinned in tests/test_sketches.py, exact twin a7_distinct_agg."""
-    from capital.operators.sketches import (
-        daily_distinct_sketches,
-        rollup_distinct,
-    )
+    rescanning facts. Hash-checkable form: the sketch blob itself is
+    engine-specific, so the query emits the exact count plus a
+    ``within_bound`` boolean asserting the estimate sits inside the
+    documented 3-sigma HLL band (≈4.9 % at lgK=12); the oracle
+    computes the exact side and asserts TRUE. Merge==direct invariants
+    stay pinned in tests/test_sketches.py; exact twin a7_distinct_agg."""
+    from capital.operators.sketches import distinct_rollup_checked
 
     ev = load_table(spark, sf_dir, "events")
-    return rollup_distinct(daily_distinct_sketches(ev))
+    return distinct_rollup_checked(ev)
 
 
-@query("sk_kll_quantiles")
+@query(
+    "sk_kll_quantiles",
+    oracle="""
+    SELECT event_type,
+           quantile_cont("value", 0.5) AS median_value,
+           quantile_cont("value", 0.95) AS p95_value,
+           TRUE AS p50_within_bound,
+           TRUE AS p95_within_bound
+    FROM events
+    WHERE "value" IS NOT NULL
+    GROUP BY event_type
+    """,
+)
 def sk_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KLL quantile-sketch rollup: daily value sketches merged, then
-    p50/p95 read from the merged sketch. Rows-only; rank-error bound
-    vs exact percentiles tested, exact twin a9_exact_quantiles."""
-    from capital.operators.sketches import (
-        daily_value_sketches,
-        rollup_quantiles,
-    )
+    """KLL quantile-sketch rollup: daily value sketches merged, p50/p95
+    read from the merged sketch. Hash-checkable form: emits exact
+    percentiles (``percentile`` == DuckDB ``quantile_cont``, as in a9)
+    plus booleans asserting the sketch estimates' measured exact rank
+    is within the documented KLL rank band (±5 % ≈ 3x the k=200
+    error); oracle asserts TRUE. Exact twin a9_exact_quantiles."""
+    from capital.operators.sketches import quantile_rollup_checked
 
     ev = load_table(spark, sf_dir, "events")
-    return rollup_quantiles(daily_value_sketches(ev))
+    return quantile_rollup_checked(ev)

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from capital.io import load_table
-from capital.queries.registry import decimal_sum, ora_sum, query
+from capital.queries.registry import decimal_avg, decimal_sum, ora_sum, query
 
 _REVENUE = "l_extendedprice * (1 - l_discount)"
 
@@ -335,7 +335,8 @@ _Q22_SEGMENTS = ("BUILDING", "MACHINERY", "AUTOMOBILE")
     FROM customer
     WHERE c_mktsegment IN {_Q22_SEGMENTS!r}
       AND c_acctbal > (
-        SELECT CAST(AVG(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(c_acctbal)
         FROM customer
         WHERE c_acctbal > 0.0 AND c_mktsegment IN {_Q22_SEGMENTS!r})
       AND NOT EXISTS (
@@ -354,13 +355,13 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment").isin(*_Q22_SEGMENTS)
     )
+    # decimal_avg discipline (exact decimal sum → double division), not
+    # F.avg(decimal): Spark's decimal AVG rounds HALF_UP at scale+4
+    # while DuckDB divides the exact sum as a double — boundary values
+    # of the strict `>` comparison could flip between engines.
     avg_bal = (
         cust.filter(F.col("c_acctbal") > 0.0)
-        .agg(
-            F.avg(F.col("c_acctbal").cast("decimal(28,6)"))
-            .cast("double")
-            .alias("avg_bal")
-        )
+        .agg(decimal_avg(F.col("c_acctbal"), "avg_bal"))
     )
     orders_keys = load_table(spark, sf_dir, "orders").select("o_custkey")
     return (
@@ -519,8 +520,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#21' AND p_type = 'SMALL'
       AND l_quantity < (
-        SELECT 0.2 * CAST(AVG(CAST(l_quantity AS DECIMAL(28,6)))
-                          AS DOUBLE)
+        SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(l_quantity) * 0.2
         FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
     """,
 )
@@ -540,10 +541,13 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").join(
         F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
     )
+    # Same decimal_avg discipline as q22: exact decimal sum, double
+    # division, then *0.2 — bit-identical to the oracle's expression
+    # order, so the strict `<` threshold cannot flip on boundaries.
     avg_qty = li.groupBy("l_partkey").agg(
         (
-            F.avg(F.col("l_quantity").cast("decimal(28,6)"))
-            .cast("double")
+            F.sum(F.col("l_quantity").cast("decimal(28,6)")).cast("double")
+            / F.count("l_quantity")
             * F.lit(0.2)
         ).alias("qty_threshold")
     )

@@ -56,6 +56,32 @@ def test_overlapping_intervals_all_match(spark):
     assert _join(spark, pts, iv) == [(1, 1), (1, 2)]
 
 
+def test_fractional_second_end_on_bucket_boundary(spark):
+    # Regression: with second-truncated bucket epochs, an interval
+    # whose end has fractional seconds just past an exact bucket
+    # boundary T was only replicated up to bucket (T-1)/W, silently
+    # dropping points in [T, end). Buckets are now microsecond-exact.
+    day31 = _ts("2020-01-31 00:00:00")  # 30-day bucket boundary from 2020-01-01
+    iv = [(1, _ts("2020-01-20 00:00:00"), day31.replace(microsecond=500_000))]
+    pts = [
+        (1, day31),  # in [T, end) -> must match
+        (2, day31.replace(microsecond=499_999)),  # still < end -> match
+        (3, day31.replace(microsecond=500_000)),  # == end, half-open -> out
+    ]
+    # bucket epoch origin is 1970-01-01; 2020-01-31 is not itself a
+    # multiple of 30 days from epoch, so pick width 1 day instead:
+    # every midnight is then a bucket boundary.
+    assert _join(spark, pts, iv, bucket_days=1) == [(1, 1), (2, 1)]
+
+
+def test_pre_epoch_points(spark):
+    # Negative epochs: floor-division (not truncation) keeps points and
+    # intervals in consistent buckets before 1970.
+    iv = [(1, _ts("1969-12-01 00:00:00"), _ts("1970-01-15 00:00:00"))]
+    pts = [(1, _ts("1969-12-15 06:00:00")), (2, _ts("1970-01-10 00:00:00"))]
+    assert _join(spark, pts, iv) == [(1, 1), (2, 1)]
+
+
 def test_plan_is_hash_join_not_nested_loop(spark):
     p = spark.createDataFrame(
         [(1, _ts("2020-01-01 00:00:00"))], "pid long, t timestamp"
