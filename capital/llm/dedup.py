@@ -114,9 +114,13 @@ def lsh_candidate_pairs(
     # reference. (At warehouse scale: write signatures to a table and
     # band from there.)
     signatures = signatures.persist()
+    # The band-bucket self-join and the pair dedup shuffle IDS ONLY:
+    # a 32×32-hex signature (~1 KB/row) riding the docs×bands explode
+    # and two exchanges is pure shuffle fat. Signatures re-attach from
+    # the persisted frame after dedup (the same trick
+    # verified_neardup_pairs uses for shingles).
     banded = signatures.select(
         F.col(id_col),
-        F.col("signature"),
         F.explode(
             F.array(
                 *[
@@ -136,24 +140,33 @@ def lsh_candidate_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select(id_col, "signature", "bk.band", "bk.band_key")
+    ).select(id_col, "bk.band", "bk.band_key")
 
     a = banded.alias("a")
     b_ = banded.alias("b")
-    pairs = (
+    id_pairs = (
         a.join(
             b_,
-            (F.col(f"a.band") == F.col(f"b.band"))
+            (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.signature").alias("sig_a"),
-            F.col("b.signature").alias("sig_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = id_pairs.join(
+        signatures.select(
+            F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a")
+        ),
+        "id_a",
+    ).join(
+        signatures.select(
+            F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b")
+        ),
+        "id_b",
     )
     est = (
         F.size(

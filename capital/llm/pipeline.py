@@ -33,6 +33,20 @@ QUALITY_MIN = 0.5
 DUP_BIGRAM_MAX = 0.3
 
 
+def _gate_survivors(
+    docs: DataFrame, quality_min: float, dup_bigram_max: float
+) -> DataFrame:
+    """The scored-and-gated corpus — the one expensive narrow lineage
+    (quality expressions + the repetition explode) both ``clean_corpus``
+    and ``funnel_stats`` hang off. Built in exactly one place so a
+    caller can persist it once and share it."""
+    scored = with_repetition(with_quality_score(docs))
+    return scored.filter(
+        (F.col("quality_score") >= quality_min)
+        & (F.col("dup_bigram_frac") <= dup_bigram_max)
+    )
+
+
 def clean_corpus(
     docs: DataFrame,
     quality_min: float = QUALITY_MIN,
@@ -41,6 +55,7 @@ def clean_corpus(
     bands: int = 4,
     rows_per_band: int = 4,
     jaccard_threshold: float = 0.5,
+    _kept: DataFrame | None = None,
 ) -> DataFrame:
     """Run the full cleaning funnel; returns one row per *surviving*
     document: ``doc_id, n_tokens, quality_score, scrubbed_md5``.
@@ -48,15 +63,14 @@ def clean_corpus(
     Near-dup clustering runs on the gate-surviving corpus (cheaper,
     and dropping a low-quality doc must not change which of its
     duplicates survives — the canonical member is chosen among kept
-    docs only).
+    docs only). ``_kept`` lets :func:`funnel_stats` hand in an
+    already-persisted gate lineage so the corpus is scored once.
     """
-    scored = with_repetition(with_quality_score(docs))
-    kept = scored.filter(
-        (F.col("quality_score") >= quality_min)
-        & (F.col("dup_bigram_frac") <= dup_bigram_max)
-    )
-    # Both the pair graph and the final projection reuse `kept`.
-    kept = kept.persist()
+    if _kept is None:
+        # Both the pair graph and the final projection reuse `kept`.
+        kept = _gate_survivors(docs, quality_min, dup_bigram_max).persist()
+    else:
+        kept = _kept
 
     pairs = verified_neardup_pairs(
         kept,
@@ -89,17 +103,21 @@ def funnel_stats(
     """One-row funnel: input docs → gate survivors → dedup survivors,
     plus the surviving token budget. The number every corpus run is
     reported by."""
+    # Score the corpus ONCE: the persisted gate lineage feeds both the
+    # n_after_gates count and clean_corpus (previously this rebuilt the
+    # scored lineage — a second full corpus scan + explode at 100 TB).
+    kept = _gate_survivors(docs, quality_min, dup_bigram_max).persist()
     survivors = clean_corpus(
-        docs, quality_min=quality_min, dup_bigram_max=dup_bigram_max
+        docs,
+        quality_min=quality_min,
+        dup_bigram_max=dup_bigram_max,
+        _kept=kept,
     )
-    scored = with_repetition(with_quality_score(docs))
     # Three single-row aggregates cross-joined: one distributed plan,
-    # nothing collected to the driver.
+    # nothing collected to the driver. n_input is a metadata-cheap
+    # count(*) scan of the raw table (column-pruned), not a rescore.
     n_input = docs.agg(F.count(F.lit(1)).alias("n_input"))
-    n_gates = scored.filter(
-        (F.col("quality_score") >= quality_min)
-        & (F.col("dup_bigram_frac") <= dup_bigram_max)
-    ).agg(F.count(F.lit(1)).alias("n_after_gates"))
+    n_gates = kept.agg(F.count(F.lit(1)).alias("n_after_gates"))
     n_surv = survivors.agg(
         F.count(F.lit(1)).alias("n_survivors"),
         F.sum("n_tokens").cast("long").alias("tokens_kept"),

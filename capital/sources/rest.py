@@ -69,6 +69,48 @@ class TokenBucket:
 
 
 @dataclass
+class RetryPolicy:
+    """Fixed-delay retry mirroring the reference DAGs' task policy
+    (``retries=6, retry_delay=timedelta(minutes=10)``,
+    dags/brz_kr_etf_daily/brz_kr_etf_daily.py:37-38), applied at the
+    fetch boundary instead of the scheduler: a page fetch gets
+    ``max_retries`` re-attempts with ``delay_s`` between them, then the
+    last exception propagates (the caller — or its own scheduler —
+    decides what a dead source means).
+
+    ``sleeper`` is injectable so tests run instantly; ``retry_on``
+    narrows which exceptions are retryable (a 404 is not a flaky 503).
+    Compose with :class:`TokenBucket` by passing the bucket's
+    ``acquire`` as ``before_attempt`` — every retry then re-pays the
+    politeness budget instead of hammering a struggling host.
+    """
+
+    max_retries: int = 6
+    delay_s: float = 600.0
+    sleeper: Callable[[float], None] = time.sleep
+    retry_on: type[BaseException] | tuple[type[BaseException], ...] = Exception
+    before_attempt: Callable[[], None] | None = None
+
+    def call(self, fn: Callable[[], dict]) -> dict:
+        last: BaseException | None = None
+        for attempt in range(self.max_retries + 1):
+            if attempt and self.delay_s:
+                self.sleeper(self.delay_s)
+            if self.before_attempt is not None:
+                self.before_attempt()
+            try:
+                return fn()
+            except self.retry_on as exc:  # noqa: PERF203
+                last = exc
+        assert last is not None
+        raise last
+
+    def wrap(self, fetch: Fetcher) -> Fetcher:
+        """A fetcher with this policy applied per page."""
+        return lambda cursor: self.call(lambda: fetch(cursor))
+
+
+@dataclass
 class PaginatedRestSource:
     """Pagination driver equivalent to the reference's operator loops.
 
@@ -86,15 +128,19 @@ class PaginatedRestSource:
     mode: str = "page"
     throttle_s: float = 0.0
     max_pages: int = 10_000
+    retry: RetryPolicy | None = None
 
     def records(self) -> Iterator[dict]:
+        fetch = (
+            self.retry.wrap(self.fetch_page) if self.retry else self.fetch_page
+        )
         fetched = 0
         total: int | None = None
         for page in range(self.max_pages):
             # Offset mode passes the record offset (BOK start/end
             # windows); page mode passes the 0-based page number.
             cursor = page * self.page_size if self.mode == "offset" else page
-            payload = self.fetch_page(cursor)
+            payload = fetch(cursor)
             rows = payload.get(self.records_key, [])
             # Row-type filter (P14): mixed payloads may carry non-dict
             # entries (dags/brz_industry_code_daily/extractors.py:48).

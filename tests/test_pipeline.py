@@ -32,3 +32,24 @@ def test_survivors_pass_gates_and_are_distinct(spark, sf_dir):
     assert all(
         r.scrubbed_md5 and len(r.scrubbed_md5) == 32 for r in rows
     )
+
+
+def test_funnel_scores_corpus_exactly_once(spark, sf_dir, monkeypatch):
+    # Regression: funnel_stats used to rebuild the scored lineage from
+    # scratch for n_after_gates — a second full corpus scan + explode
+    # at 100 TB. The scoring pipeline must be constructed exactly once
+    # (then shared via persist).
+    import capital.llm.pipeline as pipeline
+
+    calls = {"n": 0}
+    real = pipeline.with_quality_score
+
+    def counting(df):
+        calls["n"] += 1
+        return real(df)
+
+    monkeypatch.setattr(pipeline, "with_quality_score", counting)
+    docs = load_table(spark, sf_dir, "documents")
+    stats = funnel_stats(docs).collect()[0]
+    assert stats.n_input >= stats.n_after_gates >= stats.n_survivors > 0
+    assert calls["n"] == 1

@@ -154,3 +154,22 @@ def test_new_tpc_shapes_join_strategy(spark, sf_dir):
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_lsh_band_shuffle_carries_ids_only(spark, sf_dir):
+    """The band-bucket self-join and the pair dedup must exchange id
+    rows only — a 32x32-hex signature riding the docs x bands explode
+    is shuffle fat at 100 TB. Signatures re-attach after dedup (those
+    later exchanges partition on a single id and may carry them)."""
+    plan = plan_of(_QUERIES["dedup_minhash_lsh"](spark, sf_dir))
+    checked = 0
+    for block in plan.split("\n\n"):
+        s = block.strip()
+        if not s.startswith("(") or "Exchange" not in s.splitlines()[0]:
+            continue
+        inp = next((l for l in s.splitlines() if l.startswith("Input")), "")
+        fat = "signature" in inp or "sig_a" in inp or "sig_b" in inp
+        if "band_key" in inp or ("id_a" in inp and "id_b" in inp):
+            checked += 1
+            assert not fat, f"signature rides a blocking exchange:\n{s}"
+    assert checked >= 2  # the band exchange and the pair-dedup exchange
