@@ -102,14 +102,22 @@ def fake_decode_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFra
         )
 
 
-def decode_assets(assets: DataFrame) -> DataFrame:
+def decode_assets(assets: DataFrame, decoder=None) -> DataFrame:
     """Decode/feature-extract stage: Arrow-batched ``mapInPandas``.
 
     Narrow transformation — runs in place on each input split, no
     shuffle; batch size is bounded by
     ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+
+    ``decoder`` is the codec seam: any ``Iterator[pd.DataFrame] →
+    Iterator[pd.DataFrame]`` kernel producing :data:`DECODED_SCHEMA`
+    columns (a Pillow/av-backed implementation drops in unchanged);
+    defaults to the deterministic :func:`fake_decode_batch` stub
+    because real media codecs are absent in this environment.
     """
-    return assets.mapInPandas(fake_decode_batch, schema=DECODED_SCHEMA)
+    return assets.mapInPandas(
+        decoder or fake_decode_batch, schema=DECODED_SCHEMA
+    )
 
 
 #: Output of the frame-sampling stage: one row per sampled frame.
@@ -162,7 +170,9 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def byte_histogram_features(frames: DataFrame, bins: int = 16) -> DataFrame:
+def byte_histogram_features(
+    frames: DataFrame, bins: int = 16, normalize: bool = True
+) -> DataFrame:
     """Feature extraction over frames — NOT a stub: an L2-normalized
     byte-value histogram is a genuine (if crude) content signature for
     any binary payload. Runs as a vectorized ``mapInPandas`` with
@@ -172,6 +182,10 @@ def byte_histogram_features(frames: DataFrame, bins: int = 16) -> DataFrame:
     as the ``embeddings`` table, so the ANN operators
     (:mod:`capital.llm.similarity`, :mod:`capital.llm.ivf`) consume it
     directly — the multimodal → similarity pipeline end to end.
+
+    ``normalize=False`` emits the raw integer counts (exact doubles):
+    the hash-stable form the DuckDB oracle replicates — normalized
+    values would hinge on cross-engine round() tie-breaking.
     """
 
     def _featurize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -190,7 +204,7 @@ def byte_histogram_features(frames: DataFrame, bins: int = 16) -> DataFrame:
                 hist = np.bincount(
                     arr // (256 // bins), minlength=bins
                 ).astype("float64")
-                norm = np.linalg.norm(hist)
+                norm = np.linalg.norm(hist) if normalize else 0.0
                 feats.append((hist / norm if norm else hist).tolist())
             yield pd.DataFrame(
                 {

@@ -72,3 +72,35 @@ def build_calendar(
             "updated_at", F.current_timestamp()
         )
     return cal
+
+
+def merge_holidays(
+    cal: DataFrame,
+    holidays: DataFrame,
+    date_col: str = "calnd_dd_dy",
+    name_col: str = "holdy_nm",
+) -> DataFrame:
+    """OR real exchange holidays into ``is_market_holiday``.
+
+    The reference keeps two models that disagree: ``dim_calendar``'s
+    weekend-only flag (sql.py:72-75) and the separately-ingested KRX
+    holiday table (dags/brz_kr_market_holiday_daily/tasks.py:8-37) —
+    the SURVEY §7 risk the engine models *both* sides of. This variant
+    produces the merged truth: a day is a market holiday iff it is a
+    weekend OR appears in the fetched table. ``holiday_name`` carries
+    the (min-deduped — a date can hold multiple observances) name for
+    lineage. The holiday side is dimension-sized and broadcasts; the
+    calendar never shuffles.
+    """
+    h = (
+        holidays.select(
+            F.to_date(F.col(date_col)).alias("date"),
+            F.col(name_col).alias("holiday_name"),
+        )
+        .groupBy("date")
+        .agg(F.min("holiday_name").alias("holiday_name"))
+    )
+    return cal.join(F.broadcast(h), "date", "left").withColumn(
+        "is_market_holiday",
+        F.col("is_market_holiday") | F.col("holiday_name").isNotNull(),
+    )

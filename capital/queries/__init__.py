@@ -112,6 +112,8 @@ _DRIVER_PRIORITY = [
     "f10_length_classify",
     "f16_sorted_string_agg",
     # --- 50-slot boundary under the observed round-1 cap ---
+    "cal_holiday_merged",
+    "w1b_previous_open_day_merged",
     "f11_map_literal_suffix",
     "f12_json_access",
     "f13_array_transform",

@@ -13,10 +13,80 @@ from pyspark.sql import functions as F
 
 from capital.io import load_table
 from capital.operators.asof import asof_join, previous_working_day
-from capital.operators.calendar import build_calendar
+from capital.operators.calendar import build_calendar, merge_holidays
 from capital.queries.registry import query
 
 _START, _END = "2024-01-01", "2026-12-31"
+
+#: Deterministic KRX-style holiday fixture (2024–2025 Korean market
+#: closures). Single source of truth: the XML the engine parses (F15
+#: path), the Spark merge, and the oracle's VALUES list are all
+#: generated from this constant, per the house llm_queries convention.
+_HOLIDAYS = [
+    ("2024-01-01", "신정"),
+    ("2024-02-09", "설날"),
+    ("2024-02-12", "대체공휴일"),
+    ("2024-03-01", "삼일절"),
+    ("2024-04-10", "국회의원선거일"),
+    ("2024-05-01", "근로자의날"),
+    ("2024-05-06", "대체공휴일"),
+    ("2024-05-15", "부처님오신날"),
+    ("2024-06-06", "현충일"),
+    ("2024-08-15", "광복절"),
+    ("2024-09-17", "추석"),
+    ("2024-09-18", "추석"),
+    ("2024-10-03", "개천절"),
+    ("2024-10-09", "한글날"),
+    ("2024-12-25", "성탄절"),
+    ("2024-12-31", "연말휴장일"),
+    ("2025-01-01", "신정"),
+    ("2025-01-28", "설날"),
+    ("2025-01-29", "설날"),
+    ("2025-01-30", "설날"),
+    ("2025-03-03", "대체공휴일"),
+    ("2025-05-01", "근로자의날"),
+    ("2025-05-05", "어린이날"),
+    ("2025-05-06", "대체공휴일"),
+    ("2025-06-06", "현충일"),
+    ("2025-08-15", "광복절"),
+    ("2025-10-03", "개천절"),
+    ("2025-10-06", "추석"),
+    ("2025-10-07", "추석"),
+    ("2025-10-08", "대체공휴일"),
+    ("2025-10-09", "한글날"),
+    ("2025-12-25", "성탄절"),
+    ("2025-12-31", "연말휴장일"),
+]
+
+_HOLIDAY_XML = (
+    "<response><body><items>"
+    + "".join(
+        f"<item><locdate>{d.replace('-', '')}</locdate>"
+        f"<dateName>{n}</dateName></item>"
+        for d, n in _HOLIDAYS
+    )
+    + "</items></body></response>"
+)
+
+_HOLIDAY_VALUES = ",\n      ".join(
+    f"(DATE '{d}', '{n}')" for d, n in _HOLIDAYS
+)
+
+#: Oracle twin of merge_holidays() on top of the calendar CTE.
+_MERGED_CTE_TAIL = f"""
+  , hol AS (
+    SELECT * FROM (VALUES {_HOLIDAY_VALUES}) AS t(hdate, hname)
+  ), hol1 AS (
+    SELECT hdate, MIN(hname) AS holiday_name FROM hol GROUP BY hdate
+  ), merged AS (
+    SELECT c.date,
+           c.day_of_week,
+           (c.is_market_holiday OR h.hdate IS NOT NULL)
+             AS is_market_holiday,
+           h.holiday_name
+    FROM cal c LEFT JOIN hol1 h ON c.date = h.hdate
+  )
+"""
 
 # DuckDB twin of build_calendar(); dayofweek() in DuckDB is already
 # 0=Sunday (the Redshift convention the engine normalizes to).
@@ -69,6 +139,51 @@ def w1_previous_working_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cal = build_calendar(spark, _START, _END)
     return previous_working_day(cal).select("date", "previous_working_day")
+
+
+@query(
+    "cal_holiday_merged",
+    oracle=_CAL_CTE + _MERGED_CTE_TAIL + "SELECT * FROM merged",
+)
+def cal_holiday_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real KRX holidays merged into the calendar: the weekend-only
+    simplification (sql.py:72-75) ORed with the fetched holiday table
+    (dags/brz_kr_market_holiday_daily/tasks.py:8-37) — exercising the
+    F15 XML parse path end-to-end on a deterministic fixture."""
+    from capital.sources.xml_holiday import holidays_to_dataframe
+
+    cal = build_calendar(spark, _START, _END)
+    hol = holidays_to_dataframe(spark, _HOLIDAY_XML)
+    return merge_holidays(cal, hol).select(
+        "date", "day_of_week", "is_market_holiday", "holiday_name"
+    )
+
+
+@query(
+    "w1b_previous_open_day_merged",
+    oracle=_CAL_CTE
+    + _MERGED_CTE_TAIL
+    + """
+    SELECT d.date,
+           (SELECT MAX(d2.date) FROM merged d2
+            WHERE d2.date < d.date AND NOT d2.is_market_holiday)
+             AS previous_working_day
+    FROM merged d
+    """,
+)
+def w1b_previous_open_day_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 re-verified against the holiday-merged calendar: previous
+    *open market day* now skips real closures (e.g. the day before
+    2024-02-12 설날 bridge resolves back to 2024-02-08), not just
+    weekends — the discrepancy SURVEY §7 flags between the reference's
+    two calendar models, answered on the merged truth."""
+    from capital.sources.xml_holiday import holidays_to_dataframe
+
+    cal = build_calendar(spark, _START, _END)
+    merged = merge_holidays(cal, holidays_to_dataframe(spark, _HOLIDAY_XML))
+    return previous_working_day(merged).select(
+        "date", "previous_working_day"
+    )
 
 
 @query(

@@ -722,19 +722,49 @@ def text_tfidf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mm_frame_features")
+@query(
+    "mm_frame_features",
+    # Replicates sample_frames (4 equal byte-slices, short-payload
+    # fallback to the first slice) + the 16-bin byte histogram purely
+    # on the hex encoding: a byte's bin IS its high nibble, i.e. the
+    # odd-position characters of hex(payload). Exact integer counts —
+    # hash-stable; the L2-normalized twin stays pytest-pinned.
+    oracle="""
+    WITH base AS (
+      SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
+             greatest((length(hex(encode(text)))//2)//4, 1) AS step
+      FROM documents
+    ), frames AS (
+      SELECT asset_id, i AS frame_idx,
+             CASE WHEN length(substr(hx, 2*i*step+1, 2*step)) = 0
+                  THEN substr(hx, 1, 2*step)
+                  ELSE substr(hx, 2*i*step+1, 2*step) END AS fhx
+      FROM base, (SELECT unnest(range(0, 4)) AS i)
+    )
+    SELECT asset_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+      list_transform(
+        ['0','1','2','3','4','5','6','7',
+         '8','9','A','B','C','D','E','F'],
+        d -> CAST(length(list_filter(
+               list_transform(range(1, length(fhx)//2 + 1),
+                              i -> substr(fhx, 2*i-1, 1)),
+               c -> c = d)) AS DOUBLE)) AS features
+    FROM frames
+    """,
+)
 def mm_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline: asset → frame-sample (stubbed codec, real
-    row-expanding mapInPandas) → L2-normalized byte-histogram features
-    (real numpy featurizer) — output is ANN-ready array<double>.
-    Rows-only: mapInPandas stages are not SQL-expressible; shape,
-    determinism, and ANN interop are pinned in
+    row-expanding mapInPandas) → byte-histogram features (real numpy
+    featurizer) — output is ANN-shaped array<double>. Oracle-paired on
+    the exact-count path (the deterministic content of both mapInPandas
+    stages is fully replicated in SQL over the hex encoding);
+    normalization + ANN interop are pinned in
     tests/test_multimodal_pipeline.py."""
     from capital.llm.multimodal import byte_histogram_features, sample_frames
 
     d = load_table(spark, sf_dir, "documents")
     frames = sample_frames(text_as_assets(d), n_frames=4)
-    return byte_histogram_features(frames, bins=16)
+    return byte_histogram_features(frames, bins=16, normalize=False)
 
 
 def _bpe_oracle() -> str:

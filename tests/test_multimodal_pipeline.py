@@ -75,3 +75,47 @@ def test_features_feed_ann_search(spark, sf_dir):
     got = {(r.query_id, r.rank) for r in topk.collect()}
     assert len(got) == 3 * 3
     assert all(-1.0 <= r.cosine_sim <= 1.0 for r in topk.collect())
+
+
+def test_decoder_seam_accepts_real_codec(spark, sf_dir):
+    """The codec boundary is a real seam: decode_assets must run any
+    compliant Iterator[pd.DataFrame] -> Iterator[pd.DataFrame] kernel
+    (here: a 'real' decoder parsing payload bytes as UTF-8 and
+    measuring text-level width/height) — proving a Pillow/av kernel
+    drops in with no plumbing change."""
+    import pandas as pd
+
+    from capital.llm.multimodal import decode_assets, text_as_assets
+
+    def utf8_decoder(batches):
+        for pdf in batches:
+            texts = pdf["payload"].map(
+                lambda b: "" if b is None else bytes(b).decode("utf-8")
+            )
+            lines = texts.str.split("\n")
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": "text/plain",
+                    "n_bytes": pdf["n_bytes"],
+                    # width = longest line, height = line count: real
+                    # dimensions derived from actually decoding payload
+                    "width": lines.map(
+                        lambda ls: max((len(l) for l in ls), default=0)
+                    ).astype("int32"),
+                    "height": lines.map(len).astype("int32"),
+                    "checksum": None,
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    decoded = decode_assets(text_as_assets(docs), decoder=utf8_decoder)
+    rows = {r.asset_id: r for r in decoded.collect()}
+    checks = docs.select("doc_id", "text").collect()
+    assert rows and len(rows) == len(checks)
+    for c in checks:
+        r = rows[c.doc_id]
+        ls = c.text.split("\n")
+        assert r.media_type == "text/plain"
+        assert r.height == len(ls)
+        assert r.width == max((len(l) for l in ls), default=0)
