@@ -76,6 +76,16 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 - keep the bench alive
             print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
+    # Drop every DataFrame the warm-up pass persisted (LSH signatures,
+    # gated corpora, …): the timed pass must recompute data, not read
+    # warm caches — the DuckDB anchor recomputes everything each run
+    # too. Prepared plans (the registry's memoization of pure builders)
+    # survive: plan re-analysis is driver-side prep, not throughput,
+    # and is amortized to nothing at real scale.
+    from capital.io import clear_engine_cache
+
+    clear_engine_cache(spark)
+
     timings: dict[str, float] = {}
     for name in names:
         try:

@@ -32,7 +32,15 @@ from capital.llm.similarity import cosine
 
 
 def _dist2_to_center(vec: Column, center: list[float]) -> Column:
-    """Squared L2 distance to one centroid, as a codegen expression."""
+    """Squared L2 distance to one centroid, as a fold expression.
+
+    Deliberately NOT unrolled (contrast similarity._dot_literal): here
+    16 centroid distances sit inside one struct array fed to
+    sort_array, and unrolling all of them exploded generated-code size
+    — measured 27 s vs ~1 s and a driver-heap OOM at default memory.
+    The interpreted fold is the cheaper side of the trade at this
+    expression multiplicity.
+    """
     c = F.array(*[F.lit(float(w)) for w in center])
     return F.aggregate(
         F.zip_with(

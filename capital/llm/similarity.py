@@ -33,6 +33,16 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+# NOTE on unrolling literal-weight dots: a flat 64-term
+# element_at(vec,i)*w_i chain beats the interpreted fold 2x when
+# measured as an isolated projection, but COMPOSED into the bucket
+# join it regressed sign-LSH top-k 5x (1.6 s → 7.9 s at sf0.1):
+# Catalyst re-inlines the 512-term key expression across join/filter
+# projections and generated-code size explodes (same failure mode
+# measured 27x on the IVF centroid array). Keep the fold for bucket
+# keys; it is one pass per row and never the bottleneck.
+
+
 def _norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(

@@ -287,7 +287,10 @@ def _minhash_oracle(table: str = "documents") -> str:
     """
 
 
-@query("dedup_minhash_lsh", oracle=_minhash_oracle())
+@query(
+    "dedup_minhash_lsh",
+    memoize=False,
+    oracle=_minhash_oracle())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + LSH(4 bands × 4 rows) candidate pairs with
     estimated Jaccard. Shuffle is O(docs × bands) band keys — never the
@@ -394,7 +397,10 @@ def _verified_neardup_oracle(table: str = "documents") -> str:
     """
 
 
-@query("dedup_minhash_verified", oracle=_verified_neardup_oracle())
+@query(
+    "dedup_minhash_verified",
+    memoize=False,
+    oracle=_verified_neardup_oracle())
 def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The complete production near-dup pipeline: MinHash → LSH
     blocking → exact Jaccard verification on candidates only (quadratic
@@ -413,6 +419,7 @@ _JACCARD_SAMPLE, _JACCARD_THRESHOLD = 150, 0.5
 
 @query(
     "dedup_ngram_jaccard",
+    memoize=False,
     oracle=f"""
     WITH sh AS (
       SELECT doc_id,
@@ -468,7 +475,10 @@ def _neardup_pair_graph(spark: SparkSession, sf_dir: str):
     return d, pairs
 
 
-@query("dedup_clusters", oracle=_clusters_oracle())
+@query(
+    "dedup_clusters",
+    memoize=False,
+    oracle=_clusters_oracle())
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster resolution: MinHash→LSH→verified pairs, then
     connected components (iterative min-label propagation) assigns every
@@ -482,6 +492,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_canonical_corpus",
+    memoize=False,
     oracle=f"""
     WITH comp AS ({_clusters_oracle()})
     SELECT component_id, MIN(doc_id) AS keep_id, COUNT(*) AS n_members
@@ -596,7 +607,7 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_ivf_topk")
+@query("sim_ivf_topk", memoize=False)
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN top-k (learned coarse quantizer; see
     capital/llm/ivf.py). No SQL oracle: the KMeans index is not
@@ -637,7 +648,10 @@ def _neardup_oracle() -> str:
     """
 
 
-@query("dedup_embedding_cosine", oracle=_neardup_oracle())
+@query(
+    "dedup_embedding_cosine",
+    memoize=False,
+    oracle=_neardup_oracle())
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs with sign-LSH blocking
     (pair space collapses by ~2^planes for near-parallel vectors)."""
@@ -680,7 +694,7 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- pyspark.ml library-path surface ------------------------------------
 
 
-@query("dedup_ml_minhash")
+@query("dedup_ml_minhash", memoize=False)
 def dedup_ml_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs via the pyspark.ml MinHashLSH approx-similarity
     join (library path; see capital/llm/ml_variants.py). Rows-only: the
@@ -694,7 +708,7 @@ def dedup_ml_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ml_minhash_neardup_pairs(d, max_jaccard_distance=0.6)
 
 
-@query("text_tfidf_stats")
+@query("text_tfidf_stats", memoize=False)
 def text_tfidf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF vectors (tokenize → hashed TF → IDF) reduced to scalar
     stats per doc (nnz, l2 norm). Rows-only: IDF weights depend on the
@@ -794,7 +808,7 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_cosine_topk_arrow")
+@query("sim_cosine_topk_arrow", memoize=False)
 def sim_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Throughput twin of sim_cosine_topk: Arrow-batched numpy GEMM
     kernel (Catalyst higher-order lambdas are interpreted per element,
@@ -850,7 +864,10 @@ def _pipe_corpus_oracle() -> str:
     """
 
 
-@query("pipe_clean_corpus", oracle=_pipe_corpus_oracle())
+@query(
+    "pipe_clean_corpus",
+    memoize=False,
+    oracle=_pipe_corpus_oracle())
 def pipe_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-corpus cleaning funnel as one composed query:
     quality gate → repetition gate → PII scrub → near-dup cluster
@@ -865,6 +882,7 @@ def pipe_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pipe_funnel_stats",
+    memoize=False,
     oracle=f"""
     WITH {{ctes}}
     SELECT (SELECT COUNT(*) FROM documents) AS n_input,

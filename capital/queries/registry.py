@@ -29,23 +29,50 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _QUERIES: dict[str, QueryFn] = {}
 _ORACLES: dict[str, str] = {}
+_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
-def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+def query(
+    name: str, oracle: str | None = None, memoize: bool = True
+) -> Callable[[QueryFn], QueryFn]:
     """Register an engine query, optionally with its DuckDB oracle SQL.
 
     Queries without an oracle get the driver's weaker rows-only check
     (reserved for genuinely non-SQL-expressible ops).
+
+    ``memoize=False`` marks builders that are not pure plan
+    constructions — they ``persist()`` intermediates, run eager work
+    (KMeans fit, localCheckpoint iteration, driver-side collect of a
+    query set) — so handing back the same DataFrame would replay cached
+    data instead of the computation. Those rebuild on every call.
     """
 
     def deco(fn: QueryFn) -> QueryFn:
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             # Sessions arrive from the driver unconfigured; SQL conf is
             # runtime-settable, so pin the correctness-critical bits.
+            # (Runs before the plan cache too: the first build must
+            # analyze under engine conf — e.g. UTC is captured into
+            # timestamp expressions at analysis time.)
             from capital.session import tune_existing
 
             tune_existing(spark)
-            return fn(spark, sf_dir)
+            if not memoize:
+                return fn(spark, sf_dir)
+            # Memoize the built plan: a registered pure query is a
+            # (spark, sf_dir) → DataFrame builder, and re-analysis of
+            # literal-heavy plans costs up to ~1.5 s of driver time per
+            # call (measured on the sign-LSH hyperplane plan at sf0.1 —
+            # execution itself was 0.1 s). A DataFrame is an immutable
+            # plan, so handing back the same object is semantically
+            # identical; keyed by applicationId so new sessions rebuild.
+            key = (spark.sparkContext.applicationId, sf_dir, name)
+            cached = _PLAN_CACHE.get(key)
+            if cached is not None:
+                return cached
+            df = fn(spark, sf_dir)
+            _PLAN_CACHE[key] = df
+            return df
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__

@@ -1,0 +1,80 @@
+"""Real-JDBC warehouse edge (S11/K4) against embedded Derby — the
+driver jars ship with PySpark, so the full preactions-then-load →
+read-back contract runs in-process, no external DB needed."""
+
+from __future__ import annotations
+
+import pytest
+
+from capital.io import execute_jdbc_statements, read_jdbc, write_jdbc
+
+
+@pytest.fixture()
+def derby_url(tmp_path):
+    return f"jdbc:derby:{tmp_path}/wh;create=true"
+
+
+def test_jdbc_roundtrip_with_ddl_preactions(spark, derby_url):
+    df = spark.createDataFrame(
+        [(1, "construction", "F"), (2, "mining", "E"), (3, "farming", "A")],
+        "code int, name string, grade string",
+    )
+    write_jdbc(
+        df,
+        derby_url,
+        "industry_code",
+        mode="append",
+        preactions=[
+            # Derby has no IF EXISTS; the reference's DROP/CREATE
+            # preaction pair maps to create-once here (fresh tmpdir).
+            "CREATE TABLE industry_code ("
+            "code INT, name VARCHAR(64), grade VARCHAR(8))",
+        ],
+    )
+    back = read_jdbc(spark, derby_url, "industry_code")
+    # Derby folds unquoted identifiers to uppercase on the way back.
+    back = back.toDF(*[c.lower() for c in back.columns])
+    assert sorted((r.code, r.name, r.grade) for r in back.collect()) == [
+        (1, "construction", "F"),
+        (2, "mining", "E"),
+        (3, "farming", "A"),
+    ]
+
+
+def test_jdbc_preactions_replace_table_idempotently(spark, derby_url):
+    """The reference's DROP-then-CREATE preaction makes re-runs
+    idempotent: a second write must replace, never duplicate."""
+    df = spark.createDataFrame([(1, "x")], "k int, v string")
+    ddl = "CREATE TABLE t1 (k INT, v VARCHAR(8))"
+    write_jdbc(df, derby_url, "t1", preactions=[ddl])
+    write_jdbc(
+        df, derby_url, "t1", preactions=["DROP TABLE t1", ddl]
+    )
+    assert read_jdbc(spark, derby_url, "t1").count() == 1
+
+
+def test_jdbc_pushdown_subquery_source(spark, derby_url):
+    """S12 over JDBC: the source is a SQL result, filtered on the
+    warehouse side, not a full-table pull."""
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "id int, bucket int"
+    )
+    write_jdbc(
+        df, derby_url, "events30",
+        preactions=["CREATE TABLE events30 (id INT, bucket INT)"],
+    )
+    sub = "(SELECT id FROM events30 WHERE bucket = 0) q"
+    got = read_jdbc(spark, derby_url, sub)
+    assert got.count() == 10
+    assert [c.lower() for c in got.columns] == ["id"]
+
+
+def test_execute_jdbc_statements_runs_in_order(spark, derby_url):
+    execute_jdbc_statements(
+        spark, derby_url,
+        ["CREATE TABLE seq1 (x INT)",
+         "INSERT INTO seq1 VALUES (7)",
+         "INSERT INTO seq1 VALUES (8)"],
+    )
+    vals = sorted(r[0] for r in read_jdbc(spark, derby_url, "seq1").collect())
+    assert vals == [7, 8]
