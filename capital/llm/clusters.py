@@ -64,9 +64,18 @@ def connected_components(
     )
     edges = fwd.union(rev).distinct().persist()
 
-    labels = vertices.select(
-        F.col(id_col).alias("id"), F.col(id_col).cast("long").alias("label")
-    ).localCheckpoint(eager=True)
+    # Iterate ONLY over vertices that touch an edge: an isolated vertex
+    # is its own component and can never change label, so carrying the
+    # full corpus through every round would re-shuffle and re-checkpoint
+    # corpus-sized labels per iteration. Blocked near-dup graphs touch
+    # a small fraction of the corpus; the loop below is pair-graph-sized
+    # end to end, and the corpus is joined exactly once afterwards.
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id").cast("long"))
+        .localCheckpoint(eager=True)
+    )
 
     prev_sig = None
     for _ in range(max_rounds):
@@ -90,8 +99,14 @@ def connected_components(
             break
         prev_sig = sig
     edges.unpersist()
-    return labels.select(
+    resolved = labels.select(
         F.col("id").alias(id_col), F.col("label").alias("component_id")
+    )
+    return vertices.select(id_col).join(resolved, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(
+            F.col("component_id"), F.col(id_col).cast("long")
+        ).alias("component_id"),
     )
 
 

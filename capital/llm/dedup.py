@@ -75,24 +75,35 @@ def minhash_signatures(
     "k independent permutations" realized as salted hashes. Lexicographic
     min over fixed-width hex == numeric min over the 128-bit values.
 
-    Pure expression pipeline (transform + array_min): no explode, no
-    shuffle — the signature is computed in the scan's projection.
+    Shape: explode shingles, compute the ``num_hashes`` salted md5s as
+    flat codegen'd columns, take per-doc ``min`` of each with partial
+    (map-side) aggregation, reassemble the array. The earlier
+    transform+array_min expression form evaluated every md5 in
+    Catalyst's *interpreted* higher-order path — measured 9.1 s vs
+    2.4 s for this shape at sf0.1 (the same 'per-row array ops'
+    failure mode as char entropy). The explode never crosses the wire:
+    partial agg combines shingle rows locally, so the shuffle is
+    docs × num_hashes minima regardless of document length.
+
+    ``explode_outer`` keeps null-text docs as a row of null components,
+    matching the old ``array_min(null)`` behavior.
     """
     from capital.io import parallelize_narrow
 
     df = parallelize_narrow(df)
     sh = shingles(F.col(text_col), shingle_k)
-
-    def _component(i: int) -> Column:
-        # One-parameter lambda only: PySpark reads lambda arity, and a
-        # second (default) parameter would turn it into (element, index).
-        salt = f"{i}|"
-        return F.array_min(
-            F.transform(sh, lambda s: F.md5(F.concat(F.lit(salt), s)))
-        )
-
-    sig = F.array(*[_component(i) for i in range(num_hashes)])
-    return df.select(F.col(id_col), sig.alias("signature"))
+    exploded = df.select(
+        F.col(id_col), F.explode_outer(sh).alias("_shingle")
+    )
+    mins = [
+        F.min(
+            F.md5(F.concat(F.lit(f"{i}|"), F.col("_shingle")))
+        ).alias(f"_h{i}")
+        for i in range(num_hashes)
+    ]
+    agged = exploded.groupBy(id_col).agg(*mins)
+    sig = F.array(*[F.col(f"_h{i}") for i in range(num_hashes)])
+    return agged.select(F.col(id_col), sig.alias("signature"))
 
 
 def lsh_candidate_pairs(
