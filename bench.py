@@ -86,19 +86,32 @@ def main() -> None:
 
     clear_engine_cache(spark)
 
+    # Two timed passes, min per query (standard bench practice: the min
+    # is the least-interference estimate of the plan's cost — the 27
+    # queries run back-to-back in one JVM and GC/compilation noise from
+    # a heavy neighbor inflates single measurements 2-10× on sub-second
+    # queries). Caches are cleared between passes so both recompute.
     timings: dict[str, float] = {}
-    for name in names:
-        try:
-            t0 = time.perf_counter()
-            df = queries[name](spark, sf_dir)
-            # collect() executes the full plan (results are small
-            # aggregates); count() would let Catalyst prune them.
-            n = len(df.collect())
-            timings[name] = round(time.perf_counter() - t0, 4)
-            print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
-        except Exception as exc:  # noqa: BLE001 - one bad query ≠ no bench
-            timings[name] = -1.0
-            print(f"# {name} FAILED: {exc}", file=sys.stderr)
+    for _pass in range(2):
+        for name in names:
+            try:
+                t0 = time.perf_counter()
+                df = queries[name](spark, sf_dir)
+                # collect() executes the full plan (results are small
+                # aggregates); count() would let Catalyst prune them.
+                n = len(df.collect())
+                elapsed = round(time.perf_counter() - t0, 4)
+                prev = timings.get(name)
+                if prev is None or prev < 0 or elapsed < prev:
+                    timings[name] = elapsed
+                print(
+                    f"# {name}: {elapsed:.3f}s ({n} rows)", file=sys.stderr
+                )
+            except Exception as exc:  # noqa: BLE001 - one bad query ≠ no bench
+                # A success in the other pass stands; -1 only if both fail.
+                timings.setdefault(name, -1.0)
+                print(f"# {name} FAILED: {exc}", file=sys.stderr)
+        clear_engine_cache(spark)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     failed = sorted(n for n, t in timings.items() if t < 0)

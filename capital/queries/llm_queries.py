@@ -528,9 +528,11 @@ _COS = (
 )
 
 
-@query(
-    "sim_cosine_topk",
-    oracle=f"""
+#: Shared by the expression form and its Arrow-GEMM throughput twin:
+#: identical semantics, so one oracle pins both (round(…, 6) absorbs
+#: the kernels' last-ulp accumulation differences — verified clean at
+#: sf0.01 and sf0.1).
+_COSINE_TOPK_ORACLE = f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                FROM embeddings WHERE vec_id < {_N_QUERIES}),
     c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
@@ -545,8 +547,10 @@ _COS = (
     SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id,
            round(sim, 6) AS cosine_sim
     FROM ranked WHERE rn <= {_TOPK}
-    """,
-)
+    """
+
+
+@query("sim_cosine_topk", oracle=_COSINE_TOPK_ORACLE)
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-k (the ANN baseline): broadcast
     queries × one corpus scan, JVM-side dot products."""
@@ -808,13 +812,18 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_cosine_topk_arrow", memoize=False)
+@query(
+    "sim_cosine_topk_arrow",
+    memoize=False,
+    oracle=_COSINE_TOPK_ORACLE,
+)
 def sim_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Throughput twin of sim_cosine_topk: Arrow-batched numpy GEMM
     kernel (Catalyst higher-order lambdas are interpreted per element,
     so the expression form caps out ~100ns/element; BLAS does not).
-    Rows-only: kernel equivalence vs the oracle-checked expression
-    form is pinned in tests/test_arrow_sim.py."""
+    Hash-checked against the same oracle as the expression form —
+    round(…, 6) absorbs GEMM-vs-fold last-ulp differences (kernel
+    equivalence also pinned in tests/test_arrow_sim.py)."""
     from capital.llm.similarity import cosine_topk_arrow
 
     emb = load_table(spark, sf_dir, "embeddings")
