@@ -73,6 +73,17 @@ def get_spark(
         master = f"local[{cpus}]"
     if master:
         builder = builder.master(master)
+    if master and master.startswith("local"):
+        # In local mode the driver JVM *is* every executor: N task
+        # threads share one heap, and Spark's 1 GB default tips into
+        # heap OOM once a few corpus-sized frames are persisted
+        # (found by the 30× dedup scaling study). Static conf — takes
+        # effect only when this builder launches the JVM; on a real
+        # cluster spark-submit owns executor/driver sizing.
+        builder = builder.config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
     conf = dict(ENGINE_CONF)
     conf["spark.sql.shuffle.partitions"] = str(
         shuffle_partitions if shuffle_partitions is not None else cpus

@@ -161,6 +161,10 @@ def test_lsh_band_shuffle_carries_ids_only(spark, sf_dir):
     rows only — a 32x32-hex signature riding the docs x bands explode
     is shuffle fat at 100 TB. Signatures re-attach after dedup (those
     later exchanges partition on a single id and may carry them)."""
+    # Cached frames left by earlier tests swap scan nodes for
+    # InMemoryTableScan and can collapse the band exchange into a
+    # differently-shaped block; pin the cold plan.
+    spark.catalog.clearCache()
     plan = plan_of(_QUERIES["dedup_minhash_lsh"](spark, sf_dir))
     checked = 0
     for block in plan.split("\n\n"):
