@@ -208,6 +208,42 @@ def decontaminate(
     return train.join(hits.select(id_col), id_col, "left_anti")
 
 
+def select_within_budget(
+    df: DataFrame,
+    budget: int,
+    cost_col: str = "n_tokens",
+    quality_col: str = "quality_score",
+    partition_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-ranked data selection under a per-source token budget.
+
+    The corpus-curation step after scoring: within each source, take
+    documents best-first (quality desc, id asc as the deterministic
+    tie-break) until the budget is spent. A document is kept iff the
+    budget *before* it is unexhausted (exclusive running cost <
+    ``budget``) — the same greedy-prefix convention as
+    :func:`pack_chunks`: every source keeps at least its best document
+    and overshoots by at most one.
+
+    Adds ``budget_used`` (exclusive running cost, exact long
+    arithmetic). Scale: one window per source — local sorts after a
+    hash exchange, no global sort; same posture as ``pack_chunks``.
+    ``quality_col`` must be the *rounded* score both engines emit
+    (text.with_quality_score rounds to 6) so the sort order is
+    engine-portable.
+    """
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(F.desc(quality_col), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.coalesce(F.sum(cost_col).over(w), F.lit(0)).cast("long")
+    return df.withColumn("budget_used", prior).filter(
+        F.col("budget_used") < int(budget)
+    )
+
+
 def with_shard(
     df: DataFrame,
     n_shards: int,

@@ -192,3 +192,61 @@ def asm_shard_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("shuffle_key").alias("first_shuffle_key"),
         )
     )
+
+
+_SEL_BUDGET = 1000  # tokens per source
+
+
+def _quality_budget_oracle() -> str:
+    """Generated from the same constants as the Spark path: the
+    stopword list is text.LANG_MARKERS['en'] and the score formula is
+    the text_quality_score twin — one source of truth."""
+    from capital.llm.text import LANG_MARKERS
+
+    stops = "(" + ", ".join(f"'{w}'" for w in LANG_MARKERS["en"]) + ")"
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+               AS punct,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                 x -> x IN {stops})) AS stop,
+             source
+      FROM documents),
+    q AS (
+      SELECT doc_id, source,
+             CAST(n_tok AS INTEGER) AS n_tokens,
+             round(0.4 * least(n_tok / 100.0, 1.0)
+                   + 0.3 * (1 - least((punct / greatest(n_chars, 1))
+                                      * 10, 1.0))
+                   + 0.3 * least((stop / greatest(n_tok, 1)) * 5, 1.0),
+                   6) AS quality_score
+      FROM t),
+    c AS (
+      SELECT source, doc_id, n_tokens, quality_score,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY quality_score DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS budget_used
+      FROM q)
+    SELECT source, doc_id, n_tokens, quality_score, budget_used
+    FROM c WHERE budget_used < {_SEL_BUDGET}
+    """
+
+
+@query("asm_quality_budget", oracle=_quality_budget_oracle())
+def asm_quality_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked selection under a per-source token budget — the
+    curation step between scoring and packing: best documents first
+    until each source's budget is spent (greedy prefix, exclusive
+    running cost; see assemble.select_within_budget)."""
+    from capital.llm.assemble import select_within_budget
+    from capital.llm.text import with_quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    return select_within_budget(
+        with_quality_score(d), budget=_SEL_BUDGET
+    ).select("source", "doc_id", "n_tokens", "quality_score", "budget_used")

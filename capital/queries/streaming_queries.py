@@ -145,3 +145,24 @@ def st_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     events whose gap is strictly less than 30 min — hence ``>=`` starts
     a new session in the oracle."""
     return session_windows(load_table(spark, sf_dir, "events"), "30 minutes")
+
+
+@query(
+    "st_dedup_keys",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def st_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup (dropDuplicatesWithinWatermark) in its
+    batch-checkable form: surviving key set after duplicate-event
+    suppression. Which *row* survives per key is arrival-order
+    dependent in a stream, so the deterministic check is the key set;
+    watermark/state-eviction behavior is exercised on a real stream in
+    tests/test_streaming.py (test_stream_dedup_within_watermark)."""
+    from capital.streaming.incremental import dedup_within_watermark
+
+    ev = load_table(spark, sf_dir, "events")
+    return dedup_within_watermark(ev, ["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )

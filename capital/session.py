@@ -53,6 +53,34 @@ ENGINE_CONF: dict[str, str] = {
     "spark.ui.showConsoleProgress": "false",
 }
 
+#: The additional conf a 1000-executor / 100 TB deployment applies on
+#: top of ENGINE_CONF (via ``get_spark(extra_conf=CLUSTER_CONF)`` or
+#: spark-submit --conf). Not applied locally: these values assume
+#: cluster-scale parallelism and would only add overhead on local[32].
+CLUSTER_CONF: dict[str, str] = {
+    # AQE coalesces *down* from the initial shuffle partition count —
+    # it never splits up — so the pre-AQE number must be sized for the
+    # largest shuffle: ~100 TB / ~128 MB-per-partition target. The
+    # local default (shuffle.partitions = cpus) would cap every big
+    # shuffle at 32 reducers on a cluster.
+    "spark.sql.shuffle.partitions": "8000",
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "8000",
+    # Post-shuffle partition target AQE coalesces toward.
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128m",
+    # Skewed-partition split threshold (AQE skew join): split when a
+    # partition exceeds 2x advisory and 256 MB.
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256m",
+    # Broadcast ceiling: dimension tables (calendar, part, nation,
+    # config registries) are MBs; 64 MB leaves headroom for the
+    # benchmark-shingle and query-embedding broadcasts without letting
+    # a mis-estimated fact side broadcast.
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # Executors die at 100 TB (spot loss, OOM edge): decommission
+    # gracefully and migrate shuffle blocks instead of recomputing.
+    "spark.decommission.enabled": "true",
+    "spark.storage.decommission.shuffleBlocks.enabled": "true",
+}
+
 
 def get_spark(
     app_name: str = "capital",

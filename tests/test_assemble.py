@@ -126,3 +126,40 @@ def test_shard_write_layout_and_order(spark, sf_dir, tmp_path):
         for r in back.select("doc_id", "shard_id").collect()
     }
     assert all(first[r.doc_id] == r.shard_id for r in again.collect())
+
+
+def test_select_within_budget_semantics(spark):
+    from capital.llm.assemble import select_within_budget
+
+    rows = [
+        # source a: quality order is d3 (0.9), d1 (0.8), d2 (0.7)
+        ("a", 1, 40, 0.8),
+        ("a", 2, 40, 0.7),
+        ("a", 3, 40, 0.9),
+        # source b: one giant doc exceeding the budget alone
+        ("b", 4, 500, 0.5),
+        ("b", 5, 10, 0.4),
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, doc_id long, n_tokens int, quality_score double"
+    )
+    out = select_within_budget(df, budget=60).collect()
+    got = {(r.source, r.doc_id): r.budget_used for r in out}
+    # a: best doc d3 enters at 0, d1 at 40 (< 60), d2 at 80 (cut).
+    assert got == {("a", 3): 0, ("a", 1): 40, ("b", 4): 0}
+    # Every source keeps its best doc even when it alone busts the
+    # budget (greedy-prefix convention), and never a second one after.
+    assert ("b", 5) not in got
+
+
+def test_select_within_budget_tiebreak_is_id(spark):
+    from capital.llm.assemble import select_within_budget
+
+    df = spark.createDataFrame(
+        [("s", 9, 50, 0.5), ("s", 2, 50, 0.5), ("s", 5, 50, 0.5)],
+        "source string, doc_id long, n_tokens int, quality_score double",
+    )
+    out = select_within_budget(df, budget=101).collect()
+    assert sorted((r.doc_id, r.budget_used) for r in out) == [
+        (2, 0), (5, 50), (9, 100)
+    ]
