@@ -130,28 +130,9 @@ def lsh_candidate_pairs(
     # and two exchanges is pure shuffle fat. Signatures re-attach from
     # the persisted frame after dedup (the same trick
     # verified_neardup_pairs uses for shingles).
-    banded = signatures.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    F.col("signature")[b * rows_per_band + r]
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("band_key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, "bk.band", "bk.band_key")
+    banded = band_keys(
+        signatures, id_col=id_col, bands=bands, rows_per_band=rows_per_band
+    )
 
     a = banded.alias("a")
     b_ = banded.alias("b")
@@ -366,4 +347,95 @@ def jaccard_pairs(
             F.round(jac, 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def band_keys(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Exploded (id, band, band_key) LSH index rows for a signature
+    frame — the *storable* form of the LSH index. Writing this to a
+    band-partitioned table is what makes dedup incremental: a new
+    batch probes the stored index instead of re-banding the lake.
+    """
+    return signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col("signature")[b * rows_per_band + r]
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.band_key")
+
+
+def incremental_neardup_flags(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Incremental dedup: flag which *new-batch* docs near-collide with
+    the historical corpus, touching only the stored LSH index — the
+    production shape for a growing lake (dedup one day's crawl against
+    100 TB of history without re-scanning the history).
+
+    ``index`` carries (id, band, band_key) rows, e.g. a previous run's
+    :func:`band_keys` output persisted as a band-partitioned table.
+    The probe shuffles O(batch × bands) rows against the index's
+    (band, band_key) — at scale the index is bucketed by band_key so
+    the probe is a co-located join; history is never re-shingled.
+
+    Returns one row per batch doc: ``(id, is_dup, n_index_hits,
+    first_hit_id)`` — is_dup means "collides with history"; pairs
+    inside the new batch are a separate (intra-batch) pass.
+    """
+    sigs = minhash_signatures(
+        batch, id_col=id_col, text_col="text",
+        num_hashes=num_hashes, shingle_k=shingle_k,
+    )
+    probe = band_keys(
+        sigs, id_col=id_col, bands=bands, rows_per_band=rows_per_band
+    )
+    hits = (
+        probe.join(
+            index.select(
+                F.col(id_col).alias("__hist_id"), "band", "band_key"
+            ),
+            ["band", "band_key"],
+        )
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("__hist_id").alias("n_index_hits"),
+            F.min("__hist_id").alias("first_hit_id"),
+        )
+    )
+    return (
+        sigs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_index_hits").isNotNull().alias("is_dup"),
+            F.coalesce("n_index_hits", F.lit(0)).alias("n_index_hits"),
+            "first_hit_id",
+        )
     )

@@ -908,3 +908,143 @@ def pipe_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return funnel_stats(d)
+
+
+# --- incremental dedup against a stored LSH index ------------------------
+
+_INC_MOD = 3  # doc_id % MOD == 0 → "today's batch"; else → history
+
+
+def _incremental_oracle() -> str:
+    """Same sh/sig/banded construction as _minhash_oracle, split into
+    history (the stored index) and batch (the probe) by doc_id mod."""
+    band_key = " || '|' || ".join(
+        f"sig[bi * {_MH_ROWS} + {r} + 1]" for r in range(_MH_ROWS)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            FOR i IN range(1, greatest(len(t) - 2, 1) + 1)]) AS s
+      FROM (SELECT doc_id, {_NTOKS} AS t FROM documents)),
+    sig AS (
+      SELECT doc_id,
+             [list_sort([md5(CAST(h AS VARCHAR) || '|' || x) FOR x IN s])[1]
+              FOR h IN range(0, {_MH_HASHES})] AS sig
+      FROM sh),
+    banded AS (
+      SELECT doc_id, bi, md5({band_key}) AS band_key
+      FROM sig, (SELECT unnest(range(0, {_MH_BANDS})) AS bi)),
+    hits AS (
+      SELECT p.doc_id,
+             COUNT(DISTINCT h.doc_id) AS n_index_hits,
+             MIN(h.doc_id) AS first_hit_id
+      FROM banded p
+      JOIN banded h ON p.bi = h.bi AND p.band_key = h.band_key
+      WHERE p.doc_id % {_INC_MOD} = 0 AND h.doc_id % {_INC_MOD} <> 0
+      GROUP BY p.doc_id)
+    SELECT d.doc_id,
+           hits.n_index_hits IS NOT NULL AS is_dup,
+           COALESCE(hits.n_index_hits, 0) AS n_index_hits,
+           hits.first_hit_id
+    FROM documents d LEFT JOIN hits USING (doc_id)
+    WHERE d.doc_id % {_INC_MOD} = 0
+    """
+
+
+@query(
+    "dedup_incremental_probe",
+    memoize=False,
+    oracle=_incremental_oracle())
+def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: today's batch (doc_id % 3 == 0) probed
+    against the *stored* LSH index of the history (doc_id % 3 != 0) —
+    the growing-lake shape where history is never re-shingled. The
+    index here is built in-query from the history split; in production
+    it is a band-partitioned table appended per batch (see
+    capital.llm.dedup.band_keys / incremental_neardup_flags)."""
+    from capital.llm.dedup import (
+        band_keys,
+        incremental_neardup_flags,
+        minhash_signatures,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % _INC_MOD == 0)
+    history = d.filter(F.col("doc_id") % _INC_MOD != 0)
+    index = band_keys(
+        minhash_signatures(
+            history, num_hashes=_MH_HASHES, shingle_k=3
+        ),
+        bands=_MH_BANDS,
+        rows_per_band=_MH_ROWS,
+    )
+    return incremental_neardup_flags(
+        batch, index,
+        num_hashes=_MH_HASHES, bands=_MH_BANDS,
+        rows_per_band=_MH_ROWS, shingle_k=3,
+    )
+
+
+# --- int8-quantized similarity search ------------------------------------
+
+
+def _quantized_topk_oracle() -> str:
+    """Twin of similarity.quantize_int8 + quantized_cosine_topk: the
+    quantization (round half-away-from-zero on both engines) and the
+    integer dot products are exact, so the only float ops are the final
+    sqrt/division — identical double arithmetic on both sides."""
+    qexpr = (
+        "[CAST(round(CAST(embedding[i] AS DOUBLE) / s * 127) AS INTEGER)"
+        f" FOR i IN range(1, {_DIM} + 1)]"
+    )
+    idot = (
+        "list_sum([CAST(qa[i] * qb[i] AS BIGINT)"
+        f" FOR i IN range(1, {_DIM} + 1)])"
+    )
+    na = (
+        "sqrt(list_sum([CAST(qa[i] * qa[i] AS BIGINT)"
+        f" FOR i IN range(1, {_DIM} + 1)]))"
+    )
+    nb = (
+        "sqrt(list_sum([CAST(qb[i] * qb[i] AS BIGINT)"
+        f" FOR i IN range(1, {_DIM} + 1)]))"
+    )
+    return f"""
+    WITH qz AS (
+      SELECT vec_id,
+             greatest(list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))), 1e-30) AS s
+      FROM embeddings),
+    qv AS (
+      SELECT e.vec_id, {qexpr} AS q
+      FROM embeddings e JOIN qz USING (vec_id)),
+    q AS (SELECT vec_id AS query_id, q AS qa FROM qv
+          WHERE vec_id < {_N_QUERIES}),
+    c AS (SELECT vec_id AS neighbor_id, q AS qb FROM qv),
+    scored AS (
+      SELECT query_id, neighbor_id, {idot} / ({na} * {nb}) AS sim
+      FROM q, c WHERE query_id <> neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rn
+      FROM scored)
+    SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id,
+           round(sim, 6) AS qcos
+    FROM ranked WHERE rn <= {_TOPK}
+    """
+
+
+@query("sim_quantized_topk", oracle=_quantized_topk_oracle())
+def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-ANN scale path: symmetric per-vector int8
+    quantization (4× smaller vectors → 4× less scan/shuffle/broadcast
+    at 100 TB), then exact top-k over integer dot products — the
+    per-vector scales cancel in cosine, so no dequantization. Recall
+    vs the float path is pinned in tests/test_quantized_sim.py."""
+    from capital.llm.similarity import quantized_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return quantized_cosine_topk(emb, queries_df, k=_TOPK)

@@ -52,3 +52,35 @@ def test_summary_and_survivor_corpus(spark):
         r.doc_id for r in deduplicated_corpus(docs, comps).collect()
     )
     assert survivors == [1, 7]
+
+
+def test_incremental_probe_flags_only_history_collisions(spark):
+    from capital.llm.dedup import (
+        band_keys,
+        incremental_neardup_flags,
+        minhash_signatures,
+    )
+
+    history = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different historical content about markets"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            # near-identical to history doc 1 → must flag
+            (30, "the quick brown fox jumps over the lazy dog today"),
+            # novel → must not flag
+            (31, "unrelated brand new text with no overlap whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    index = band_keys(minhash_signatures(history, num_hashes=16),
+                      bands=4, rows_per_band=4)
+    out = {r.doc_id: r for r in incremental_neardup_flags(
+        batch, index, num_hashes=16, bands=4, rows_per_band=4
+    ).collect()}
+    assert out[30].is_dup and out[30].first_hit_id == 1
+    assert not out[31].is_dup and out[31].n_index_hits == 0
