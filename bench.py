@@ -51,6 +51,9 @@ def headline_names(all_names) -> list[str]:
         "sk_hll_rollup_distinct",
         "asm_contamination",
         "asm_pack_chunks",
+        "sim_quantized_topk",
+        "dedup_incremental_probe",
+        "asm_quality_budget",
         "pipe_clean_corpus",
     ]
     return [n for n in preferred if n in all_names] or sorted(all_names)[:8]
