@@ -283,3 +283,34 @@ def write_shards(
         .partitionBy("shard_id")
         .parquet(path)
     )
+
+
+def leakage_safe_split(
+    components: DataFrame,
+    val_frac: float = 0.1,
+    test_frac: float = 0.1,
+    id_col: str = "doc_id",
+    component_col: str = "component_id",
+    seed: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment that cannot leak near-duplicates
+    across splits: the hash threshold is applied to the *duplicate
+    cluster id*, so every member of a component follows its canonical
+    id into the same split. Per-doc hashing (plain :func:`split_assign`)
+    puts two near-identical docs on opposite sides of the train/test
+    boundary with probability ≈ 2·test_frac — silent eval
+    contamination at corpus scale.
+
+    ``components`` is the (id, component_id) output of
+    :func:`capital.llm.clusters.connected_components`. Narrow
+    projection on top of it — no additional shuffle.
+    """
+    u = hash_fraction(F.col(component_col), seed)
+    split = (
+        F.when(u < F.lit(test_frac), F.lit("test"))
+        .when(u < F.lit(test_frac + val_frac), F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return components.select(
+        F.col(id_col), F.col(component_col), split.alias("split")
+    )

@@ -271,3 +271,44 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         "min_shingle_hash",
         F.array_min(F.transform(shingles, lambda s: F.md5(s))),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping fixed-token windows — the
+    context-length preparation step between cleaning and packing
+    (long documents must become model-sized pieces; the overlap keeps
+    boundary sentences learnable from both sides).
+
+    Window starts step by ``chunk_tokens - overlap`` while material
+    remains (a final short chunk keeps the tail; a short/empty doc
+    yields exactly one chunk). Emits ``(id, chunk_index,
+    n_chunk_tokens, chunk_md5)`` — the digest, not the text, so
+    downstream exact-dedup of chunks needs no second tokenization.
+
+    Scale: narrow explode, ~n_tokens/step rows per doc, zero shuffle;
+    the expansion happens in the scan's projection.
+    """
+    step = int(chunk_tokens) - int(overlap)
+    if step <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(1), F.greatest(n - F.lit(int(overlap)), F.lit(1)), F.lit(step)
+    )
+    exploded = df.select(
+        F.col(id_col), toks.alias("__toks"), F.explode(starts).alias("__s")
+    )
+    chunk = F.slice(F.col("__toks"), F.col("__s"), int(chunk_tokens))
+    return exploded.select(
+        F.col(id_col),
+        F.expr(f"(__s - 1) div {step}").cast("int").alias("chunk_index"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )

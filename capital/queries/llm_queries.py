@@ -1048,3 +1048,79 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < _N_QUERIES)
     return quantized_cosine_topk(emb, queries_df, k=_TOPK)
+
+
+# --- leakage-safe splitting ----------------------------------------------
+
+_LSPLIT_SEED = "lsplit1"
+_LSPLIT_TEST, _LSPLIT_VAL = 0.1, 0.1
+
+
+@query(
+    "asm_leakage_safe_split",
+    memoize=False,
+    oracle=f"""
+    WITH comp AS ({{clusters}}),
+    u AS (
+      SELECT doc_id, component_id,
+             ('0x' || substr(md5('{_LSPLIT_SEED}:'
+                 || CAST(component_id AS VARCHAR)), 1, 8))::UBIGINT
+               / 4294967296.0 AS h
+      FROM comp)
+    SELECT doc_id, component_id,
+           CASE WHEN h < {_LSPLIT_TEST} THEN 'test'
+                WHEN h < {_LSPLIT_TEST + _LSPLIT_VAL} THEN 'val'
+                ELSE 'train' END AS split
+    FROM u
+    """.format(clusters=_clusters_oracle()),
+)
+def asm_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-safe train/val/test split: the hash threshold applies
+    to the duplicate-cluster id, so two near-identical documents can
+    never straddle the train/test boundary (per-doc hashing leaks a
+    near-dup across it with probability ≈ 2·test_frac). Composes the
+    cluster resolution with a narrow projection — no shuffle beyond
+    connected components itself."""
+    from capital.llm.assemble import leakage_safe_split
+    from capital.llm.clusters import connected_components
+
+    d, pairs = _neardup_pair_graph(spark, sf_dir)
+    comps = connected_components(pairs, d.select("doc_id"))
+    return leakage_safe_split(
+        comps, val_frac=_LSPLIT_VAL, test_frac=_LSPLIT_TEST,
+        seed=_LSPLIT_SEED,
+    )
+
+
+_CHUNK_TOKENS, _CHUNK_OVERLAP = 64, 8
+
+
+@query(
+    "text_chunk_documents",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(range(1, greatest(len(toks) - {_CHUNK_OVERLAP}, 1) + 1,
+                          {_CHUNK_TOKENS - _CHUNK_OVERLAP})) AS st
+      FROM t)
+    SELECT doc_id,
+           CAST((st - 1) // {_CHUNK_TOKENS - _CHUNK_OVERLAP} AS INTEGER)
+             AS chunk_index,
+           CAST(len(toks[st:st + {_CHUNK_TOKENS - 1}]) AS INTEGER)
+             AS n_chunk_tokens,
+           md5(array_to_string(toks[st:st + {_CHUNK_TOKENS - 1}], ' '))
+             AS chunk_md5
+    FROM s
+    """,
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length chunking: overlapping {64,8}-token windows per
+    document (digest + token count per chunk; see
+    capital.llm.text.chunk_documents)."""
+    from capital.llm.text import chunk_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_documents(
+        d, chunk_tokens=_CHUNK_TOKENS, overlap=_CHUNK_OVERLAP
+    )

@@ -163,3 +163,31 @@ def test_select_within_budget_tiebreak_is_id(spark):
     assert sorted((r.doc_id, r.budget_used) for r in out) == [
         (2, 0), (5, 50), (9, 100)
     ]
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from capital.llm.assemble import leakage_safe_split, split_assign
+
+    comps = spark.createDataFrame(
+        [(i, i % 7) for i in range(200)],
+        "doc_id long, component_id long",
+    )
+    out = leakage_safe_split(comps, val_frac=0.2, test_frac=0.2)
+    # Every member of a component lands in the same split.
+    assert (
+        out.groupBy("component_id")
+        .agg(F.count_distinct("split").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+        == 0
+    )
+    # The property is not vacuous: per-doc hashing on the same data
+    # does straddle clusters (the leak this operator exists to stop).
+    naive = split_assign(comps, val_frac=0.2, test_frac=0.2)
+    straddled = (
+        naive.groupBy("component_id")
+        .agg(F.count_distinct("split").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert straddled > 0
