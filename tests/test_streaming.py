@@ -183,3 +183,73 @@ def test_stream_static_enrich_matches_batch_join(spark, sf_dir, tmp_path):
     assert got == want
     # The enrichment must actually attach segments for known users.
     assert any(seg is not None for (_, _, seg) in got)
+
+
+def test_streaming_incremental_dedup_against_stored_index(spark, tmp_path):
+    """The growing-lake dedup loop, end to end on a real stream: each
+    micro-batch probes the band-partitioned LSH index table, flags
+    collisions with history, and appends its own band keys — so later
+    batches dedup against everything before them without re-shingling
+    it."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from capital.llm.dedup import (
+        band_keys,
+        incremental_neardup_flags,
+        minhash_signatures,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    index_dir = str(tmp_path / "index")
+    flags_dir = str(tmp_path / "flags")
+    ckpt = str(tmp_path / "ckpt")
+
+    day1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "totally different first day content here folks")],
+        schema,
+    )
+    # Seed the index with day-1 history (the prior batch's append).
+    band_keys(minhash_signatures(day1, num_hashes=16), bands=4,
+              rows_per_band=4).write.mode("append").parquet(index_dir)
+
+    day2 = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta eta theta"),  # dup of 1
+         (11, "genuinely novel second day material nothing shared")],
+        schema,
+    )
+    day2.coalesce(1).write.mode("append").parquet(src)
+
+    def _probe_and_append(batch_df, batch_id):
+        index = batch_df.sparkSession.read.parquet(index_dir)
+        flags = incremental_neardup_flags(
+            batch_df, index, num_hashes=16, bands=4, rows_per_band=4
+        )
+        flags.write.mode("append").parquet(flags_dir)
+        band_keys(
+            minhash_signatures(batch_df, num_hashes=16),
+            bands=4, rows_per_band=4,
+        ).write.mode("append").parquet(index_dir)
+
+    q = (
+        spark.readStream.schema(schema).parquet(src)
+        .writeStream.foreachBatch(_probe_and_append)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    flags = {r.doc_id: r for r in spark.read.parquet(flags_dir).collect()}
+    assert flags[10].is_dup and flags[10].first_hit_id == 1
+    assert not flags[11].is_dup
+    # The index grew by day-2's band keys: a day-3 batch would see both.
+    idx = spark.read.parquet(index_dir)
+    assert idx.select("doc_id").distinct().count() == 4
