@@ -80,10 +80,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     floored to a microsecond timestamp here — the same truncation DuckDB
     applies when surfacing TIMESTAMP_NS, so oracle parity holds.
     """
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir, name)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
+    # Evict plans from stopped sessions (pytest and long-lived drivers
+    # create many sessions per process; dead appIds never hit again).
+    for stale in [k for k in _TABLE_CACHE if k[0] != app]:
+        del _TABLE_CACHE[stale]
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # Integer division: nanos exceed 2^53, a double round-trip would

@@ -429,8 +429,12 @@ def incremental_neardup_flags(
             F.min("__hist_id").alias("first_hit_id"),
         )
     )
+    # Left-join flags onto the raw batch ids, not sigs.select(id): the
+    # latter would re-run the shingle explode + groupBy just to list
+    # ids — a second full batch scan (signature ids == batch ids by
+    # construction: explode_outer + groupBy preserves every input row).
     return (
-        sigs.select(id_col)
+        batch.select(id_col)
         .join(hits, id_col, "left")
         .select(
             F.col(id_col),

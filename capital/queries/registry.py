@@ -66,10 +66,15 @@ def query(
             # execution itself was 0.1 s). A DataFrame is an immutable
             # plan, so handing back the same object is semantically
             # identical; keyed by applicationId so new sessions rebuild.
-            key = (spark.sparkContext.applicationId, sf_dir, name)
+            app = spark.sparkContext.applicationId
+            key = (app, sf_dir, name)
             cached = _PLAN_CACHE.get(key)
             if cached is not None:
                 return cached
+            # Evict entries from stopped sessions (dead appIds never
+            # hit again; keeps many-session processes bounded).
+            for stale in [k for k in _PLAN_CACHE if k[0] != app]:
+                del _PLAN_CACHE[stale]
             df = fn(spark, sf_dir)
             _PLAN_CACHE[key] = df
             return df
