@@ -686,11 +686,26 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_as_assets(d).select("asset_id", "n_bytes")
 
 
-@query("mm_decode_stub")
+@query(
+    "mm_decode_stub",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           'application/octet-stream' AS media_type,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(strlen(text) % 1920 AS INTEGER) AS width,
+           CAST(strlen(text) % 1080 AS INTEGER) AS height,
+           md5(text) AS checksum
+    FROM documents
+    """,
+)
 def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract via Arrow-batched mapInPandas (codec
-    stubbed — real media libs absent; batch shape/schema are real).
-    No SQL oracle: mapInPandas is not SQL-expressible."""
+    stubbed — real media libs absent; the mapInPandas batch
+    shape/schema/Arrow plumbing are real). The stub's semantics are
+    deterministic byte arithmetic + md5 over the UTF-8 payload, so the
+    Python-kernel output is hash-checked against a pure-SQL oracle —
+    pinning the Arrow boundary end to end (DuckDB strlen/md5 operate
+    on the same UTF-8 bytes)."""
     d = load_table(spark, sf_dir, "documents")
     return decode_assets(text_as_assets(d))
 
