@@ -91,3 +91,35 @@ def test_clusters_partition_and_pair_consistency(spark, sf_dir):
     for doc, comp in labels.items():
         assert comp <= doc
         assert labels[comp] == comp
+
+
+@given(
+    n_tokens=st.integers(min_value=0, max_value=400),
+    chunk=st.integers(min_value=2, max_value=64),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.9),
+)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_chunking_covers_every_token_exactly(spark, n_tokens, chunk,
+                                             overlap_frac):
+    from capital.llm.text import chunk_documents
+
+    overlap = min(int(chunk * overlap_frac), chunk - 1)
+    step = chunk - overlap
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect(),
+        key=lambda r: r.chunk_index,
+    )
+    # tokens("") is [""] — the engine-wide one-empty-token convention.
+    n_eff = max(n_tokens, 1)
+    # Chunk starts step uniformly; indexes are dense from 0.
+    assert [r.chunk_index for r in rows] == list(range(len(rows)))
+    # Every token is covered: the last chunk reaches token n_eff, and
+    # consecutive chunks leave no gap (start_{i+1} = start_i + step
+    # <= start_i + len_i since step <= chunk).
+    last_start = (len(rows) - 1) * step + 1
+    assert last_start + rows[-1].n_chunk_tokens - 1 == n_eff
+    for r in rows[:-1]:
+        assert r.n_chunk_tokens == chunk  # only the tail may be short
