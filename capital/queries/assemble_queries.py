@@ -117,7 +117,10 @@ def asm_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS prior
       FROM documents)
     SELECT source, CAST(prior // {_PACK_BUDGET} AS BIGINT) AS chunk_id,
-           COUNT(*) AS n_docs, SUM(n_chars) AS chunk_cost
+           COUNT(*) AS n_docs,
+           -- DuckDB SUM(int) is HUGEINT, which pandas renders float64
+           -- and the driver's value hash sees as 368.0 vs Spark's 368.
+           CAST(SUM(n_chars) AS BIGINT) AS chunk_cost
     FROM c
     GROUP BY source, chunk_id
     """,

@@ -761,7 +761,11 @@ def text_tfidf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fallback to the first slice) + the 16-bin byte histogram purely
     # on the hex encoding: a byte's bin IS its high nibble, i.e. the
     # odd-position characters of hex(payload). Exact integer counts —
-    # hash-stable; the L2-normalized twin stays pytest-pinned.
+    # hash-stable. The output is exploded to one scalar row per
+    # (frame, bin): the round-2 driver canonicalizer crashed sorting an
+    # array<double> column (numpy arrays are unhashable in pandas
+    # factorize), so the driver-facing shape must be scalar-only. The
+    # array-shaped + L2-normalized twins stay pytest-pinned.
     oracle="""
     WITH base AS (
       SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
@@ -775,29 +779,34 @@ def text_tfidf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM base, (SELECT unnest(range(0, 4)) AS i)
     )
     SELECT asset_id, CAST(frame_idx AS INTEGER) AS frame_idx,
-      list_transform(
-        ['0','1','2','3','4','5','6','7',
-         '8','9','A','B','C','D','E','F'],
-        d -> CAST(length(list_filter(
-               list_transform(range(1, length(fhx)//2 + 1),
-                              i -> substr(fhx, 2*i-1, 1)),
-               c -> c = d)) AS DOUBLE)) AS features
-    FROM frames
+      CAST(b AS INTEGER) AS bin_idx,
+      CAST(length(list_filter(
+             list_transform(range(1, length(fhx)//2 + 1),
+                            i -> substr(fhx, 2*i-1, 1)),
+             c -> c = substr('0123456789ABCDEF', CAST(b AS INTEGER) + 1, 1)))
+           AS DOUBLE) AS bin_count
+    FROM frames, (SELECT unnest(range(0, 16)) AS b)
     """,
 )
 def mm_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline: asset → frame-sample (stubbed codec, real
     row-expanding mapInPandas) → byte-histogram features (real numpy
-    featurizer) — output is ANN-shaped array<double>. Oracle-paired on
-    the exact-count path (the deterministic content of both mapInPandas
+    featurizer), exploded to driver-canonicalizable scalar rows
+    (asset_id, frame_idx, bin_idx, bin_count). Oracle-paired on the
+    exact-count path (the deterministic content of both mapInPandas
     stages is fully replicated in SQL over the hex encoding);
-    normalization + ANN interop are pinned in
+    array shape, normalization + ANN interop are pinned in
     tests/test_multimodal_pipeline.py."""
     from capital.llm.multimodal import byte_histogram_features, sample_frames
 
     d = load_table(spark, sf_dir, "documents")
     frames = sample_frames(text_as_assets(d), n_frames=4)
-    return byte_histogram_features(frames, bins=16, normalize=False)
+    feats = byte_histogram_features(frames, bins=16, normalize=False)
+    return feats.select(
+        "asset_id",
+        "frame_idx",
+        F.posexplode("features").alias("bin_idx", "bin_count"),
+    )
 
 
 def _bpe_oracle() -> str:
