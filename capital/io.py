@@ -61,39 +61,56 @@ class Lake:
         return os.path.join(self.root, layer, table)
 
 
-#: (applicationId, sf_dir, name) → DataFrame. A DataFrame is an
-#: immutable plan, so handing the same one to every caller is safe; the
-#: win is skipping the per-call file listing + parquet footer read
-#: (~0.1–0.15 s of fixed driver-side latency per query, measured at
-#: sf0.1 — the dominant share of the small-query gap vs the DuckDB
-#: anchor). Keyed by applicationId so a stopped/recreated session never
-#: serves stale plans.
-_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+#: (applicationId, sessionUUID, sf_dir, name) → DataFrame. A DataFrame
+#: is an immutable plan, so handing the same one to every caller is
+#: safe; the win is skipping the per-call file listing + parquet footer
+#: read (~0.1–0.15 s of fixed driver-side latency per query, measured
+#: at sf0.1 — the dominant share of the small-query gap vs the DuckDB
+#: anchor). Keyed per session (not just per application) because
+#: ``newSession()`` siblings share an applicationId but not runtime SQL
+#: conf — a plan analyzed under one timezone must not serve another.
+_TABLE_CACHE: dict[tuple[str, str, str, str], DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-generated parquet table from a scale-factor dir.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; with ``nanosAsLong`` (set by
-    :mod:`capital.session`) it arrives as LongType nanos and is
-    floored to a microsecond timestamp here — the same truncation DuckDB
-    applies when surfacing TIMESTAMP_NS, so oracle parity holds.
+    ``events.ts`` has shipped as two different parquet physical types
+    across driver generations, both normalized to a plain UTC
+    ``timestamp`` here so downstream code sees one type:
+
+    - TIMESTAMP(NANOS): illegal for Spark's reader; with ``nanosAsLong``
+      (set by :mod:`capital.session`) it arrives as LongType nanos and
+      is floored to a microsecond timestamp — the same truncation
+      DuckDB applies when surfacing TIMESTAMP_NS.
+    - timestamp[us] without timezone: Spark reads TIMESTAMP_NTZ; under
+      the engine's pinned-UTC session a cast to ``timestamp``
+      reinterprets the wall clock as UTC — exactly how DuckDB treats
+      the same naive value, so oracle ``CAST(ts AS TIMESTAMP)`` parity
+      holds.
     """
-    app = spark.sparkContext.applicationId
-    key = (app, sf_dir, name)
+    from capital.session import session_cache_key
+
+    app, sess = session_cache_key(spark)
+    key = (app, sess, sf_dir, name)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
-    # Evict plans from stopped sessions (pytest and long-lived drivers
-    # create many sessions per process; dead appIds never hit again).
+    # Evict plans from stopped applications (pytest and long-lived
+    # drivers create many sessions per process; dead appIds never hit
+    # again). Sibling sessions of the live app are kept.
     for stale in [k for k in _TABLE_CACHE if k[0] != app]:
         del _TABLE_CACHE[stale]
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        # Integer division: nanos exceed 2^53, a double round-trip would
-        # lose precision.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # Integer division: nanos exceed 2^53, a double round-trip
+            # would lose precision.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            # Wall clock → UTC instant (session timezone is pinned UTC).
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     _TABLE_CACHE[key] = df
     return df
 
@@ -178,20 +195,30 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 
 def execute_jdbc_statements(
-    spark: SparkSession, url: str, statements: Sequence[str]
+    spark: SparkSession,
+    url: str,
+    statements: Sequence[str],
+    properties: dict[str, str] | None = None,
 ) -> None:
     """Run DDL/DML statements over a JDBC connection from the driver.
 
     The reference's warehouse writes ship ``preactions`` — "DROP TABLE
     IF EXISTS …; CREATE TABLE …" executed before the COPY
-    (glue_job_scripts/industry_code_glue_job.py:89-101). This is that
-    contract: statements run in order on one connection, outside
-    Spark's writer, so the subsequent ``mode='append'`` write lands in
-    a freshly-defined table. Uses the JVM's DriverManager via the
-    active gateway — the same classpath Spark's JDBC writer uses, no
-    extra Python driver needed.
+    (glue_job_scripts/industry_code_glue_job.py:89-101), against an
+    *authenticated* warehouse. This is that contract: statements run in
+    order on one connection, outside Spark's writer, so the subsequent
+    ``mode='append'`` write lands in a freshly-defined table.
+    ``properties`` carries the connection credentials (``user`` /
+    ``password`` plus any driver-specific keys — e.g. ``ssl``), exactly
+    the keys Spark's own JDBC writer forwards. Uses the JVM's
+    DriverManager via the active gateway — the same classpath Spark's
+    JDBC writer uses, no extra Python driver needed.
     """
-    conn = spark._jvm.java.sql.DriverManager.getConnection(url)  # noqa: SLF001
+    jvm = spark._jvm  # noqa: SLF001
+    props = jvm.java.util.Properties()
+    for k, v in (properties or {}).items():
+        props.setProperty(k, v)
+    conn = jvm.java.sql.DriverManager.getConnection(url, props)
     try:
         stmt = conn.createStatement()
         try:
@@ -218,12 +245,16 @@ def write_jdbc(
     run first on a driver-side connection, then executors write
     partition-parallel batches. With preactions doing DROP/CREATE, use
     ``mode='append'`` (the DDL already emptied the table) — that is the
-    reference's exact recipe. Scale: each partition opens one
-    connection; repartition to the warehouse's ingest-friendly
-    parallelism before calling for very wide clusters.
+    reference's exact recipe. Credential ``options`` (``user`` /
+    ``password``) are forwarded to the preactions connection too, so
+    the DDL authenticates the same way the bulk write does. Scale: each
+    partition opens one connection; repartition to the warehouse's
+    ingest-friendly parallelism before calling for very wide clusters.
     """
     if preactions:
-        execute_jdbc_statements(df.sparkSession, url, preactions)
+        cred_keys = ("user", "password", "ssl", "sslmode")
+        props = {k: v for k, v in (options or {}).items() if k in cred_keys}
+        execute_jdbc_statements(df.sparkSession, url, preactions, props)
     writer = df.write.format("jdbc").option("url", url).option(
         "dbtable", table
     )

@@ -358,7 +358,7 @@ def _simhash_pairs_oracle() -> str:
     """
 
 
-@query("dedup_simhash_pairs", oracle=_simhash_pairs_oracle())
+@query("dedup_simhash_pairs", oracle=_simhash_pairs_oracle(), memoize=False)
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: prefix-block join + exact Hamming
     filter — completes the SimHash dedup path (signatures → pairs)."""

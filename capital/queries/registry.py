@@ -65,14 +65,19 @@ def query(
             # call (measured on the sign-LSH hyperplane plan at sf0.1 —
             # execution itself was 0.1 s). A DataFrame is an immutable
             # plan, so handing back the same object is semantically
-            # identical; keyed by applicationId so new sessions rebuild.
-            app = spark.sparkContext.applicationId
-            key = (app, sf_dir, name)
+            # identical; keyed by (applicationId, sessionUUID) so new
+            # sessions — including newSession() siblings, whose runtime
+            # SQL conf differs — always rebuild under their own conf.
+            from capital.session import session_cache_key
+
+            app, sess = session_cache_key(spark)
+            key = (app, sess, sf_dir, name)
             cached = _PLAN_CACHE.get(key)
             if cached is not None:
                 return cached
-            # Evict entries from stopped sessions (dead appIds never
-            # hit again; keeps many-session processes bounded).
+            # Evict entries from stopped applications (dead appIds
+            # never hit again; keeps many-session processes bounded).
+            # Sibling sessions of the live app are kept.
             for stale in [k for k in _PLAN_CACHE if k[0] != app]:
                 del _PLAN_CACHE[stale]
             df = fn(spark, sf_dir)

@@ -124,6 +124,25 @@ def get_spark(
     return spark
 
 
+def session_cache_key(spark: SparkSession) -> tuple[str, str]:
+    """(applicationId, per-session id) for keying driver-side caches.
+
+    ``applicationId`` alone is not enough: sibling sessions from
+    ``SparkSession.newSession()`` share an applicationId but carry
+    independent runtime SQL conf, and a plan analyzed under one
+    session's conf (e.g. its timezone) must not be served to another.
+    The JVM session's ``sessionUUID`` is unique per SparkSession; fall
+    back to the Python wrapper's identity where the JVM handle is
+    unavailable (e.g. Spark Connect).
+    """
+    app = spark.sparkContext.applicationId
+    try:
+        sess = spark._jsparkSession.sessionUUID()  # noqa: SLF001
+    except Exception:  # pragma: no cover - connect/mock sessions
+        sess = str(id(spark))
+    return app, sess
+
+
 def tune_existing(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine conf to a session we did not create.
 

@@ -78,3 +78,56 @@ def test_execute_jdbc_statements_runs_in_order(spark, derby_url):
     )
     vals = sorted(r[0] for r in read_jdbc(spark, derby_url, "seq1").collect())
     assert vals == [7, 8]
+
+
+def test_jdbc_authenticated_preactions_and_write(spark, tmp_path):
+    """K4 against an *authenticated* warehouse: Derby BUILTIN auth is
+    enabled on the database, after which every connection — the
+    driver-side preactions connection and the executor-side writer
+    connections — must present user/password (the reference's
+    credentialed Redshift recipe, glue_job_scripts/
+    industry_code_glue_job.py:89-101)."""
+    url = f"jdbc:derby:{tmp_path}/authwh"
+    creds = {"user": "capital", "password": "s3cret"}
+    # Bootstrap: create the db and switch on BUILTIN authentication.
+    execute_jdbc_statements(
+        spark,
+        url + ";create=true",
+        [
+            # Derby 10.16 no longer defaults the provider; without an
+            # explicit BUILTIN, requireAuthentication silently no-ops.
+            "CALL SYSCS_UTIL.SYSCS_SET_DATABASE_PROPERTY("
+            "'derby.authentication.provider', 'BUILTIN')",
+            "CALL SYSCS_UTIL.SYSCS_SET_DATABASE_PROPERTY("
+            "'derby.user.capital', 's3cret')",
+            "CALL SYSCS_UTIL.SYSCS_SET_DATABASE_PROPERTY("
+            "'derby.connection.requireAuthentication', 'true')",
+            # Without propertiesOnly, unset system-wide properties win
+            # at boot and requireAuthentication silently no-ops
+            # (verified empirically on Derby 10.16.1.1).
+            "CALL SYSCS_UTIL.SYSCS_SET_DATABASE_PROPERTY("
+            "'derby.database.propertiesOnly', 'true')",
+        ],
+    )
+    # Derby only enforces requireAuthentication at boot; shut the db
+    # down so the next connection starts a fresh, authenticated boot.
+    with pytest.raises(Exception):
+        # Successful shutdown *throws* SQLException 08006 by contract.
+        execute_jdbc_statements(spark, url + ";shutdown=true", [], creds)
+
+    # Unauthenticated DDL must now be rejected.
+    with pytest.raises(Exception):
+        execute_jdbc_statements(spark, url, ["CREATE TABLE nope (x INT)"])
+
+    # Authenticated preactions + write + read-back all pass creds.
+    df = spark.createDataFrame([(1, "ok")], "k int, v string")
+    write_jdbc(
+        df,
+        url,
+        "secured",
+        mode="append",
+        preactions=["CREATE TABLE secured (k INT, v VARCHAR(8))"],
+        options=creds,
+    )
+    back = read_jdbc(spark, url, "secured", options=creds)
+    assert [(r[0], r[1]) for r in back.collect()] == [(1, "ok")]
