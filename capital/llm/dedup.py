@@ -115,10 +115,15 @@ def lsh_candidate_pairs(
     """LSH banding: docs sharing any band bucket become candidate pairs.
 
     Explodes to (band, band_key) — ``docs × bands`` small rows — and
-    self-joins per bucket. Estimated Jaccard = fraction of equal
-    signature components. At scale the bucket join shuffles on the band
-    key; a hot bucket (boilerplate docs) is the skew case AQE splits.
+    self-joins per bucket via :func:`capital.operators.skew.
+    chunked_pair_join`: a hot bucket (boilerplate docs all sharing one
+    band key) is cut into hash-chunks so no task owns more than
+    ~``chunk_target²`` candidate comparisons — AQE's skew split bounds
+    join *input* but not a self-join bucket's quadratic *output*.
+    Estimated Jaccard = fraction of equal signature components.
     """
+    from capital.operators.skew import chunked_pair_join
+
     n = bands * rows_per_band
     # Materialize signatures once: the banding explode and both join
     # branches would otherwise re-evaluate the full hash pipeline per
@@ -134,19 +139,9 @@ def lsh_candidate_pairs(
         signatures, id_col=id_col, bands=bands, rows_per_band=rows_per_band
     )
 
-    a = banded.alias("a")
-    b_ = banded.alias("b")
     id_pairs = (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
+        chunked_pair_join(banded, ["band", "band_key"], id_col)
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     pairs = id_pairs.join(
@@ -231,37 +226,98 @@ def simhash_neardup_pairs(
 
     One-table blocking is the cheap variant (recall misses pairs whose
     differing bits fall in the prefix); the full-recall construction
-    repeats the join over rotated-prefix tables. Shuffle is 1 on the
-    prefix key; never O(n²).
+    repeats the join over rotated-prefix tables. The block self-join
+    goes through :func:`capital.operators.skew.chunked_pair_join`, so a
+    hot prefix block (near-identical boilerplate corpus) is chunked
+    instead of landing its whole quadratic pair space on one task.
     """
+    from capital.operators.skew import chunked_pair_join
+
     keyed = signatures.select(
         F.col(id_col),
         F.col("simhash_bits"),
         F.substring("simhash_bits", 1, prefix_bits).alias("block"),
     )
-    a = keyed.alias("a")
-    b = keyed.alias("b")
     positions = F.sequence(F.lit(1), F.lit(bits))
     hamming = F.size(
         F.filter(
             positions,
-            lambda i: F.col("a.simhash_bits").substr(i, F.lit(1))
-            != F.col("b.simhash_bits").substr(i, F.lit(1)),
+            lambda i: F.col("simhash_bits_a").substr(i, F.lit(1))
+            != F.col("simhash_bits_b").substr(i, F.lit(1)),
         )
     )
     return (
-        a.join(
-            b,
-            (F.col("a.block") == F.col("b.block"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        chunked_pair_join(
+            keyed, ["block"], id_col, payload_cols=["simhash_bits"]
         )
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            "hamming",
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_fullrecall_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Full-recall SimHash near-dup pairs via segment pigeonhole
+    blocking (Manku/Jain/Sarma, "Detecting near-duplicates for web
+    crawling", WWW 2007).
+
+    Split the ``bits``-char signature into ``max_hamming + 1`` disjoint
+    segments: a pair within ``max_hamming`` differing bits must agree
+    *exactly* on at least one segment (pigeonhole), so blocking on
+    every ``(segment index, segment bits)`` key and unioning the
+    per-segment candidates misses nothing — unlike the single-prefix
+    variant (:func:`simhash_neardup_pairs`), whose recall drops when
+    differing bits land in the prefix. Cost: ``max_hamming + 1``
+    blocking rows per doc instead of 1; each segment's self-join is
+    skew-bounded through :func:`capital.operators.skew.
+    chunked_pair_join`, and duplicates (pairs agreeing on several
+    segments) collapse in one id-pair dedup before the Hamming filter.
+    """
+    from capital.operators.skew import chunked_pair_join
+
+    segs = max_hamming + 1
+    if bits % segs:
+        raise ValueError(
+            f"bits={bits} must divide into max_hamming+1={segs} segments"
         )
+    seg_len = bits // segs
+    keyed = signatures.select(
+        F.col(id_col),
+        F.col("simhash_bits"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("seg"),
+                        F.substring(
+                            "simhash_bits", s * seg_len + 1, seg_len
+                        ).alias("seg_bits"),
+                    )
+                    for s in range(segs)
+                ]
+            )
+        ).alias("sb"),
+    ).select(id_col, "simhash_bits", "sb.seg", "sb.seg_bits")
+    cand = chunked_pair_join(
+        keyed, ["seg", "seg_bits"], id_col, payload_cols=["simhash_bits"]
+    ).dropDuplicates(["id_a", "id_b"])
+    positions = F.sequence(F.lit(1), F.lit(bits))
+    hamming = F.size(
+        F.filter(
+            positions,
+            lambda i: F.col("simhash_bits_a").substr(i, F.lit(1))
+            != F.col("simhash_bits_b").substr(i, F.lit(1)),
+        )
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )
 
 

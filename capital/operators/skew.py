@@ -65,6 +65,90 @@ def salted_agg(
     )
 
 
+def chunked_blocks(
+    keyed: DataFrame,
+    block_cols: list[str],
+    id_col: str,
+    chunk_target: int = 1024,
+) -> DataFrame:
+    """Attach deterministic chunk metadata to a blocked frame: per-block
+    row count ``__n``, chunk count ``__s = ceil(n / chunk_target)``, and
+    this row's chunk ``__c = xxhash64(id) mod __s``.
+
+    Blocks of one row are dropped (they cannot pair). The count is an
+    aggregate + equi-join rather than a window so a hot block never has
+    to materialize in a single task; AQE broadcasts the per-block counts
+    when they are small.
+    """
+    counts = keyed.groupBy(*block_cols).agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        keyed.join(counts.filter(F.col("__n") > 1), block_cols)
+        .withColumn(
+            "__s",
+            F.ceil(F.col("__n") / F.lit(chunk_target)).cast("int"),
+        )
+        .withColumn(
+            "__c",
+            F.pmod(F.xxhash64(F.col(id_col)), F.col("__s")).cast("int"),
+        )
+    )
+
+
+def chunked_pair_join(
+    keyed: DataFrame,
+    block_cols: list[str],
+    id_col: str,
+    payload_cols: list[str] | None = None,
+    chunk_target: int = 1024,
+) -> DataFrame:
+    """All within-block unordered pairs (``id_a < id_b``) with a hard
+    per-task bound under block skew.
+
+    A plain self-join on the block key sends a hot block's entire
+    ~m²/2 pair space to one task (boilerplate-heavy web corpora make
+    million-doc LSH/SimHash buckets routinely). Here each block is cut
+    into ``s = ceil(m / chunk_target)`` hash-chunks and the pair space
+    is enumerated per *chunk pair*: a row joins under bucket key
+    ``(block, c_left, c_right)`` where each side explodes over the s
+    partner chunks. Every unordered pair (x, y), x < y, materializes in
+    exactly one bucket — ``(chunk(x), chunk(y))`` — so the output is
+    identical to the naive self-join, but no task ever compares more
+    than ~``chunk_target²`` candidates. Replication is s small rows per
+    input row (total O(m²/chunk_target) — pair count over chunk size),
+    and unskewed blocks (s=1) degenerate to the plain single-bucket
+    join.
+
+    AQE's skew-join split bounds per-task *input*; it cannot bound the
+    quadratic *output* of a self-join bucket — this operator does.
+    ``payload_cols`` are carried to both sides as ``<col>_a`` /
+    ``<col>_b``.
+    """
+    payload_cols = payload_cols or []
+    chunked = chunked_blocks(keyed, block_cols, id_col, chunk_target)
+    partner = F.explode(
+        F.sequence(F.lit(0), F.col("__s") - F.lit(1))
+    ).alias("__partner")
+    left = chunked.select(
+        *block_cols,
+        F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"{c}_a") for c in payload_cols],
+        F.col("__c").alias("__ca"),
+        partner,
+    ).withColumnRenamed("__partner", "__cb")
+    right = chunked.select(
+        *block_cols,
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in payload_cols],
+        F.col("__c").alias("__cb"),
+        partner,
+    ).withColumnRenamed("__partner", "__ca")
+    return (
+        left.join(right, [*block_cols, "__ca", "__cb"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .drop("__ca", "__cb")
+    )
+
+
 def salted_broadcast_left_join(
     facts: DataFrame,
     dim: DataFrame,

@@ -54,7 +54,7 @@ for _m in _MODULES:
 #:
 #: Still r1-only after this round (rotate into round 5's slots):
 #: q4 q5 q7 q8 q10 q12 q13 q14 q15 q17 q18 q19 q21 q22 p3b p4 p9 j5
-#: a2 a7 u1 u2 w4. Local parity (tests/test_oracle_parity.py) always
+#: a2 a7 u1 u2 w4 w1 cal_dim. Local parity (tests/test_oracle_parity.py) always
 #: checks all queries regardless of this ordering.
 _DRIVER_PRIORITY = [
     # --- never driver-checked (18) + the r3 red fix ---
@@ -66,6 +66,7 @@ _DRIVER_PRIORITY = [
     "f13_array_transform",
     "f2b_bok_interval_formats",
     "sim_ivf_topk",
+    "sim_ivf_topk_fullprobe",
     "mm_decode_stub",
     "dedup_ml_minhash",
     "text_tfidf_stats",
@@ -80,6 +81,7 @@ _DRIVER_PRIORITY = [
     # --- round-4-touched code paths ---
     "dedup_embedding_cosine",
     "dedup_simhash_pairs",
+    "dedup_simhash_fullrecall",
     "dedup_minhash_lsh",
     "dedup_minhash_verified",
     # --- r2-fail→r3-fixed regression sentinels ---
@@ -109,8 +111,6 @@ _DRIVER_PRIORITY = [
     "w6_trailing_7day_sum",
     "ud3_group_apply_rank",
     "f14_zero_fill_left_join",
-    "cal_dim_calendar",
-    "w1_previous_working_day",
     # --- 50-slot boundary ---
 ]
 

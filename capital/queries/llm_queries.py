@@ -372,6 +372,49 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_fullrecall_oracle() -> str:
+    segs = _SH_MAX_HAMMING + 1
+    seg_len = _SH_BITS // segs
+    return f"""
+    WITH v AS ({_simhash_oracle()}),
+    seg AS (
+      SELECT doc_id, simhash_bits, s,
+             substr(simhash_bits, s * {seg_len} + 1, {seg_len}) AS seg_bits
+      FROM v, (SELECT unnest(range(0, {segs})) AS s)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash_bits AS sa, b.simhash_bits AS sb
+      FROM seg a JOIN seg b
+        ON a.s = b.s AND a.seg_bits = b.seg_bits
+           AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, hamming FROM (
+      SELECT id_a, id_b,
+             CAST(len(list_filter(range(1, {_SH_BITS} + 1),
+                  i -> substr(sa, i, 1) <> substr(sb, i, 1))) AS INTEGER)
+               AS hamming
+      FROM cand)
+    WHERE hamming <= {_SH_MAX_HAMMING}
+    """
+
+
+@query(
+    "dedup_simhash_fullrecall",
+    oracle=_simhash_fullrecall_oracle(),
+    memoize=False,
+)
+def dedup_simhash_fullrecall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-recall SimHash pairs: pigeonhole segment blocking (every
+    pair within max_hamming agrees on >= 1 of max_hamming+1 disjoint
+    segments) — the production-recall variant of dedup_simhash_pairs."""
+    from capital.llm.dedup import simhash_fullrecall_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    sigs = simhash_bits(d, bits=_SH_BITS).persist()
+    return simhash_fullrecall_pairs(
+        sigs, bits=_SH_BITS, max_hamming=_SH_MAX_HAMMING
+    )
+
+
 def _verified_neardup_oracle(table: str = "documents") -> str:
     """LSH candidates → exact Jaccard, as one SQL pipeline (reuses the
     minhash CTE construction)."""
@@ -625,8 +668,24 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries_df, k=_TOPK, n_cells=16, nprobe=4)
 
 
+@query("sim_ivf_topk_fullprobe", memoize=False, oracle=_COSINE_TOPK_ORACLE)
+def sim_ivf_topk_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe = n_cells: every cell probed, so the index
+    search is exhaustive and must equal the brute-force baseline
+    exactly. This pins the whole IVF machinery (KMeans assign, cell
+    join, windowed top-k) with a hash-matched SQL oracle — the
+    deterministic driver-checkable twin of the rows-only sim_ivf_topk."""
+    from capital.llm.ivf import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return ivf_topk(emb, queries_df, k=_TOPK, n_cells=16, nprobe=16)
+
+
 _NEARDUP_PLANES = 6
-_NEARDUP_THRESHOLD = 0.9
+# 0.35 fires on the synthetic embeddings at sf0.01 (12 pairs) so the
+# driver hash-check pins real output; 0.9 never fired (vacuous 0=0).
+_NEARDUP_THRESHOLD = 0.35
 
 
 def _neardup_oracle() -> str:
