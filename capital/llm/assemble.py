@@ -75,6 +75,79 @@ def mixture_sample(
     return df.withColumn("sample_u", F.round(u, 6)).filter(u < rate)
 
 
+def temperature_rates(
+    df: DataFrame,
+    alpha: float = 0.5,
+    target_docs: int = 600,
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source sampling rates from temperature-scaled source shares.
+
+    ``q_s ∝ (n_s / N)^alpha`` with ``alpha < 1`` flattens source skew —
+    the multilingual/domain sampling rule of mT5 / XLM-R (Xue et al.
+    2021 §3.1; Conneau et al. 2020 §3) — then ``rate_s = target_docs ·
+    q_s / n_s`` converts the mixture into a per-document rate. Rates
+    above 1 mean the source is *upsampled* (documents repeat).
+
+    The frame is one row per source, so the unpartitioned windows are
+    dimension-sized by construction; nothing here touches corpus-scale
+    data.
+    """
+    w = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    share = F.col("n_docs") / F.sum("n_docs").over(w)
+    q = counts.withColumn("__q", F.pow(share, F.lit(float(alpha))))
+    rate = F.round(
+        F.lit(float(target_docs))
+        * (F.col("__q") / F.sum("__q").over(w))
+        / F.col("n_docs"),
+        6,
+    )
+    return q.select(source_col, "n_docs", rate.alias("rate"))
+
+
+def temperature_mixture(
+    df: DataFrame,
+    alpha: float = 0.5,
+    target_docs: int = 600,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "tmix",
+) -> DataFrame:
+    """Temperature-scaled corpus mixture with deterministic fractional
+    up/downsampling.
+
+    Each document yields ``floor(rate)`` guaranteed copies plus one
+    Bernoulli copy with probability ``rate - floor(rate)``, decided by
+    the md5 hash fraction — so expected output per source is exactly
+    ``target_docs · q_s``, runs are reproducible across retries and
+    cluster sizes, and low-resource sources genuinely repeat
+    (``copy_idx`` distinguishes the repeats for downstream shuffling).
+
+    Scale: rates are one broadcast row per source; the corpus side is
+    a map-side join + narrow sequence-explode. No corpus shuffle.
+    """
+    rates = temperature_rates(df, alpha, target_docs, source_col).drop(
+        "n_docs"
+    )
+    u = hash_fraction(F.col(id_col), seed)
+    n_copies = (
+        F.floor("rate")
+        + F.when(u < F.col("rate") - F.floor("rate"), 1).otherwise(0)
+    ).cast("int")
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .withColumn("n_copies", n_copies)
+        .filter(F.col("n_copies") > 0)
+        .withColumn(
+            "copy_idx", F.explode(F.sequence(F.lit(1), F.col("n_copies")))
+        )
+        .select(id_col, source_col, "rate", "n_copies", "copy_idx")
+    )
+
+
 def split_assign(
     df: DataFrame,
     val_frac: float = 0.1,

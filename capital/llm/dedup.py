@@ -135,9 +135,12 @@ def lsh_candidate_pairs(
     # and two exchanges is pure shuffle fat. Signatures re-attach from
     # the persisted frame after dedup (the same trick
     # verified_neardup_pairs uses for shingles).
+    # Persist the banded index too: chunked_pair_join reads it three
+    # times (block counts + both join sides), and each read would
+    # otherwise re-run the banding md5 explode. docs × bands small rows.
     banded = band_keys(
         signatures, id_col=id_col, bands=bands, rows_per_band=rows_per_band
-    )
+    ).persist()
 
     id_pairs = (
         chunked_pair_join(banded, ["band", "band_key"], id_col)

@@ -76,6 +76,7 @@ _DRIVER_PRIORITY = [
     "asm_leakage_safe_split",
     "text_chunk_documents",
     "asm_quality_budget",
+    "asm_temperature_mix",
     "st_dedup_keys",
     "approx_distinct_parts",
     # --- round-4-touched code paths ---
@@ -110,7 +111,6 @@ _DRIVER_PRIORITY = [
     "w5_lag_delta",
     "w6_trailing_7day_sum",
     "ud3_group_apply_rank",
-    "f14_zero_fill_left_join",
     # --- 50-slot boundary ---
 ]
 

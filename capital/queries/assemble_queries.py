@@ -197,6 +197,51 @@ def asm_shard_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TMIX_ALPHA, _TMIX_TARGET, _TMIX_SEED = 0.5, 600, "tmix1"
+
+
+@query(
+    "asm_temperature_mix",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+    q AS (
+      SELECT source, n_docs,
+             pow(n_docs / (SELECT SUM(n_docs) FROM counts),
+                 {_TMIX_ALPHA}) AS q_raw
+      FROM counts),
+    rates AS (
+      SELECT source, n_docs,
+             round({float(_TMIX_TARGET)} * (q_raw / (SELECT SUM(q_raw)
+                                                     FROM q))
+                   / n_docs, 6) AS rate
+      FROM q),
+    c AS (
+      SELECT d.doc_id, d.source, r.rate,
+             CAST(FLOOR(r.rate)
+                  + CASE WHEN {_u_sql(_TMIX_SEED)} < r.rate - FLOOR(r.rate)
+                         THEN 1 ELSE 0 END AS INTEGER) AS n_copies
+      FROM documents d JOIN rates r ON d.source = r.source)
+    SELECT doc_id, source, rate, n_copies,
+           CAST(unnest(range(1, n_copies + 1)) AS INTEGER) AS copy_idx
+    FROM c WHERE n_copies > 0
+    """,
+)
+def asm_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture (q_s ∝ share^alpha, the
+    mT5/XLM-R multilingual sampling rule) with deterministic
+    floor+Bernoulli fractional upsampling: low-resource sources repeat
+    (copy_idx), high-resource sources subsample, expected totals hit
+    target_docs exactly. Rates are per-source broadcast rows; the
+    corpus side never shuffles."""
+    from capital.llm.assemble import temperature_mixture
+
+    d = load_table(spark, sf_dir, "documents")
+    return temperature_mixture(
+        d, alpha=_TMIX_ALPHA, target_docs=_TMIX_TARGET, seed=_TMIX_SEED
+    )
+
+
 _SEL_BUDGET = 1000  # tokens per source
 
 

@@ -191,3 +191,37 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
         .count()
     )
     assert straddled > 0
+
+
+def test_temperature_mixture_flattens_and_upsamples(spark):
+    from capital.llm.assemble import temperature_mixture, temperature_rates
+
+    # 400-doc "web" source vs 20-doc "books" source: alpha=0.5 must
+    # upsample books (rate > 1 => repeats) and subsample web.
+    docs = spark.createDataFrame(
+        [(i, "web") for i in range(400)] + [(1000 + i, "books") for i in range(20)],
+        "doc_id long, source string",
+    )
+    rates = {r.source: r.rate for r in temperature_rates(
+        docs, alpha=0.5, target_docs=200).collect()}
+    assert rates["books"] > 1.0 > rates["web"]
+    out = temperature_mixture(docs, alpha=0.5, target_docs=200)
+    per_src = {r.source: r.n for r in out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    # Expected counts: 200 * q_s; realized counts are within the
+    # Bernoulli noise of the fractional part (<= n_docs/2 swing bound,
+    # generous and deterministic given the fixed seed).
+    import math
+    n = {"web": 400, "books": 20}
+    q_raw = {s: math.sqrt(n[s] / 420) for s in n}
+    q = {s: q_raw[s] / sum(q_raw.values()) for s in n}
+    for s in n:
+        assert abs(per_src[s] - 200 * q[s]) < 25
+    # Repeats carry distinct copy_idx values.
+    books = out.filter(F.col("source") == "books")
+    assert books.count() > 20  # genuinely upsampled
+    assert books.groupBy("doc_id", "copy_idx").count().filter(
+        F.col("count") > 1).count() == 0
+    # Deterministic: same seed, same output.
+    again = temperature_mixture(docs, alpha=0.5, target_docs=200)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
