@@ -189,31 +189,33 @@ def cosine_neardup_pairs(
     Pairs are only scored within a bucket (all ``n_planes`` signs
     equal); at 0.95+ cosine the vectors are nearly parallel, so bucket
     collision probability per plane is ≈1 − θ/π ≈ 0.90 — recall stays
-    high while the pair space collapses.
+    high while the pair space collapses. The bucket self-join goes
+    through :func:`capital.operators.skew.chunked_pair_join`: an
+    embedding corpus with a dominant mode (near-identical boilerplate
+    vectors) concentrates in one bucket, and chunking bounds that
+    bucket's quadratic pair output per task.
     """
     from capital.io import parallelize_narrow
+    from capital.operators.skew import chunked_pair_join
 
     planes = hyperplanes(dim, n_planes)
     keyed = parallelize_narrow(vectors).select(
         F.col(id_col),
         F.col(vec_col),
         sign_lsh_key(F.col(vec_col), planes).alias("bucket"),
-    ).persist()  # both join branches reuse the hashed corpus
-    a = keyed.alias("a")
-    b = keyed.alias("b")
+    ).persist()  # counts + both join branches reuse the hashed corpus
     return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        chunked_pair_join(
+            keyed, ["bucket"], id_col, payload_cols=[vec_col]
         )
         .withColumn(
-            "cosine_sim", cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+            "cosine_sim",
+            cosine(F.col(f"{vec_col}_a"), F.col(f"{vec_col}_b")),
         )
         .filter(F.col("cosine_sim") >= threshold)
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+            "id_a",
+            "id_b",
             F.round("cosine_sim", 6).alias("cosine_sim"),
         )
     )

@@ -78,6 +78,7 @@ _DRIVER_PRIORITY = [
     "asm_quality_budget",
     "asm_temperature_mix",
     "st_dedup_keys",
+    "st_stream_join_attribution",
     "approx_distinct_parts",
     # --- round-4-touched code paths ---
     "dedup_embedding_cosine",
@@ -110,7 +111,6 @@ _DRIVER_PRIORITY = [
     "w3_moving_avg",
     "w5_lag_delta",
     "w6_trailing_7day_sum",
-    "ud3_group_apply_rank",
     # --- 50-slot boundary ---
 ]
 

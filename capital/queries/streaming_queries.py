@@ -13,6 +13,7 @@ comparisons must happen at the same precision on both sides.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from capital.io import load_table
 from capital.queries.registry import query
@@ -145,6 +146,58 @@ def st_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     events whose gap is strictly less than 30 min — hence ``>=`` starts
     a new session in the oracle."""
     return session_windows(load_table(spark, sf_dir, "events"), "30 minutes")
+
+
+@query(
+    "st_stream_join_attribution",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           CAST(epoch(date_trunc('second', CAST(p.ts AS TIMESTAMP)))
+                - epoch(date_trunc('second', CAST(c.ts AS TIMESTAMP)))
+             AS BIGINT) AS delay_sec
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+     AND CAST(p.ts AS TIMESTAMP)
+           <= CAST(c.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+    """,
+)
+def st_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join in batch-checkable form: purchases
+    attributed to a same-user click within the prior 30 minutes. The
+    identical operator runs on real streams (watermarked, bounded
+    state) in tests/test_streaming.py; batch and stream converge for
+    inner joins."""
+    from capital.streaming.incremental import stream_stream_interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = stream_stream_interval_join(
+        clicks, buys, on="user_id",
+        left_ts="click_ts", right_ts="purchase_ts",
+        within="30 minutes",
+    )
+    return joined.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (
+            F.col("purchase_ts").cast("long")
+            - F.col("click_ts").cast("long")
+        ).alias("delay_sec"),
+    )
 
 
 @query(

@@ -210,6 +210,45 @@ def session_windows(
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition:
+    ``right.right_ts ∈ [left.left_ts, left.left_ts + within]`` per key
+    — the attribution-join shape (click → purchase within N minutes).
+
+    Both sides get watermarks, and the interval bound is what makes
+    the join's state *evictable*: Structured Streaming buffers each
+    side only until ``watermark + within`` passes, so state is
+    O(events per horizon), not O(stream). Without the time bound a
+    stream-stream join must buffer forever. Inner-join rows are
+    emitted as soon as both sides arrive (append mode holds back
+    nothing for inner joins), so the streamed result converges to the
+    batch result — property-tested stream-vs-batch in
+    tests/test_streaming.py.
+
+    Caller contract: besides ``on``, the two sides' column names are
+    disjoint (rename before calling); ``left_ts != right_ts``.
+    """
+    l_df, r_df = left, right
+    if left.isStreaming:
+        l_df = left.withWatermark(left_ts, watermark)
+    if right.isStreaming:
+        r_df = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l_df[on] == r_df[on])
+        & (r_df[right_ts] >= l_df[left_ts])
+        & (r_df[right_ts] <= l_df[left_ts] + F.expr(f"INTERVAL {within}"))
+    )
+    return l_df.join(r_df, cond, "inner").drop(r_df[on])
+
+
 def stream_static_enrich(
     stream: DataFrame,
     dim: DataFrame,

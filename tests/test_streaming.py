@@ -253,3 +253,45 @@ def test_streaming_incremental_dedup_against_stored_index(spark, tmp_path):
     # The index grew by day-2's band keys: a day-3 batch would see both.
     idx = spark.read.parquet(index_dir)
     assert idx.select("doc_id").distinct().count() == 4
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """Real stream-stream join: click->purchase attribution on two
+    branches of a watermarked file stream. Inner interval joins emit
+    every matched pair once both sides arrive, so with AvailableNow
+    draining everything the streamed result equals the batch result
+    exactly (no append-mode withholding for inner joins... except rows
+    arriving after the other side's state was evicted — with one
+    final watermark advance at end-of-stream, nothing is evicted
+    early here)."""
+    from capital.streaming.incremental import stream_stream_interval_join
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    ev = _write_batches(spark, sf_dir, src)
+
+    def split_join(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        buys = df.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        return stream_stream_interval_join(
+            clicks, buys, on="user_id",
+            left_ts="click_ts", right_ts="purchase_ts",
+            within="30 minutes", watermark="1 hour",
+        ).select("user_id", "click_id", "purchase_id")
+
+    q = incremental_run(spark, src, EVENTS, split_join, sink, ckpt)
+    q.awaitTermination(180)
+
+    streamed = {tuple(r) for r in spark.read.parquet(sink).collect()}
+    batch = {tuple(r) for r in split_join(ev).collect()}
+    assert streamed == batch
+    assert len(batch) > 0
