@@ -10,7 +10,7 @@ typed columns, so they compose into one fused projection pipeline.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Tiny per-language marker vocabularies for the n-gram/stopword
@@ -311,4 +311,82 @@ def chunk_documents(
         F.expr(f"(__s - 1) div {step}").cast("int").alias("chunk_index"),
         F.size(chunk).alias("n_chunk_tokens"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 100,
+) -> DataFrame:
+    """Corpus vocabulary statistics for tokenizer training: per-token
+    global occurrence count, frequency rank, and cumulative coverage
+    share (what fraction of all token occurrences the top-r tokens
+    explain — the number a vocab-size decision is made from).
+
+    Shape: explode tokens → one map-side-combined count per token →
+    a single ordered window over the *vocabulary* (not the corpus) for
+    rank + running share. The window is deliberately unpartitioned:
+    vocabulary cardinality is corpus-sublinear (Heaps' law) and the
+    frame shrank by orders of magnitude at the aggregate; at true
+    100 TB scale cap it (count >= min_count) before ranking. Ties
+    break by token so rank and cum share are deterministic.
+    """
+    tok = df.select(
+        F.explode(tokens(normalized(F.col(text_col)))).alias("token")
+    )
+    counts = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    run = Window.orderBy(F.desc("n_occurrences"), F.asc("token")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "cum_share",
+            F.round(
+                F.sum("n_occurrences").over(run)
+                / F.sum("n_occurrences").over(tot),
+                6,
+            ),
+        )
+        .filter(F.col("rank") <= int(top_k))
+    )
+
+
+def doc_frequency_boilerplate(
+    df: DataFrame,
+    min_doc_frac: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Boilerplate-token discovery by document frequency: tokens
+    present in at least ``min_doc_frac`` of all documents (the site
+    chrome / license header / navigation words a cleaning pass strips
+    or downweights). Per-doc *distinct* tokens explode once; the doc
+    count is a scalar agg cross-joined (1 row — broadcast, no corpus
+    re-scan)."""
+    distinct_tok = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(tokens(normalized(F.col(text_col))))
+        ).alias("token"),
+    )
+    dfreq = distinct_tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_docs_with")
+    )
+    total = df.agg(F.count(F.lit(1)).alias("__n_docs"))
+    return (
+        dfreq.crossJoin(F.broadcast(total))
+        .withColumn(
+            "doc_frac",
+            F.round(F.col("n_docs_with") / F.col("__n_docs"), 6),
+        )
+        .filter(F.col("doc_frac") >= float(min_doc_frac))
+        .select("token", "n_docs_with", "doc_frac")
     )

@@ -75,6 +75,8 @@ _DRIVER_PRIORITY = [
     "sim_quantized_topk",
     "asm_leakage_safe_split",
     "text_chunk_documents",
+    "text_vocab_coverage",
+    "text_df_boilerplate",
     "asm_quality_budget",
     "asm_temperature_mix",
     "st_dedup_keys",
@@ -109,8 +111,6 @@ _DRIVER_PRIORITY = [
     "u3_except_nations",
     "u4_intersect_nations",
     "w3_moving_avg",
-    "w5_lag_delta",
-    "w6_trailing_7day_sum",
     # --- 50-slot boundary ---
 ]
 

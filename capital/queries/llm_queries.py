@@ -727,6 +727,69 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VOCAB_TOPK = 100
+
+
+@query(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_NTOKS}) AS token FROM documents),
+    c AS (SELECT token, COUNT(*) AS n_occurrences FROM tok GROUP BY token),
+    r AS (
+      SELECT token, n_occurrences,
+             CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token)
+               AS INTEGER) AS rank,
+             round(CAST(SUM(n_occurrences) OVER (
+                     ORDER BY n_occurrences DESC, token
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DOUBLE)
+                   / (SELECT SUM(n_occurrences) FROM c), 6) AS cum_share
+      FROM c)
+    SELECT token, n_occurrences, rank, cum_share
+    FROM r WHERE rank <= {_VOCAB_TOPK}
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep vocabulary statistics: global token counts,
+    frequency rank, cumulative coverage share, top-100. Explode →
+    map-side-combined counts; the ordered window runs over the
+    vocabulary aggregate, not the corpus."""
+    from capital.llm.text import vocab_coverage
+
+    d = load_table(spark, sf_dir, "documents")
+    return vocab_coverage(d, top_k=_VOCAB_TOPK)
+
+
+_BOILER_FRAC = 0.5
+
+
+@query(
+    "text_df_boilerplate",
+    oracle=f"""
+    WITH dt AS (
+      SELECT doc_id, unnest(list_distinct({_NTOKS})) AS token
+      FROM documents),
+    c AS (SELECT token, COUNT(*) AS n_docs_with FROM dt GROUP BY token)
+    SELECT token, n_docs_with,
+           round(CAST(n_docs_with AS DOUBLE)
+                 / (SELECT COUNT(*) FROM documents), 6) AS doc_frac
+    FROM c
+    WHERE round(CAST(n_docs_with AS DOUBLE)
+                / (SELECT COUNT(*) FROM documents), 6) >= {_BOILER_FRAC}
+    """,
+)
+def text_df_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency boilerplate discovery: tokens appearing in
+    >= 50% of documents (site chrome / license headers a cleaning pass
+    strips). Distinct-token explode, one count shuffle, scalar doc
+    total broadcast."""
+    from capital.llm.text import doc_frequency_boilerplate
+
+    d = load_table(spark, sf_dir, "documents")
+    return doc_frequency_boilerplate(d, min_doc_frac=_BOILER_FRAC)
+
+
 # --- multimodal ----------------------------------------------------------
 
 
