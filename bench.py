@@ -33,6 +33,7 @@ def headline_names(all_names) -> list[str]:
         "w4_top_order_per_customer",
         "a2_events_by_day",
         "st_session_30m",
+        "st_stream_join_attribution",
         "j1_asof_latest_order",
         "q8_market_share",
         "q18_large_orders",
@@ -40,17 +41,23 @@ def headline_names(all_names) -> list[str]:
         "dedup_exact",
         "dedup_minhash_lsh",
         "dedup_simhash",
+        "dedup_simhash_pairs",
+        "dedup_simhash_fullrecall",
         "dedup_clusters",
         "sim_cosine_topk",
         "sim_lsh_topk",
+        "dedup_embedding_cosine",
         "text_quality_score",
         "text_repetition",
         "text_char_entropy",
         "text_bpe_token_count",
+        "text_vocab_coverage",
+        "text_df_boilerplate",
         "sim_cosine_topk_arrow",
         "sk_hll_rollup_distinct",
         "asm_contamination",
         "asm_pack_chunks",
+        "asm_temperature_mix",
         "sim_quantized_topk",
         "dedup_incremental_probe",
         "asm_quality_budget",

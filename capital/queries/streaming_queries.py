@@ -171,9 +171,12 @@ def st_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical operator runs on real streams (watermarked, bounded
     state) in tests/test_streaming.py; batch and stream converge for
     inner joins."""
+    from capital.io import parallelize_narrow
     from capital.streaming.incremental import stream_stream_interval_join
 
-    ev = load_table(spark, sf_dir, "events")
+    # Single-file parquet = one input split, and a broadcast join
+    # inherits the probe scan's split count — spread the probe side.
+    ev = parallelize_narrow(load_table(spark, sf_dir, "events"))
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id",
         F.col("event_id").alias("click_id"),

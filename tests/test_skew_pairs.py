@@ -126,7 +126,7 @@ def test_fullrecall_catches_prefix_blind_spot(spark):
     prefix variant misses it; the pigeonhole segments (8 bits each)
     still agree on segments 3-4, so full recall finds it."""
     a = "1" * 32
-    b = "0" + "1" * 6 + "0" + "1" * 25  # bits 1 and 8 flipped
+    b = "0" + "1" * 6 + "0" + "1" * 24  # bits 1 and 8 flipped
     sigs = _sig_df(spark, {1: a, 2: b})
     prefix = simhash_neardup_pairs(sigs, prefix_bits=16, max_hamming=3)
     full = simhash_fullrecall_pairs(sigs, max_hamming=3)
