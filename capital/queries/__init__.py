@@ -54,7 +54,8 @@ for _m in _MODULES:
 #:
 #: Still r1-only after this round (rotate into round 5's slots):
 #: q4 q5 q7 q8 q10 q12 q13 q14 q15 q17 q18 q19 q21 q22 p3b p4 p9 j5
-#: a2 a7 u1 u2 w4 w1 cal_dim. Local parity (tests/test_oracle_parity.py) always
+#: a2 a7 u1 u2 w4 w1 w5 w6 f14 ud3 cal_dim.
+#: Local parity (tests/test_oracle_parity.py) always
 #: checks all queries regardless of this ordering.
 _DRIVER_PRIORITY = [
     # --- never driver-checked (18) + the r3 red fix ---

@@ -10,6 +10,8 @@ import contextlib
 import io
 import itertools
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from capital.llm.dedup import (
@@ -163,3 +165,34 @@ def test_fullrecall_matches_bruteforce(spark):
         ).collect()
     }
     assert got == expected
+
+
+_hyp = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@_hyp
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=40), min_size=1,
+                   max_size=6),
+    chunk_target=st.integers(min_value=2, max_value=30),
+)
+def test_chunked_pairs_equivalence_property(spark, sizes, chunk_target):
+    """For ANY block-size distribution and chunk target, the chunked
+    enumeration equals naive within-block i<j pairs exactly."""
+    rows, next_id = [], 0
+    for b, n in enumerate(sizes):
+        for _ in range(n):
+            rows.append((next_id, f"b{b}"))
+            next_id += 1
+    df = spark.createDataFrame(rows, "id bigint, block string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in chunked_pair_join(
+            df, ["block"], "id", chunk_target=chunk_target
+        ).collect()
+    }
+    assert got == _naive_pairs(df)
