@@ -109,7 +109,7 @@ _DRIVER_PRIORITY = [
     "a9_exact_quantiles",
     "o1_top1_latest_order",
     "o2_topk_orders",
-    "u3_except_nations",
+    "u3_except_custkeys",
     "u4_intersect_nations",
     "w3_moving_avg",
     # --- 50-slot boundary ---

@@ -156,16 +156,25 @@ def p3b_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j3_anti_join_missing",
     oracle="""
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
     """,
 )
 def j3_anti_join_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3/U3: requested-minus-fetched set difference as a left-anti join
-    (missing-ticker diff, plugins/operators/yfinance_operator.py:118-127)."""
+    (missing-ticker diff, plugins/operators/yfinance_operator.py:118-127).
+
+    The fetched side is the urgent-order customers: this generator
+    gives every customer at least one order, so the unfiltered
+    anti-join was vacuously empty (0 == 0 proves nothing); ~10% of
+    customers have no urgent order at every SF, pinning real rows."""
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return cust.join(
-        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+        urgent, cust.c_custkey == urgent.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
 
 
@@ -433,23 +442,30 @@ def u2_union_all_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "u3_except_nations",
+    "u3_except_custkeys",
     oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
+    SELECT c_custkey AS custkey FROM customer
     EXCEPT
-    SELECT s_nationkey FROM supplier
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
     """,
 )
-def u3_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U3: set difference (missing tickers,
-    plugins/operators/yfinance_operator.py:119)."""
+def u3_except_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: set difference (requested ids minus fetched ids — the
+    missing-ticker diff, plugins/operators/yfinance_operator.py:119).
+
+    Renamed/re-based from the nations variant: supplier nations cover
+    every customer nation in this generator, so that difference was
+    vacuously empty. Customers minus urgent-order customers is
+    nonempty at every SF."""
     cust = load_table(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("nationkey")
+        F.col("c_custkey").alias("custkey")
     )
-    supp = load_table(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey")
+    fetched = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey"))
     )
-    return cust.subtract(supp)  # EXCEPT DISTINCT (set semantics)
+    return cust.subtract(fetched)  # EXCEPT DISTINCT (set semantics)
 
 
 @query(

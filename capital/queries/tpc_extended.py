@@ -324,6 +324,12 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q22_SEGMENTS = ("BUILDING", "MACHINERY", "AUTOMOBILE")
+#: "Inactive" = no order since this date. The generator gives every
+#: customer at least one order ever, so the classic unqualified
+#: NOT EXISTS was vacuously empty at every SF (0 == 0 proved nothing);
+#: the recency cutoff restores Q22's rich-but-inactive semantics with
+#: real rows (3 segments at sf0.001/0.01/0.1).
+_Q22_CUTOFF = "2000-01-01"
 
 
 @query(
@@ -340,13 +346,15 @@ _Q22_SEGMENTS = ("BUILDING", "MACHINERY", "AUTOMOBILE")
         FROM customer
         WHERE c_acctbal > 0.0 AND c_mktsegment IN {_Q22_SEGMENTS!r})
       AND NOT EXISTS (
-        SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          AND o_orderdate >= DATE '{_Q22_CUTOFF}')
     GROUP BY c_mktsegment
     """,
 )
 def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: rich-but-inactive customers per segment
-    (adapted: market segment stands in for the phone country code).
+    (adapted: market segment stands in for the phone country code;
+    inactive = no order since _Q22_CUTOFF).
 
     Scale: the scalar average is one tiny broadcast; NOT EXISTS is a
     left-anti join against the orders key projection — shuffles only
@@ -363,7 +371,11 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.filter(F.col("c_acctbal") > 0.0)
         .agg(decimal_avg(F.col("c_acctbal"), "avg_bal"))
     )
-    orders_keys = load_table(spark, sf_dir, "orders").select("o_custkey")
+    orders_keys = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(_Q22_CUTOFF).cast("date"))
+        .select("o_custkey")
+    )
     return (
         cust.crossJoin(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("avg_bal"))
