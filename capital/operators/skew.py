@@ -124,6 +124,11 @@ def chunked_pair_join(
     ``<col>_b``.
     """
     payload_cols = payload_cols or []
+    # NOT persisted: materializing the chunk-annotated frame was
+    # measured net-negative at sf0.1 (cache write cost > the two cheap
+    # recomputes of a projection over the caller's already-persisted
+    # input); callers persist their expensive upstream (signatures,
+    # banded index, hashed vectors) instead.
     chunked = chunked_blocks(keyed, block_cols, id_col, chunk_target)
     partner = F.explode(
         F.sequence(F.lit(0), F.col("__s") - F.lit(1))
