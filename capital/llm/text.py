@@ -390,3 +390,48 @@ def doc_frequency_boilerplate(
         .filter(F.col("doc_frac") >= float(min_doc_frac))
         .select("token", "n_docs_with", "doc_frac")
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document unigram language-model score: average negative
+    log2-probability of the document's tokens under the corpus's own
+    unigram distribution — the CCNet-style LM-perplexity quality
+    signal (Wenzek et al. 2020), with the corpus itself as the LM.
+    High scores = improbable token streams (gibberish, encoding
+    noise); low = fluent-for-this-corpus text.
+
+    Shape: token explode → map-side-combined vocab counts → scalar
+    total broadcast → per-token logp re-joined to the token stream →
+    one groupBy(doc). Per-token log-probs are rounded to 6 decimals
+    and accumulated as DECIMAL(28,6) so the per-doc sum is
+    order-independent and engine-exact (the repo's float-parity
+    discipline: never SUM raw doubles). At 100 TB the vocab join is
+    the only non-broadcast exchange; persist the exploded tokens to
+    trade the second corpus scan for storage.
+    """
+    tok = df.select(
+        F.col(id_col),
+        F.explode(tokens(normalized(F.col(text_col)))).alias("token"),
+    )
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("__n"))
+    total = counts.agg(F.sum("__n").alias("__total"))
+    probs = counts.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.round(F.log2(F.col("__n") / F.col("__total")), 6)
+        .cast("decimal(28,6)")
+        .alias("__logp"),
+    )
+    return (
+        tok.join(probs, "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                -F.sum("__logp").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_neg_logprob"),
+        )
+    )

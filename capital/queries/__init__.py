@@ -78,6 +78,7 @@ _DRIVER_PRIORITY = [
     "text_chunk_documents",
     "text_vocab_coverage",
     "text_df_boilerplate",
+    "text_unigram_logprob",
     "asm_quality_budget",
     "asm_temperature_mix",
     "st_dedup_keys",
@@ -111,7 +112,6 @@ _DRIVER_PRIORITY = [
     "o2_topk_orders",
     "u3_except_custkeys",
     "u4_intersect_nations",
-    "w3_moving_avg",
     # --- 50-slot boundary ---
 ]
 

@@ -761,6 +761,36 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_coverage(d, top_k=_VOCAB_TOPK)
 
 
+@query(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_NTOKS}) AS token FROM documents),
+    c AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+    p AS (SELECT token,
+                 CAST(round(log2(CAST(n AS DOUBLE)
+                                 / (SELECT SUM(n) FROM c)), 6)
+                   AS DECIMAL(28,6)) AS logp
+          FROM c)
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           round(CAST(-SUM(logp) AS DOUBLE) / COUNT(*), 6)
+             AS avg_neg_logprob
+    FROM tok JOIN p USING (token)
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM quality signal (CCNet-style perplexity, the corpus
+    as its own LM): avg -log2 p(token) per document. Per-token
+    log-probs round to 6 and accumulate as DECIMAL(28,6) so the
+    per-doc sum is order-independent on both engines."""
+    from capital.llm.text import unigram_logprob
+
+    d = load_table(spark, sf_dir, "documents")
+    return unigram_logprob(d)
+
+
 _BOILER_FRAC = 0.5
 
 
