@@ -53,6 +53,7 @@ def headline_names(all_names) -> list[str]:
         "text_bpe_token_count",
         "text_vocab_coverage",
         "text_df_boilerplate",
+        "text_unigram_logprob",
         "sim_cosine_topk_arrow",
         "sk_hll_rollup_distinct",
         "asm_contamination",
