@@ -44,3 +44,42 @@ def first_wins(
 def drop_exact_duplicates(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
     """Exact duplicate removal — Spark-native hash groupBy."""
     return df.dropDuplicates(subset)
+
+
+def fuzzy_key_pairs(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    prefix_len: int = 15,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Entity-resolution pairs by edit distance: ids whose keys are
+    within ``max_dist`` Levenshtein edits (near-identical tickers,
+    typo'd entity names — the fuzzy-join complement to the exact
+    first_wins dedup).
+
+    Prefix blocking (first ``prefix_len`` chars) bounds the pair space
+    like the SimHash prefix variant, with the same documented recall
+    tradeoff: pairs differing inside the prefix are missed — run over
+    rotated prefixes for full recall. The block self-join routes
+    through :func:`capital.operators.skew.chunked_pair_join`, so one
+    dominant prefix (fixed-format keys sharing a long constant head)
+    cannot put its quadratic pair space on one task; the exact
+    Levenshtein filter touches only blocked candidates.
+    """
+    from capital.operators.skew import chunked_pair_join
+
+    keyed = df.select(
+        F.col(id_col),
+        F.col(key_col),
+        F.substring(F.col(key_col), 1, prefix_len).alias("block"),
+    )
+    return (
+        chunked_pair_join(keyed, ["block"], id_col, payload_cols=[key_col])
+        .withColumn(
+            "edit_dist",
+            F.levenshtein(F.col(f"{key_col}_a"), F.col(f"{key_col}_b")),
+        )
+        .filter(F.col("edit_dist") <= max_dist)
+        .select("id_a", "id_b", "edit_dist")
+    )

@@ -111,7 +111,7 @@ _DRIVER_PRIORITY = [
     "o1_top1_latest_order",
     "o2_topk_orders",
     "u3_except_custkeys",
-    "u4_intersect_nations",
+    "dedup_fuzzy_keys",
     # --- 50-slot boundary ---
 ]
 

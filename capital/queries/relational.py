@@ -305,6 +305,35 @@ def a4_first_wins_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_fuzzy_keys",
+    memoize=False,
+    oracle="""
+    WITH keyed AS (
+      SELECT c_custkey AS id, c_name,
+             substr(c_name, 1, 15) AS block
+      FROM customer)
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS edit_dist
+    FROM keyed a JOIN keyed b
+      ON a.block = b.block AND a.id < b.id
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def dedup_fuzzy_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy dedup: customer-name pairs within one
+    Levenshtein edit, prefix-blocked and skew-chunked (see
+    operators/dedup.fuzzy_key_pairs). Complements the exact and
+    content-hash dedup tiers with edit-distance matching."""
+    from capital.operators.dedup import fuzzy_key_pairs
+
+    cust = load_table(spark, sf_dir, "customer")
+    return fuzzy_key_pairs(
+        cust, key_col="c_name", id_col="c_custkey",
+        prefix_len=15, max_dist=1,
+    )
+
+
+@query(
     "a5_rollup_priority_status",
     oracle="""
     SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders
