@@ -156,6 +156,41 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(partition_col).parquet(path)
 
 
+def compact_partition(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 256 * 1024 * 1024,
+) -> int:
+    """Small-file compaction for one lake partition directory: rewrite
+    ``path`` as ``ceil(current_bytes / target_bytes)`` parquet files.
+
+    Streaming sinks and per-day incremental appends accumulate many
+    small files; at 100 TB small files dominate scan planning time and
+    NameNode/S3-listing load, so compaction is a standing maintenance
+    job (the reference's daily ``replace=True`` rewrite had the same
+    effect implicitly). Reads the partition once, coalesces (no
+    shuffle — file-merge only), and atomically replaces via a staging
+    directory so a crashed compaction never leaves the partition
+    half-written. Returns the resulting file count.
+    """
+    import math
+    import pathlib
+    import shutil
+
+    current = sum(
+        f.stat().st_size for f in pathlib.Path(path).rglob("*.parquet")
+    )
+    n_files = max(1, math.ceil(current / target_bytes))
+    staging = path.rstrip("/") + ".__compacting__"
+    df = spark.read.parquet(path)
+    df.coalesce(n_files).write.mode("overwrite").parquet(staging)
+    backup = path.rstrip("/") + ".__old__"
+    shutil.move(path, backup)
+    shutil.move(staging, path)
+    shutil.rmtree(backup)
+    return n_files
+
+
 def parallelize_narrow(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition a DataFrame that arrived with too few input splits
     before CPU-heavy narrow work (hashing, similarity kernels).

@@ -133,3 +133,25 @@ def test_warehouse_table_drop_create(spark, sf_dir):
     save_warehouse_table(nation.limit(5), "dim_nation")
     assert spark.table("dim_nation").count() == 5
     spark.sql("DROP TABLE dim_nation")
+
+
+def test_compact_partition_merges_small_files(spark, sf_dir, tmp_path):
+    from pathlib import Path
+
+    from capital.io import compact_partition, load_table
+
+    path = str(tmp_path / "frag")
+    ev = load_table(spark, sf_dir, "events")
+    # Fragment: 40 small files, the streaming-sink accumulation shape.
+    ev.repartition(40).write.parquet(path)
+    before_files = len(list(Path(path).rglob("*.parquet")))
+    assert before_files >= 40
+    before_rows = sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    n = compact_partition(spark, path, target_bytes=256 * 1024 * 1024)
+    after = list(Path(path).rglob("*.parquet"))
+    assert len(after) == n < before_files
+    # No staging/backup debris and the data survives bit-for-bit.
+    assert not list(tmp_path.glob("*__compacting__*"))
+    assert not list(tmp_path.glob("*__old__*"))
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == before_rows
