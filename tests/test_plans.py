@@ -177,3 +177,37 @@ def test_lsh_band_shuffle_carries_ids_only(spark, sf_dir):
             checked += 1
             assert not fat, f"signature rides a blocking exchange:\n{s}"
     assert checked >= 2  # the band exchange and the pair-dedup exchange
+
+
+def test_fullrecall_segment_shuffle_carries_ids_only(spark, sf_dir):
+    """The pigeonhole segment join and the candidate dedup exchange id
+    rows only; packed signatures re-attach after dedup (the same
+    shuffle-fat rule as the LSH band join)."""
+    spark.catalog.clearCache()
+    plan = plan_of(_QUERIES["dedup_simhash_fullrecall"](spark, sf_dir))
+    checked = 0
+    for block in plan.split("\n\n"):
+        s = block.strip()
+        if not s.startswith("(") or "Exchange" not in s.splitlines()[0]:
+            continue
+        inp = next((l for l in s.splitlines() if l.startswith("Input")), "")
+        fat = "simhash_bits" in inp or "sig_a" in inp or "sig_b" in inp
+        if "seg_bits" in inp or ("id_a" in inp and "id_b" in inp):
+            checked += 1
+            assert not fat, f"signature rides a blocking exchange:\n{s}"
+    assert checked >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_chunked_pair_plans_have_no_nested_loops(spark, sf_dir):
+    """Every chunked pair path stays an equi-join on
+    (block..., chunk, chunk) — no nested-loop fallback anywhere."""
+    spark.catalog.clearCache()
+    for q in (
+        "dedup_simhash_pairs",
+        "dedup_embedding_cosine",
+        "dedup_fuzzy_keys",
+    ):
+        plan = plan_of(_QUERIES[q](spark, sf_dir))
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
