@@ -298,6 +298,84 @@ def write_jdbc(
     writer.mode(mode).save()
 
 
+def upsert_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    keys: Sequence[str],
+    staging_table: str | None = None,
+    options: dict[str, str] | None = None,
+) -> None:
+    """Keyed warehouse upsert: stage → transactional DELETE+INSERT.
+
+    The reference's silver jobs refresh by preaction DROP/CREATE (full
+    replace); incremental daily loads need the merge form instead:
+    write the batch to a staging table (partition-parallel, like any
+    JDBC write), then on one driver-side connection atomically delete
+    the target rows whose ``keys`` appear in staging and insert the
+    staged rows. DELETE+INSERT rather than MERGE because it is the
+    portable recipe (Redshift's own documented upsert pattern; MERGE
+    arrived late and unevenly across warehouses). The two statements
+    run in a single transaction — a reader never observes the gap —
+    and re-running the same batch is idempotent (same keys deleted,
+    same rows inserted).
+
+    Scale: the staged batch is a day's increment, not the warehouse;
+    the DELETE's subquery is key-only. Repartition ``df`` to the
+    warehouse's ingest-friendly connection count before calling.
+
+    String keys: pass ``createTableColumnTypes`` in ``options`` so the
+    staging table gets comparable types — Spark's default StringType
+    mapping is the dialect's LOB type on some warehouses (Derby: CLOB),
+    which cannot be equality-compared against the target's VARCHAR.
+    """
+    staging = staging_table or f"{table}_staging"
+    write_jdbc(
+        df,
+        url,
+        staging,
+        mode="overwrite",
+        options=options,
+    )
+    # Correlated EXISTS, not a multi-column IN row constructor — row
+    # constructors in IN-subqueries are not portable (Derby rejects
+    # them); explicit column lists keep INSERT immune to column-order
+    # drift between staging (df order) and the target DDL. Staging-side
+    # identifiers are double-quoted: Spark's JDBC writer creates the
+    # staging table with quoted (case-exact) column names, while the
+    # target's identifiers are the caller's DDL, referenced as given.
+    match = " AND ".join(f's."{k}" = {table}.{k}' for k in keys)
+    cols = ", ".join(df.columns)
+    staged_cols = ", ".join(f'"{c}"' for c in df.columns)
+    cred_keys = ("user", "password", "ssl", "sslmode")
+    props = {k: v for k, v in (options or {}).items() if k in cred_keys}
+    jvm = df.sparkSession._jvm  # noqa: SLF001
+    jprops = jvm.java.util.Properties()
+    for k, v in props.items():
+        jprops.setProperty(k, v)
+    conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
+    try:
+        conn.setAutoCommit(False)
+        stmt = conn.createStatement()
+        try:
+            stmt.execute(
+                f"DELETE FROM {table} WHERE EXISTS "
+                f"(SELECT 1 FROM {staging} s WHERE {match})"
+            )
+            stmt.execute(
+                f"INSERT INTO {table} ({cols}) "
+                f"SELECT {staged_cols} FROM {staging}"
+            )
+            conn.commit()
+        except Exception:
+            conn.rollback()
+            raise
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

@@ -131,3 +131,37 @@ def test_jdbc_authenticated_preactions_and_write(spark, tmp_path):
     )
     back = read_jdbc(spark, url, "secured", options=creds)
     assert [(r[0], r[1]) for r in back.collect()] == [(1, "ok")]
+
+
+def test_jdbc_keyed_upsert_delete_insert(spark, derby_url):
+    """upsert_jdbc: stage -> transactional DELETE+INSERT. Overlapping
+    keys are replaced, new keys inserted, untouched keys survive, and
+    re-running the same batch is idempotent."""
+    from capital.io import upsert_jdbc
+
+    base = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0), (2, "2024-01-01", 20.0)],
+        "k int, ymd string, v double",
+    )
+    write_jdbc(
+        base, derby_url, "facts",
+        preactions=["CREATE TABLE facts (k INT, ymd VARCHAR(10), v DOUBLE)"],
+    )
+    batch = spark.createDataFrame(
+        [(2, "2024-01-01", 99.0), (3, "2024-01-01", 30.0)],
+        "k int, ymd string, v double",
+    )
+    # createTableColumnTypes: Derby maps StringType to CLOB, which
+    # cannot be compared to the target's VARCHAR key (io.upsert_jdbc
+    # docstring) — type the staging write like any warehouse user would.
+    opts = {"createTableColumnTypes": "k INT, ymd VARCHAR(10), v DOUBLE"}
+    upsert_jdbc(batch, derby_url, "facts", keys=["k", "ymd"], options=opts)
+    upsert_jdbc(  # idempotent
+        batch, derby_url, "facts", keys=["k", "ymd"], options=opts
+    )
+
+    back = read_jdbc(spark, derby_url, "facts")
+    back = back.toDF(*[c.lower() for c in back.columns])
+    assert sorted((r.k, r.v) for r in back.collect()) == [
+        (1, 10.0), (2, 99.0), (3, 30.0),
+    ]
