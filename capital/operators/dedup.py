@@ -74,12 +74,17 @@ def fuzzy_key_pairs(
         F.col(key_col),
         F.substring(F.col(key_col), 1, prefix_len).alias("block"),
     )
+    # Thresholded levenshtein (Spark 3.5+) runs the banded O(d·n)
+    # algorithm and returns -1 past the bound — the candidate filter is
+    # the hot loop, so the early exit matters at corpus scale.
     return (
         chunked_pair_join(keyed, ["block"], id_col, payload_cols=[key_col])
         .withColumn(
             "edit_dist",
-            F.levenshtein(F.col(f"{key_col}_a"), F.col(f"{key_col}_b")),
+            F.levenshtein(
+                F.col(f"{key_col}_a"), F.col(f"{key_col}_b"), max_dist
+            ),
         )
-        .filter(F.col("edit_dist") <= max_dist)
+        .filter(F.col("edit_dist") >= 0)
         .select("id_a", "id_b", "edit_dist")
     )
