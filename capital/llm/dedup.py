@@ -143,7 +143,7 @@ def lsh_candidate_pairs(
     ).persist()
 
     id_pairs = (
-        chunked_pair_join(banded, ["band", "band_key"], id_col)
+        chunked_pair_join(banded, ["band_key"], id_col)
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -434,8 +434,17 @@ def band_keys(
 ) -> DataFrame:
     """Exploded (id, band, band_key) LSH index rows for a signature
     frame — the *storable* form of the LSH index. Writing this to a
-    band-partitioned table is what makes dedup incremental: a new
-    batch probes the stored index instead of re-banding the lake.
+    band-partitioned (or band_key-bucketed) table is what makes dedup
+    incremental: a new batch probes the stored index instead of
+    re-banding the lake.
+
+    The band index is hashed INTO the key (``md5(band || '|' ||
+    components)``), so ``band_key`` alone is a complete join key: the
+    candidate joins need one key column, and a ``band_key``-bucketed
+    index table satisfies the join's distribution outright (a
+    composite (band, band_key) join over a single-column bucketing
+    makes the planner disable the bucketed scan). The ``band`` column
+    remains for partitioned storage/pruning.
     """
     return signatures.select(
         F.col(id_col),
@@ -447,6 +456,7 @@ def band_keys(
                         F.md5(
                             F.concat_ws(
                                 "|",
+                                F.lit(str(b)),
                                 *[
                                     F.col("signature")[b * rows_per_band + r]
                                     for r in range(rows_per_band)
@@ -494,10 +504,8 @@ def incremental_neardup_flags(
     )
     hits = (
         probe.join(
-            index.select(
-                F.col(id_col).alias("__hist_id"), "band", "band_key"
-            ),
-            ["band", "band_key"],
+            index.select(F.col(id_col).alias("__hist_id"), "band_key"),
+            ["band_key"],
         )
         .groupBy(id_col)
         .agg(

@@ -271,13 +271,14 @@ def _minhash_oracle(table: str = "documents") -> str:
               FOR h IN range(0, {_MH_HASHES})] AS sig
       FROM sh),
     banded AS (
-      SELECT doc_id, sig, bi, md5({band_key}) AS band_key
+      SELECT doc_id, sig, bi,
+             md5(CAST(bi AS VARCHAR) || '|' || {band_key}) AS band_key
       FROM sig, (SELECT unnest(range(0, {_MH_BANDS})) AS bi)),
     pairs AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
              a.sig AS sig_a, b.sig AS sig_b
       FROM banded a
-      JOIN banded b ON a.bi = b.bi AND a.band_key = b.band_key
+      JOIN banded b ON a.band_key = b.band_key
                    AND a.doc_id < b.doc_id)
     SELECT id_a, id_b,
            round(len(list_filter([sig_a[i] = sig_b[i]
@@ -1109,14 +1110,15 @@ def _incremental_oracle() -> str:
               FOR h IN range(0, {_MH_HASHES})] AS sig
       FROM sh),
     banded AS (
-      SELECT doc_id, bi, md5({band_key}) AS band_key
+      SELECT doc_id, bi,
+             md5(CAST(bi AS VARCHAR) || '|' || {band_key}) AS band_key
       FROM sig, (SELECT unnest(range(0, {_MH_BANDS})) AS bi)),
     hits AS (
       SELECT p.doc_id,
              COUNT(DISTINCT h.doc_id) AS n_index_hits,
              MIN(h.doc_id) AS first_hit_id
       FROM banded p
-      JOIN banded h ON p.bi = h.bi AND p.band_key = h.band_key
+      JOIN banded h ON p.band_key = h.band_key
       WHERE p.doc_id % {_INC_MOD} = 0 AND h.doc_id % {_INC_MOD} <> 0
       GROUP BY p.doc_id)
     SELECT d.doc_id,

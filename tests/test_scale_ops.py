@@ -142,3 +142,76 @@ def test_silver_industry_code_daily(spark, tmp_path):
     assert silver.count() == 1
     stored = spark.read.parquet(lake.path("silver", "dim_industry_code"))
     assert stored.collect()[0].item_name == "삼성전자"
+
+
+def test_bucketed_lsh_index_probe_no_index_exchange(spark, tmp_path):
+    """The incremental-dedup claim at 100 TB: store the LSH band index
+    bucketed by band_key and the daily probe join reads it
+    co-partitioned — only the (small) probe batch shuffles, the
+    history-sized index side has NO Exchange above its scan."""
+    from capital.llm.dedup import band_keys, minhash_signatures
+    from capital.operators.bucketing import write_bucketed
+
+    import shutil
+
+    spark.catalog.clearCache()
+    spark.sql("DROP TABLE IF EXISTS lsh_index_bucketed")
+    # A failed prior run can leave the managed-table directory behind
+    # while the catalog entry is gone; saveAsTable then refuses.
+    shutil.rmtree(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        .removeprefix("file:") + "/lsh_index_bucketed",
+        ignore_errors=True,
+    )
+    history = spark.createDataFrame(
+        [(i, f"history document number {i} with shared boilerplate tail")
+         for i in range(50)],
+        "doc_id bigint, text string",
+    )
+    write_bucketed(
+        band_keys(minhash_signatures(history, num_hashes=16), bands=4),
+        "lsh_index_bucketed",
+        bucket_col="band_key",
+        n_buckets=8,
+    )
+    batch = spark.createDataFrame(
+        [(1000, "history document number 7 with shared boilerplate tail"),
+         (1001, "completely fresh material nothing in common at all")],
+        "doc_id bigint, text string",
+    )
+    probe = band_keys(minhash_signatures(batch, num_hashes=16), bands=4)
+    index = spark.table("lsh_index_bucketed").select(
+        F.col("doc_id").alias("hist_id"), "band_key"
+    )
+    # band_key embeds the band index (dedup.band_keys), so the single
+    # bucket column IS the complete join key.
+    joined = probe.join(index, ["band_key"])
+    # At test scale the planner would broadcast the tiny index (and
+    # rightly skip bucketed reading); disable auto-broadcast to see
+    # the plan the 100 TB index gets — a sort-merge join fed by the
+    # bucketed scan.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        import io as _io
+        import contextlib
+
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Bucketed: true" in plan
+    # No Exchange on the index side: history never reshuffles; the
+    # only exchanges belong to the (small) probe batch lineage.
+    for block in plan.split("\n\n"):
+        s = block.strip()
+        if s.startswith("(") and "Exchange" in s.splitlines()[0]:
+            inp = next(
+                (l for l in s.splitlines() if l.startswith("Input")), ""
+            )
+            assert "hist_id" not in inp, f"index side shuffled:\n{s}"
+    # Join result is correct: the near-identical doc collides.
+    hits = {r.doc_id for r in joined.select("doc_id").distinct().collect()}
+    assert 1000 in hits
