@@ -27,10 +27,15 @@ structure is identical.
 
 from __future__ import annotations
 
+from typing import TYPE_CHECKING
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from capital.llm.text import normalized, tokens
+
+if TYPE_CHECKING:  # import cycle guard: caching has no deps on llm
+    from capital.operators.caching import CacheScope
 
 
 def exact_dedup_groups(
@@ -111,6 +116,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     bands: int = 8,
     rows_per_band: int = 4,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs.
 
@@ -121,7 +127,12 @@ def lsh_candidate_pairs(
     ~``chunk_target²`` candidate comparisons — AQE's skew split bounds
     join *input* but not a self-join bucket's quadratic *output*.
     Estimated Jaccard = fraction of equal signature components.
+
+    Persists two intermediates the returned plan references; pass a
+    :class:`capital.operators.caching.CacheScope` to release them
+    deterministically after consuming the result.
     """
+    from capital.operators.caching import scoped_persist
     from capital.operators.skew import chunked_pair_join
 
     n = bands * rows_per_band
@@ -129,18 +140,21 @@ def lsh_candidate_pairs(
     # branches would otherwise re-evaluate the full hash pipeline per
     # reference. (At warehouse scale: write signatures to a table and
     # band from there.)
-    signatures = signatures.persist()
+    signatures = scoped_persist(signatures, scope)
     # The band-bucket self-join and the pair dedup shuffle IDS ONLY:
     # a 32×32-hex signature (~1 KB/row) riding the docs×bands explode
     # and two exchanges is pure shuffle fat. Signatures re-attach from
     # the persisted frame after dedup (the same trick
     # verified_neardup_pairs uses for shingles).
     # Persist the banded index too: chunked_pair_join reads it three
-    # times (block counts + both join sides), and each read would
+    # times (skew probe/counts + both join sides), and each read would
     # otherwise re-run the banding md5 explode. docs × bands small rows.
-    banded = band_keys(
-        signatures, id_col=id_col, bands=bands, rows_per_band=rows_per_band
-    ).persist()
+    banded = scoped_persist(
+        band_keys(
+            signatures, id_col=id_col, bands=bands, rows_per_band=rows_per_band
+        ),
+        scope,
+    )
 
     id_pairs = (
         chunked_pair_join(banded, ["band_key"], id_col)
@@ -243,7 +257,9 @@ def simhash_neardup_pairs(
 ) -> DataFrame:
     """Near-dup pairs from SimHash signatures: block on the first
     ``prefix_bits`` (docs differing only in the suffix collide), then
-    filter by exact Hamming distance.
+    filter by exact Hamming distance. ``bits`` must be ≤ 63 — the
+    packed-long hamming kernel (:func:`signature_long`) holds at most
+    63 bits.
 
     One-table blocking is the cheap variant (recall misses pairs whose
     differing bits fall in the prefix); the full-recall construction
@@ -254,6 +270,12 @@ def simhash_neardup_pairs(
     """
     from capital.operators.skew import chunked_pair_join
 
+    if bits > 63:
+        raise ValueError(
+            f"bits={bits} exceeds the 63-bit capacity of the packed-long "
+            "hamming kernel (conv(bits,2,10) as a signed long); use ≤63 "
+            "or split the signature into segments"
+        )
     keyed = signatures.select(
         F.col(id_col),
         signature_long(F.col("simhash_bits")).alias("sigl"),
@@ -296,6 +318,11 @@ def simhash_fullrecall_pairs(
     if bits % segs:
         raise ValueError(
             f"bits={bits} must divide into max_hamming+1={segs} segments"
+        )
+    if bits > 63:
+        raise ValueError(
+            f"bits={bits} exceeds the 63-bit capacity of the packed-long "
+            "hamming kernel (conv(bits,2,10) as a signed long)"
         )
     seg_len = bits // segs
     # Candidates shuffle IDS ONLY: the banding explode and the pair
@@ -350,6 +377,7 @@ def verified_neardup_pairs(
     rows_per_band: int = 4,
     shingle_k: int = 3,
     threshold: float = 0.5,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """The complete near-dup pipeline: MinHash → LSH blocking → exact
     Jaccard verification on candidates only.
@@ -357,19 +385,27 @@ def verified_neardup_pairs(
     This is the production shape at 100 TB: the quadratic exact-Jaccard
     step touches only LSH-candidate pairs (O(collisions)), never the
     full pair space. Returns (id_a, id_b, jaccard) for verified pairs.
+    Pass a :class:`capital.operators.caching.CacheScope` to release the
+    persisted signature/shingle intermediates after consuming.
     """
+    from capital.operators.caching import scoped_persist
+
     sigs = minhash_signatures(
         df, id_col=id_col, text_col=text_col,
         num_hashes=num_hashes, shingle_k=shingle_k,
     )
     candidates = lsh_candidate_pairs(
-        sigs, id_col=id_col, bands=bands, rows_per_band=rows_per_band
+        sigs, id_col=id_col, bands=bands, rows_per_band=rows_per_band,
+        scope=scope,
     ).select("id_a", "id_b")
 
-    sh = df.select(
-        F.col(id_col).alias("__id"),
-        shingles(F.col(text_col), shingle_k).alias("__sh"),
-    ).persist()
+    sh = scoped_persist(
+        df.select(
+            F.col(id_col).alias("__id"),
+            shingles(F.col(text_col), shingle_k).alias("__sh"),
+        ),
+        scope,
+    )
     with_a = candidates.join(
         sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")),
         "id_a",
@@ -395,6 +431,7 @@ def jaccard_pairs(
     text_col: str = "text",
     shingle_k: int = 3,
     threshold: float = 0.5,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over all pairs of ``df``.
 
@@ -403,13 +440,14 @@ def jaccard_pairs(
     |A∪B| = |A|+|B|−|A∩B|.
     """
     from capital.io import parallelize_narrow
+    from capital.operators.caching import scoped_persist
 
     sh = df.select(
         F.col(id_col), shingles(F.col(text_col), shingle_k).alias("sh")
     )
     # Materialize shingle sets once; both sides of the pair join reuse
     # them instead of re-shingling per pair.
-    sh = parallelize_narrow(sh).persist()
+    sh = scoped_persist(parallelize_narrow(sh), scope)
     a = sh.alias("a")
     b = sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))

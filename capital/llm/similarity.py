@@ -21,8 +21,13 @@ accumulation so results are bit-reproducible across engines.
 
 from __future__ import annotations
 
+from typing import TYPE_CHECKING
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+if TYPE_CHECKING:
+    from capital.operators.caching import CacheScope
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -143,15 +148,36 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
-def sign_lsh_key(vec: Column, planes: list[list[float]]) -> Column:
-    """Bit-string bucket key: sign of ⟨vec, plane⟩ per hyperplane."""
-    bits = [
-        F.when(
-            _dot(vec, F.array(*[F.lit(w) for w in plane])) >= 0, F.lit("1")
-        ).otherwise(F.lit("0"))
-        for plane in planes
-    ]
-    return F.concat(*bits)
+def sign_lsh_key(vec: Column | str, planes: list[list[float]]) -> Column:
+    """Bit-string bucket key: sign of ⟨vec, plane⟩ per hyperplane.
+
+    Built as ONE SQL string parsed JVM-side: the previous form
+    constructed ``planes × dim`` ``F.lit`` Columns plus a lambda fold
+    per plane through py4j — ~0.5 s of *driver* time per plan build at
+    6×64 (measured; the dominant cost of the embedding-neardup query at
+    small scale). Same expression tree after parsing, so execution and
+    results are identical. Accepts the vector column's *name* (string)
+    for the single-round-trip path; a Column falls back to composed
+    construction for callers holding a derived expression.
+    """
+    if not isinstance(vec, str):
+        bits = [
+            F.when(
+                _dot(vec, F.array(*[F.lit(w) for w in plane])) >= 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0"))
+            for plane in planes
+        ]
+        return F.concat(*bits)
+    bit_exprs = []
+    for plane in planes:
+        weights = ",".join(repr(w) + "D" for w in plane)
+        bit_exprs.append(
+            f"CASE WHEN aggregate(zip_with(`{vec}`, array({weights}), "
+            f"(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, "
+            f"(acc, v) -> acc + v) >= 0 THEN '1' ELSE '0' END"
+        )
+    return F.expr(f"concat({', '.join(bit_exprs)})")
 
 
 def lsh_bucket_topk(
@@ -177,13 +203,13 @@ def lsh_bucket_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         _norm(F.col(vec_col)).alias("c_norm"),
-        sign_lsh_key(F.col(vec_col), planes).alias("bucket"),
+        sign_lsh_key(vec_col, planes).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         _norm(F.col(vec_col)).alias("q_norm"),
-        sign_lsh_key(F.col(vec_col), planes).alias("bucket"),
+        sign_lsh_key(vec_col, planes).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
@@ -218,6 +244,7 @@ def cosine_neardup_pairs(
     vec_col: str = "embedding",
     n_planes: int = 6,
     dim: int = 64,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH blocking.
 
@@ -231,15 +258,19 @@ def cosine_neardup_pairs(
     bucket's quadratic pair output per task.
     """
     from capital.io import parallelize_narrow
+    from capital.operators.caching import scoped_persist
     from capital.operators.skew import chunked_pair_join
 
     planes = hyperplanes(dim, n_planes)
-    keyed = parallelize_narrow(vectors).select(
-        F.col(id_col),
-        F.col(vec_col),
-        _norm(F.col(vec_col)).alias("nrm"),
-        sign_lsh_key(F.col(vec_col), planes).alias("bucket"),
-    ).persist()  # counts + both join branches reuse the hashed corpus
+    keyed = scoped_persist(
+        parallelize_narrow(vectors).select(
+            F.col(id_col),
+            F.col(vec_col),
+            _norm(F.col(vec_col)).alias("nrm"),
+            sign_lsh_key(vec_col, planes).alias("bucket"),
+        ),
+        scope,
+    )  # skew probe + both join branches reuse the hashed corpus
     return (
         chunked_pair_join(
             keyed, ["bucket"], id_col, payload_cols=[vec_col, "nrm"]
@@ -260,12 +291,21 @@ def cosine_neardup_pairs(
     )
 
 
+#: Hard ceiling on the GEMM path's driver-side query collect. 64k
+#: queries × 1 KB/vector ≈ 64 MB on the driver and the same again
+#: broadcast per executor — the regime where the broadcast-matrix
+#: design stops being the right tool. Larger query sets should use
+#: :func:`lsh_bucket_topk` (both sides distributed).
+MAX_GEMM_QUERIES = 65_536
+
+
 def cosine_topk_arrow(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = MAX_GEMM_QUERIES,
 ) -> DataFrame:
     """Vectorized twin of :func:`cosine_topk`: one numpy GEMM per Arrow
     batch against the broadcast query matrix, then the same windowed
@@ -290,7 +330,19 @@ def cosine_topk_arrow(
     """
     from capital.io import parallelize_narrow
 
-    q_rows = queries.select(id_col, vec_col).collect()
+    # Deliberate driver-side collect: the query matrix ships to every
+    # Arrow worker as a broadcast closure. Guarded so an oversized
+    # query set fails loudly here instead of OOMing the driver mid-job.
+    q_rows = (
+        queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    )
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"cosine_topk_arrow collects the query set to the driver; "
+            f"got >{max_queries} queries. Use lsh_bucket_topk (fully "
+            f"distributed) for large query sets, or raise max_queries "
+            f"deliberately."
+        )
     q_ids = [r[0] for r in q_rows]
     q_mat = [list(map(float, r[1])) for r in q_rows]
 
