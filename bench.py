@@ -22,6 +22,27 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 
+#: The round-4 headline set: reported as a separate subtotal so
+#: round-over-round totals stay apples-to-apples as queries accumulate.
+_R4_SUBSET = frozenset(
+    {
+        "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+        "q6_forecast_revenue", "w3_moving_avg", "w4_top_order_per_customer",
+        "a2_events_by_day", "st_session_30m", "st_stream_join_attribution",
+        "j1_asof_latest_order", "q8_market_share", "q18_large_orders",
+        "j7_range_join_shipments", "dedup_exact", "dedup_minhash_lsh",
+        "dedup_simhash", "dedup_simhash_pairs", "dedup_simhash_fullrecall",
+        "dedup_clusters", "sim_cosine_topk", "sim_lsh_topk",
+        "dedup_embedding_cosine", "text_quality_score", "text_repetition",
+        "text_char_entropy", "text_bpe_token_count", "text_vocab_coverage",
+        "text_df_boilerplate", "text_unigram_logprob", "sim_cosine_topk_arrow",
+        "sk_hll_rollup_distinct", "asm_contamination", "asm_pack_chunks",
+        "asm_temperature_mix", "sim_quantized_topk", "dedup_incremental_probe",
+        "asm_quality_budget", "pipe_clean_corpus",
+    }
+)
+
+
 def headline_names(all_names) -> list[str]:
     """Headline set: flagship shapes across scan/join/window/llm ops."""
     preferred = [
@@ -63,6 +84,8 @@ def headline_names(all_names) -> list[str]:
         "dedup_incremental_probe",
         "asm_quality_budget",
         "pipe_clean_corpus",
+        # --- added round 5 ---
+        "dedup_fuzzy_fullrecall",
     ]
     return [n for n in preferred if n in all_names] or sorted(all_names)[:8]
 
@@ -132,6 +155,12 @@ def main() -> None:
         # reported separately so a failing run can't look faster.
         "value": round(sum(t for t in timings.values() if t >= 0), 4),
         "unit": "sec",
+        # Same-queries-as-round-4 subtotal: comparable across rounds
+        # even as new headline queries land.
+        "value_r4_subset": round(
+            sum(t for n, t in timings.items() if t >= 0 and n in _R4_SUBSET),
+            4,
+        ),
         "queries": timings,
         "failed": failed,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,

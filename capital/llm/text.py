@@ -435,3 +435,54 @@ def unigram_logprob(
             ).alias("avg_neg_logprob"),
         )
     )
+
+
+def tfidf_doc_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document TF-IDF scalar stats over EXACT tokens: distinct-term
+    count and the L2 norm of the tf·idf weight vector, with Spark ml's
+    smoothed IDF formula ``ln((N + 1) / (df + 1))``.
+
+    This is the engine-portable twin of the ``pyspark.ml``
+    HashingTF→IDF pipeline (:func:`capital.llm.ml_variants.
+    tfidf_features`): identical math minus the feature-hashing step, so
+    every number is replicable in any SQL engine (no murmur3 bucketing,
+    no collision noise) and the query carries a hash oracle. Shape:
+    token explode → (doc, term) tf counts with partial aggregation →
+    term-keyed df counts → broadcast scalar doc total → doc-keyed
+    final aggregate. Three key-partitioned shuffles, no windows over
+    the corpus; the weight sum is decimal-cast for order-independent
+    float parity (see ``capital.queries.registry.decimal_sum``).
+    """
+    from capital.io import parallelize_narrow
+
+    toks = parallelize_narrow(df).select(
+        F.col(id_col),
+        F.explode(tokens(normalized(F.col(text_col)))).alias("token"),
+    )
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("__tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("__df"))
+    total = df.agg(F.count(F.lit(1)).alias("__n_docs"))
+    weighted = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "__wgt",
+            F.col("__tf")
+            * F.log((F.col("__n_docs") + F.lit(1.0)) / (F.col("__df") + F.lit(1.0))),
+        )
+    )
+    return weighted.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(
+            F.sqrt(
+                F.sum(
+                    (F.col("__wgt") * F.col("__wgt")).cast("decimal(28,6)")
+                ).cast("double")
+            ),
+            6,
+        ).alias("l2_norm"),
+    )

@@ -88,3 +88,94 @@ def fuzzy_key_pairs(
         .filter(F.col("edit_dist") >= 0)
         .select("id_a", "id_b", "edit_dist")
     )
+
+
+def _deletion_variants(key: str) -> str:
+    """SQL for the single-deletion closure of array column ``key``:
+    every string obtainable by deleting exactly one character from any
+    element, unioned with the input (so applying it j times yields the
+    ≤j-deletion neighborhood)."""
+    return f"""
+    array_distinct(concat({key}, flatten(transform({key}, v ->
+      transform(sequence(1, greatest(length(v), 1)), i ->
+        concat(substring(v, 1, i - 1),
+               substring(v, i + 1, length(v) - i)))))))
+    """
+
+
+def fuzzy_fullrecall_pairs(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Edit-distance pairs with ZERO false negatives — the full-recall
+    twin of :func:`fuzzy_key_pairs`, via deletion-neighborhood blocking
+    (FastSS, Bocek et al. 2007; the same construction SymSpell uses).
+
+    Soundness: take an optimal alignment of a pair within ``max_dist``
+    edits and delete each side's non-matched positions (≤ ``max_dist``
+    of them per side) — the surviving matched characters are identical
+    strings. So every true pair shares at least one member of the
+    ≤\\ ``max_dist``-deletion neighborhoods, and blocking on every
+    variant misses nothing; the thresholded-levenshtein verify drops
+    the false candidates.
+
+    Why not segment pigeonhole (the SimHash-fullrecall construction):
+    contiguous segments are worthless under a shared constant prefix —
+    on ``Customer#...``-style keys every row collides on segment 0 and
+    the candidate set degenerates to all O(n²) pairs (measured: >10 min
+    at 15k keys). A deletion variant is the *whole key* minus
+    ``max_dist`` characters, so it stays discriminative no matter how
+    much constant structure keys share; hot variants (true duplicate
+    clusters) still bound per-task via
+    :func:`capital.operators.skew.chunked_pair_join`.
+
+    Cost: ~``len^max_dist`` variant rows per key — the right trade for
+    entity keys (tickers, names, codes ≤ ~64 chars) at ``max_dist`` 1-2.
+    ``max_dist`` > 2 is rejected: the neighborhood explodes cubically
+    and segment blocking (per-family) is the better tool there. The
+    variant self-join shuffles (variant, id) rows only; keys re-attach
+    after the id-pair dedup.
+    """
+    from capital.operators.skew import chunked_pair_join
+
+    if max_dist > 2:
+        raise ValueError(
+            f"max_dist={max_dist}: deletion neighborhoods grow as "
+            "len^max_dist; use <=2 (FastSS regime) or block by family"
+        )
+    keyed = df.select(
+        F.col(id_col).alias("__id"), F.col(key_col).alias("__key")
+    )
+    variants = "array(__key)"
+    for _ in range(max_dist):
+        variants = _deletion_variants(variants)
+    exploded = keyed.select(
+        F.col("__id"), F.explode(F.expr(variants)).alias("__variant")
+    )
+    cand = (
+        chunked_pair_join(exploded, ["__variant"], "__id")
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.join(
+            keyed.select(
+                F.col("__id").alias("id_a"), F.col("__key").alias("__ka")
+            ),
+            "id_a",
+        )
+        .join(
+            keyed.select(
+                F.col("__id").alias("id_b"), F.col("__key").alias("__kb")
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "edit_dist",
+            F.levenshtein(F.col("__ka"), F.col("__kb"), max_dist),
+        )
+        .filter(F.col("edit_dist") >= 0)
+        .select("id_a", "id_b", "edit_dist")
+    )

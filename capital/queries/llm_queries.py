@@ -880,32 +880,41 @@ def dedup_ml_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ml_minhash_neardup_pairs(d, max_jaccard_distance=0.6)
 
 
-@query("text_tfidf_stats", memoize=False)
+@query(
+    "text_tfidf_stats",
+    # Exact-token TF-IDF with Spark ml's smoothed IDF ln((N+1)/(df+1)):
+    # fully SQL-replicable, so the formerly rows-only entry now carries
+    # a hash oracle. The pyspark.ml HashingTF→IDF pipeline stays as the
+    # library path (capital/llm/ml_variants.py, shape-tested) — its
+    # murmur3 feature bucketing is JVM-internal and is the one part no
+    # SQL engine can replicate.
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_NTOKS}) AS token FROM documents),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM tok GROUP BY doc_id, token),
+    dfq AS (SELECT token, COUNT(*) AS dfc FROM tf GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    w AS (
+      SELECT tf.doc_id,
+             tf.tf * ln((n.n_docs + 1.0) / (dfq.dfc + 1.0)) AS wgt
+      FROM tf JOIN dfq USING (token) CROSS JOIN n)
+    SELECT doc_id, COUNT(*) AS n_terms,
+           round(sqrt(CAST(SUM(CAST(wgt * wgt AS DECIMAL(28,6)))
+                           AS DOUBLE)), 6) AS l2_norm
+    FROM w GROUP BY doc_id
+    """,
+)
 def text_tfidf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF vectors (tokenize → hashed TF → IDF) reduced to scalar
-    stats per doc (nnz, l2 norm). Rows-only: IDF weights depend on the
-    fitted corpus model."""
-    from pyspark.ml.functions import vector_to_array
-
-    from capital.llm.ml_variants import tfidf_features
+    """Exact-token TF-IDF per-doc stats (distinct terms, tf·idf L2
+    norm) — see capital/llm/text.py tfidf_doc_stats. Replaces the
+    hashed-feature rows-only variant with a hash-oracled computation;
+    identical math minus murmur3 bucketing."""
+    from capital.llm.text import tfidf_doc_stats
 
     d = load_table(spark, sf_dir, "documents")
-    arr = vector_to_array(F.col("tfidf"))
-    nonzero = F.filter(arr, lambda x: x != 0.0)
-    return tfidf_features(d).select(
-        "doc_id",
-        F.size(nonzero).alias("n_terms"),
-        F.round(
-            F.sqrt(
-                F.aggregate(
-                    F.transform(nonzero, lambda x: x * x),
-                    F.lit(0.0),
-                    lambda a, x: a + x,
-                )
-            ),
-            6,
-        ).alias("l2_norm"),
-    )
+    return tfidf_doc_stats(d)
 
 
 @query(

@@ -334,6 +334,36 @@ def dedup_fuzzy_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_fuzzy_fullrecall",
+    memoize=False,
+    # Oracle is the UNBLOCKED brute force: full recall means the
+    # engine's blocked output must equal it exactly. The length
+    # prefilter only prunes pairs levenshtein would reject anyway.
+    oracle="""
+    WITH keyed AS (SELECT c_custkey AS id, c_name FROM customer)
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS edit_dist
+    FROM keyed a JOIN keyed b
+      ON a.id < b.id
+      AND abs(length(a.c_name) - length(b.c_name)) <= 1
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def dedup_fuzzy_fullrecall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-false-negative fuzzy dedup: segment-pigeonhole blocking
+    (PassJoin) makes the blocked pair set provably complete, closing
+    fuzzy_key_pairs' documented prefix-recall gap — the edit-distance
+    analogue of dedup_simhash_fullrecall. Verified against the
+    unblocked O(n²) oracle."""
+    from capital.operators.dedup import fuzzy_fullrecall_pairs
+
+    cust = load_table(spark, sf_dir, "customer")
+    return fuzzy_fullrecall_pairs(
+        cust, key_col="c_name", id_col="c_custkey", max_dist=1
+    )
+
+
+@query(
     "a5_rollup_priority_status",
     oracle="""
     SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders
