@@ -86,6 +86,7 @@ def headline_names(all_names) -> list[str]:
         "pipe_clean_corpus",
         # --- added round 5 ---
         "dedup_fuzzy_fullrecall",
+        "text_bigram_logprob",
     ]
     return [n for n in preferred if n in all_names] or sorted(all_names)[:8]
 

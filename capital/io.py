@@ -156,6 +156,14 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(partition_col).parquet(path)
 
 
+#: Hidden working dirs for :func:`compact_partition` — leading ``.``
+#: keeps them invisible to Spark/Hive partition discovery (Hadoop's
+#: hidden-path convention), so a concurrent reader of the parent table
+#: can never pick up staged or backed-up files as bogus partitions.
+_COMPACT_TMP = ".__compact_tmp__"
+_COMPACT_OLD = ".__compact_old__"
+
+
 def compact_partition(
     spark: SparkSession,
     path: str,
@@ -169,26 +177,55 @@ def compact_partition(
     NameNode/S3-listing load, so compaction is a standing maintenance
     job (the reference's daily ``replace=True`` rewrite had the same
     effect implicitly). Reads the partition once, coalesces (no
-    shuffle — file-merge only), and atomically replaces via a staging
-    directory so a crashed compaction never leaves the partition
-    half-written. Returns the resulting file count.
+    shuffle — file-merge only), then swaps the compacted directory in.
+
+    Crash safety (this is *crash-recoverable*, not atomic): staging and
+    backup live under hidden dirs in the table root
+    (``.__compact_tmp__`` / ``.__compact_old__``) that partition
+    discovery skips, so readers never see half-written or duplicate
+    data. The swap itself is two renames; a crash between them leaves
+    the partition ABSENT with the data intact in the backup — run
+    :func:`recover_compaction` (idempotent, at job start) to restore.
+    Single-writer per partition is assumed, as with any lake
+    maintenance job. This implementation drives a local filesystem
+    (pathlib/shutil); an object-store deployment swaps the rename
+    primitives, the protocol is unchanged. Returns the file count.
     """
     import math
     import pathlib
     import shutil
 
-    current = sum(
-        f.stat().st_size for f in pathlib.Path(path).rglob("*.parquet")
-    )
+    part = pathlib.Path(path.rstrip("/"))
+    current = sum(f.stat().st_size for f in part.rglob("*.parquet"))
     n_files = max(1, math.ceil(current / target_bytes))
-    staging = path.rstrip("/") + ".__compacting__"
-    df = spark.read.parquet(path)
-    df.coalesce(n_files).write.mode("overwrite").parquet(staging)
-    backup = path.rstrip("/") + ".__old__"
-    shutil.move(path, backup)
-    shutil.move(staging, path)
+    staging = part.parent / _COMPACT_TMP / part.name
+    backup = part.parent / _COMPACT_OLD / part.name
+    shutil.rmtree(staging, ignore_errors=True)
+    staging.parent.mkdir(parents=True, exist_ok=True)
+    df = spark.read.parquet(str(part))
+    df.coalesce(n_files).write.mode("overwrite").parquet(str(staging))
+    shutil.rmtree(backup, ignore_errors=True)
+    backup.parent.mkdir(parents=True, exist_ok=True)
+    shutil.move(str(part), str(backup))   # crash after this: recoverable
+    shutil.move(str(staging), str(part))  # via recover_compaction()
     shutil.rmtree(backup)
     return n_files
+
+
+def recover_compaction(path: str) -> bool:
+    """Restore a partition lost to a compaction crashed mid-swap:
+    if ``path`` is absent but its ``.__compact_old__`` backup exists,
+    move the backup into place. Idempotent; run before compacting.
+    Returns True when a recovery happened."""
+    import pathlib
+    import shutil
+
+    part = pathlib.Path(path.rstrip("/"))
+    backup = part.parent / _COMPACT_OLD / part.name
+    if not part.exists() and backup.exists():
+        shutil.move(str(backup), str(part))
+        return True
+    return False
 
 
 def parallelize_narrow(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -298,6 +335,26 @@ def write_jdbc(
     writer.mode(mode).save()
 
 
+#: SQL identifiers interpolated into upsert DDL/DML must look like
+#: identifiers — table/column names reaching here from config or user
+#: input would otherwise be an injection vector.
+_IDENT_RE = None
+
+
+def _check_identifier(name: str) -> None:
+    global _IDENT_RE
+    if _IDENT_RE is None:
+        import re
+
+        _IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_$]*(\.[A-Za-z_][A-Za-z0-9_$]*)?$")
+    if not _IDENT_RE.match(name):
+        raise ValueError(
+            f"unsafe SQL identifier {name!r}: expected "
+            "[schema.]name of word characters (upsert_jdbc interpolates "
+            "identifiers into DELETE/INSERT statements)"
+        )
+
+
 def upsert_jdbc(
     df: DataFrame,
     url: str,
@@ -328,8 +385,22 @@ def upsert_jdbc(
     staging table gets comparable types — Spark's default StringType
     mapping is the dialect's LOB type on some warehouses (Derby: CLOB),
     which cannot be equality-compared against the target's VARCHAR.
+
+    Caller contract: the batch is key-unique (DELETE+INSERT does not
+    dedupe within the batch — duplicate key tuples would insert
+    duplicate rows; pre-aggregate with
+    :func:`capital.operators.dedup.first_wins` if the feed can
+    re-deliver). Concurrent upserts to the same target are safe only
+    because each run stages to a unique suffixed table (dropped after
+    commit); the DELETE+INSERT transactions still serialize on the
+    warehouse's locking.
     """
-    staging = staging_table or f"{table}_staging"
+    import uuid
+
+    for name in (table, *keys, *df.columns):
+        _check_identifier(name)
+    staging = staging_table or f"{table}_stg_{uuid.uuid4().hex[:10]}"
+    _check_identifier(staging)
     write_jdbc(
         df,
         url,
@@ -371,6 +442,14 @@ def upsert_jdbc(
             conn.rollback()
             raise
         finally:
+            try:
+                # Best-effort cleanup: the unique-suffix staging table
+                # is garbage after commit (and after rollback). Own
+                # commit — autoCommit is off and the main txn is over.
+                stmt.execute(f"DROP TABLE {staging}")
+                conn.commit()
+            except Exception:  # noqa: BLE001 - cleanup must not mask
+                pass
             stmt.close()
     finally:
         conn.close()

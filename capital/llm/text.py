@@ -486,3 +486,62 @@ def tfidf_doc_stats(
             6,
         ).alias("l2_norm"),
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document bigram language-model score: average negative
+    log2 of P(token | previous token) under the corpus's own bigram
+    distribution — the conditional upgrade of :func:`unigram_logprob`
+    (CCNet-style LM quality signal, Wenzek et al. 2020). Word salad
+    scores high even when its unigrams are individually common, which
+    is exactly what the unigram signal cannot see.
+
+    Shape: bigrams materialize **array-side** (zip of the token array
+    with its own tail — narrow, no posexplode self-join), then one
+    (prev, cur) count aggregate; context totals reuse that aggregate's
+    partitioning (groupBy on a key subset — no extra exchange); the
+    conditional-prob join is co-partitioned on ``prev``. Per-bigram
+    log-probs round to 6 decimals and accumulate as DECIMAL(28,6) —
+    the repo's order-independent float-parity discipline. Docs with
+    fewer than two tokens have no bigrams and drop out (inner join),
+    mirroring the oracle.
+    """
+    toks = tokens(normalized(F.col(text_col)))
+    # sequence(1, n-1) must be guarded: Spark's sequence(1, 0) counts
+    # DOWN ([1, 0]) instead of returning empty — filter out the
+    # bigram-less docs (n < 2) before the index walk.
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("prev"),
+            F.element_at(toks, i + F.lit(1)).alias("cur"),
+        ),
+    )
+    big = (
+        df.filter(F.size(toks) >= 2)
+        .select(F.col(id_col), F.explode(pairs).alias("bg"))
+        .select(F.col(id_col), F.col("bg.prev"), F.col("bg.cur"))
+    )
+    c2 = big.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("__n2"))
+    c1 = c2.groupBy("prev").agg(F.sum("__n2").alias("__n1"))
+    probs = c2.join(c1, "prev").select(
+        "prev",
+        "cur",
+        F.round(F.log2(F.col("__n2") / F.col("__n1")), 6)
+        .cast("decimal(28,6)")
+        .alias("__logp"),
+    )
+    return (
+        big.join(probs, ["prev", "cur"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                -F.sum("__logp").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_neg_logprob2"),
+        )
+    )

@@ -20,6 +20,7 @@ _MODULES = [
     "capital.queries.pricing",
     "capital.queries.relational",
     "capital.queries.tpc_extended",
+    "capital.queries.tpc_partsupp",
     "capital.queries.rangejoin_queries",
     "capital.queries.calendar_queries",
     "capital.queries.functions_queries",
@@ -100,16 +101,17 @@ _DRIVER_PRIORITY = [
     "dedup_clusters",
     "dedup_simhash_fullrecall",
     "pipe_clean_corpus",
+    # --- brand-new round-5 queries (never driver-checked) ---
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q16_supplier_part_counts",
+    "q20_excess_stock_suppliers",
+    "text_bigram_logprob",
     # --- round-4 first-timers as regression sentinels ---
     "f5_epoch_millis",
     "cal_holiday_merged",
     "w1b_previous_open_day_merged",
-    "f12_json_access",
-    "f2b_bok_interval_formats",
-    "mm_decode_stub",
-    "asm_temperature_mix",
-    "st_dedup_keys",
-    "text_unigram_logprob",
     # --- 50-slot boundary ---
 ]
 

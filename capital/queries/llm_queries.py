@@ -792,6 +792,39 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(d)
 
 
+@query(
+    "text_bigram_logprob",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_NTOKS} AS toks FROM documents),
+    big AS (
+      SELECT doc_id, toks[i] AS prev, toks[i+1] AS cur
+      FROM base, unnest(range(1, len(toks))) AS t(i)),
+    c2 AS (SELECT prev, cur, COUNT(*) AS n2 FROM big GROUP BY prev, cur),
+    c1 AS (SELECT prev, SUM(n2) AS n1 FROM c2 GROUP BY prev),
+    probs AS (
+      SELECT c2.prev, c2.cur,
+             CAST(round(log2(CAST(n2 AS DOUBLE) / n1), 6)
+               AS DECIMAL(28,6)) AS logp
+      FROM c2 JOIN c1 USING (prev))
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           round(-CAST(SUM(logp) AS DOUBLE) / COUNT(*), 6)
+             AS avg_neg_logprob2
+    FROM big JOIN probs USING (prev, cur)
+    GROUP BY doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM quality signal: avg -log2 P(token | prev token) under
+    the corpus's own bigram distribution — catches word salad whose
+    unigrams are individually common (see capital/llm/text.py
+    bigram_logprob; bigrams build array-side, no positional self-join;
+    context totals reuse the bigram aggregate's partitioning)."""
+    from capital.llm.text import bigram_logprob
+
+    d = load_table(spark, sf_dir, "documents")
+    return bigram_logprob(d)
+
+
 _BOILER_FRAC = 0.5
 
 

@@ -264,3 +264,33 @@ def test_chunked_pair_plans_have_no_nested_loops(spark, sf_dir):
         plan = plan_of(_QUERIES[q](spark, sf_dir))
         assert "CartesianProduct" not in plan, q
         assert "BroadcastNestedLoopJoin" not in plan, q
+
+
+def test_partsupp_queries_plan_shapes(spark, sf_dir):
+    """The derived-partsupp pack must keep the canonical shapes: dims
+    and the ps projection broadcast, never a cartesian fallback; q16's
+    NOT IN lands as a broadcast anti-join. BroadcastNestedLoopJoin is
+    permitted ONLY as the single-row scalar crossJoin inside the ps
+    derivation (the supplier-count literal) — each occurrence must
+    build from a one-row aggregate, never a table."""
+    for name in (
+        "q2_min_cost_supplier",
+        "q9_product_profit",
+        "q11_important_stock",
+        "q16_supplier_part_counts",
+        "q20_excess_stock_suppliers",
+    ):
+        plan = plan_of(_QUERIES[name](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+        # Scalar crossJoins (supplier count / q11 threshold) broadcast
+        # a single aggregate row and plan as Cross-type BNLJ (the q11
+        # threshold filter may fuse in as the join condition). An
+        # equi-join DEGRADING to nested-loop keeps its Inner/Outer
+        # type — that is the regression this guards; big-big
+        # cartesians are caught by the assert above.
+        for block in plan.split("\n\n"):
+            if "BroadcastNestedLoopJoin" in block.splitlines()[0]:
+                assert "Join type: Cross" in block, (name, block)
+    plan = plan_of(_QUERIES["q16_supplier_part_counts"](spark, sf_dir))
+    assert "LeftAnti" in plan

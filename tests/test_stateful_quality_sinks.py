@@ -155,3 +155,63 @@ def test_compact_partition_merges_small_files(spark, sf_dir, tmp_path):
     assert not list(tmp_path.glob("*__compacting__*"))
     assert not list(tmp_path.glob("*__old__*"))
     assert sorted(map(tuple, spark.read.parquet(path).collect())) == before_rows
+
+
+def test_compaction_staging_invisible_to_table_readers(spark, sf_dir, tmp_path):
+    """Working dirs are dot-prefixed: a reader of the parent
+    partitioned table must never discover staged/backup files as bogus
+    partitions, even with compaction debris present."""
+    from capital.io import _COMPACT_OLD, _COMPACT_TMP, compact_partition, load_table
+
+    root = tmp_path / "tbl"
+    ev = load_table(spark, sf_dir, "events").limit(1000)
+    ev.withColumn("ymd", F.lit("2024-01-01")).write.partitionBy("ymd").parquet(str(root))
+    part = str(root / "ymd=2024-01-01")
+    baseline = spark.read.parquet(str(root)).count()
+
+    # Simulate a crashed run: leave debris in both hidden dirs.
+    (root / _COMPACT_TMP / "ymd=2024-01-01").mkdir(parents=True)
+    (root / _COMPACT_OLD / "ymd=2024-09-09").mkdir(parents=True)
+    ev.limit(10).write.mode("overwrite").parquet(
+        str(root / _COMPACT_OLD / "ymd=2024-09-09")
+    )
+    assert spark.read.parquet(str(root)).count() == baseline  # debris unseen
+
+    compact_partition(spark, part)
+    assert spark.read.parquet(str(root)).count() == baseline
+
+
+def test_recover_compaction_restores_lost_partition(spark, sf_dir, tmp_path):
+    import shutil
+    from pathlib import Path
+
+    from capital.io import _COMPACT_OLD, load_table, recover_compaction
+
+    root = tmp_path / "tbl"
+    part = root / "ymd=2024-01-01"
+    ev = load_table(spark, sf_dir, "events").limit(500)
+    ev.write.parquet(str(part))
+    rows = sorted(map(tuple, spark.read.parquet(str(part)).collect()))
+
+    # Simulate the crash window: partition moved to backup, swap lost.
+    backup = root / _COMPACT_OLD / "ymd=2024-01-01"
+    backup.parent.mkdir(parents=True, exist_ok=True)
+    shutil.move(str(part), str(backup))
+    assert not Path(part).exists()
+
+    assert recover_compaction(str(part)) is True
+    assert sorted(map(tuple, spark.read.parquet(str(part)).collect())) == rows
+    assert recover_compaction(str(part)) is False  # idempotent no-op
+
+
+def test_upsert_identifier_validation(spark):
+    import pytest as _pytest
+
+    from capital.io import upsert_jdbc
+
+    df = spark.range(3).select(F.col("id"), F.lit("x").alias("v"))
+    for bad in ("t; DROP TABLE x", 'a"b', "t--", "sch.t.extra"):
+        with _pytest.raises(ValueError, match="unsafe SQL identifier"):
+            upsert_jdbc(df, "jdbc:derby:memory:nope", bad, keys=["id"])
+    with _pytest.raises(ValueError, match="unsafe SQL identifier"):
+        upsert_jdbc(df, "jdbc:derby:memory:nope", "t", keys=["id; --"])
