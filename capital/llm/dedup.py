@@ -282,8 +282,14 @@ def simhash_neardup_pairs(
         F.substring("simhash_bits", 1, prefix_bits).alias("block"),
     )
     hamming = hamming_packed(F.col("sigl_a"), F.col("sigl_b"))
+    # probe=False: short-prefix blocks on any self-similar corpus are
+    # skewed BY CONSTRUCTION (that is what this operator exists for),
+    # so the skew probe's extra pass over the signature lineage would
+    # answer a question we already know.
     return (
-        chunked_pair_join(keyed, ["block"], id_col, payload_cols=["sigl"])
+        chunked_pair_join(
+            keyed, ["block"], id_col, payload_cols=["sigl"], probe=False
+        )
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
@@ -345,8 +351,11 @@ def simhash_fullrecall_pairs(
             )
         ).alias("sb"),
     ).select(id_col, "sb.seg", "sb.seg_bits")
+    # probe=False: pigeonhole segments are even shorter than the
+    # prefix blocks — hot segments are the expected regime, and the
+    # probe pass over the signature lineage is known-wasted here.
     cand = (
-        chunked_pair_join(keyed, ["seg", "seg_bits"], id_col)
+        chunked_pair_join(keyed, ["seg", "seg_bits"], id_col, probe=False)
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )

@@ -65,11 +65,18 @@ def salted_agg(
     )
 
 
+def block_counts(keyed: DataFrame, block_cols: list[str]) -> DataFrame:
+    """Per-block row counts — the frame both the skew probe and the
+    chunk annotation consume."""
+    return keyed.groupBy(*block_cols).agg(F.count(F.lit(1)).alias("__n"))
+
+
 def chunked_blocks(
     keyed: DataFrame,
     block_cols: list[str],
     id_col: str,
     chunk_target: int = 1024,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Attach deterministic chunk metadata to a blocked frame: per-block
     row count ``__n``, chunk count ``__s = ceil(n / chunk_target)``, and
@@ -78,9 +85,11 @@ def chunked_blocks(
     Blocks of one row are dropped (they cannot pair). The count is an
     aggregate + equi-join rather than a window so a hot block never has
     to materialize in a single task; AQE broadcasts the per-block counts
-    when they are small.
+    when they are small. Pass a precomputed (ideally persisted)
+    ``counts`` frame to skip re-aggregating — the skew probe does.
     """
-    counts = keyed.groupBy(*block_cols).agg(F.count(F.lit(1)).alias("__n"))
+    if counts is None:
+        counts = block_counts(keyed, block_cols)
     return (
         keyed.join(counts.filter(F.col("__n") > 1), block_cols)
         .withColumn(
@@ -118,12 +127,7 @@ def _plain_pair_join(
 def max_block_rows(keyed: DataFrame, block_cols: list[str]) -> int:
     """Largest block's row count (0 for an empty frame) — one
     count-aggregate job over ``keyed``."""
-    row = (
-        keyed.groupBy(*block_cols)
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .agg(F.max("__n"))
-        .first()
-    )
+    row = block_counts(keyed, block_cols).agg(F.max("__n")).first()
     return int(row[0]) if row and row[0] is not None else 0
 
 
@@ -168,18 +172,24 @@ def chunked_pair_join(
     holds trivially because every block fits one chunk. The probe is
     an *eager* job at call time: persist ``keyed`` first if its
     lineage is expensive (all engine callers do). ``probe=False``
-    restores the always-chunked lazy plan; in the genuinely-skewed
-    case the probe's counts are recomputed inside the chunked plan —
-    negligible next to the pair enumeration it bounds.
+    restores the always-chunked lazy plan — use it when the workload
+    is EXPECTED skewed (SimHash prefix/segment blocking on boilerplate
+    corpora): there the probe's answer is already known and its pass
+    over the signature lineage is pure cost, and feeding the probe's
+    *cached* counts into the chunked join measured 2× WORSE than
+    recomputing them in-plan (the cached relation displaces the
+    partial-agg + exchange-reuse shape; sf0.1 fullrecall 12.7 s vs
+    6.6 s) — so the skewed path always rebuilds counts inside the
+    plan and the probe result is deliberately thrown away.
     """
     payload_cols = payload_cols or []
     if probe and max_block_rows(keyed, block_cols) <= chunk_target:
         return _plain_pair_join(keyed, block_cols, id_col, payload_cols)
-    # NOT persisted: materializing the chunk-annotated frame was
-    # measured net-negative at sf0.1 (cache write cost > the two cheap
-    # recomputes of a projection over the caller's already-persisted
-    # input); callers persist their expensive upstream (signatures,
-    # banded index, hashed vectors) instead.
+    # keyed is NOT persisted here: materializing the chunk-annotated
+    # frame was measured net-negative at sf0.1 (cache write cost > the
+    # two cheap recomputes of a projection over the caller's
+    # already-persisted input); callers persist their expensive
+    # upstream (signatures, banded index, hashed vectors) instead.
     chunked = chunked_blocks(keyed, block_cols, id_col, chunk_target)
     partner = F.explode(
         F.sequence(F.lit(0), F.col("__s") - F.lit(1))
