@@ -96,9 +96,29 @@ def minhash_signatures(
     from capital.io import parallelize_narrow
 
     df = parallelize_narrow(df)
-    sh = shingles(F.col(text_col), shingle_k)
-    exploded = df.select(
-        F.col(id_col), F.explode_outer(sh).alias("_shingle")
+    sh = df.select(
+        F.col(id_col), shingles(F.col(text_col), shingle_k).alias("__sh")
+    )
+    return minhash_signatures_from_shingles(
+        sh, id_col=id_col, shingle_col="__sh", num_hashes=num_hashes
+    )
+
+
+def minhash_signatures_from_shingles(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    shingle_col: str = "__sh",
+    num_hashes: int = 32,
+) -> DataFrame:
+    """MinHash signatures from an already-shingled frame
+    (``id, array<string>``) — the shared-lineage entry point: a caller
+    that also needs the shingle sets (exact-Jaccard verification)
+    shingles the corpus ONCE, persists, and feeds both consumers,
+    instead of paying a second full tokenize+shingle scan (one whole
+    corpus pass saved at 100 TB; see :func:`verified_neardup_pairs`).
+    """
+    exploded = sh.select(
+        F.col(id_col), F.explode_outer(F.col(shingle_col)).alias("_shingle")
     )
     mins = [
         F.min(
@@ -396,25 +416,32 @@ def verified_neardup_pairs(
     full pair space. Returns (id_a, id_b, jaccard) for verified pairs.
     Pass a :class:`capital.operators.caching.CacheScope` to release the
     persisted signature/shingle intermediates after consuming.
+
+    The corpus is tokenized + shingled exactly ONCE: the persisted
+    shingle frame feeds both the MinHash signature aggregation and the
+    exact-Jaccard verify (previously two independent full-corpus
+    explodes).
     """
+    from capital.io import parallelize_narrow
     from capital.operators.caching import scoped_persist
 
-    sigs = minhash_signatures(
-        df, id_col=id_col, text_col=text_col,
-        num_hashes=num_hashes, shingle_k=shingle_k,
-    )
-    candidates = lsh_candidate_pairs(
-        sigs, id_col=id_col, bands=bands, rows_per_band=rows_per_band,
-        scope=scope,
-    ).select("id_a", "id_b")
-
     sh = scoped_persist(
-        df.select(
+        parallelize_narrow(df).select(
             F.col(id_col).alias("__id"),
             shingles(F.col(text_col), shingle_k).alias("__sh"),
         ),
         scope,
     )
+    sigs = minhash_signatures_from_shingles(
+        sh.select(F.col("__id").alias(id_col), "__sh"),
+        id_col=id_col,
+        shingle_col="__sh",
+        num_hashes=num_hashes,
+    )
+    candidates = lsh_candidate_pairs(
+        sigs, id_col=id_col, bands=bands, rows_per_band=rows_per_band,
+        scope=scope,
+    ).select("id_a", "id_b")
     with_a = candidates.join(
         sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")),
         "id_a",
