@@ -45,11 +45,12 @@ for _m in _MODULES:
 #: first 50 entries per round (observed r1-r4), so this list is a real
 #: rotation schedule, re-written each round:
 #:
-#: - Slots 1-29 (round 5): the 29 queries whose only driver row is from
+#: - Slots 1-31 (round 5): the 31 queries whose only driver row is from
 #:   round 1 — three rounds of shared-infrastructure churn (skew
 #:   chunking, session-cache keys, loader changes) since their last
 #:   hard check. After this round every query's latest driver row is
-#:   round 3 or newer.
+#:   round 3 or newer, and every registered query has at least one
+#:   driver row (audited against CORRECTNESS_r01-r04).
 #: - Slots 30-50: regression sentinels — queries whose code paths
 #:   round 5 touched (chunked_pair_join fast path, session-window
 #:   shuffle tuning, dedup persist scoping, GEMM guard, new fuzzy
@@ -88,6 +89,10 @@ _DRIVER_PRIORITY = [
     "f14_zero_fill_left_join",
     "ud3_group_apply_rank",
     "cal_dim_calendar",
+    # (two more r1-only queries the round-4 verdict's list missed —
+    # found by auditing CORRECTNESS_r01-r04 against the registry)
+    "u4_intersect_nations",
+    "w3_moving_avg",
     # --- round-5-touched code paths ---
     "st_session_30m",
     "dedup_embedding_cosine",
@@ -108,10 +113,8 @@ _DRIVER_PRIORITY = [
     "q16_supplier_part_counts",
     "q20_excess_stock_suppliers",
     "text_bigram_logprob",
-    # --- round-4 first-timers as regression sentinels ---
+    # --- round-4 first-timer as regression sentinel ---
     "f5_epoch_millis",
-    "cal_holiday_merged",
-    "w1b_previous_open_day_merged",
     # --- 50-slot boundary ---
 ]
 
