@@ -354,7 +354,13 @@ def simhash_fullrecall_pairs(
     # Candidates shuffle IDS ONLY: the banding explode and the pair
     # dedup would otherwise drag the signature strings through every
     # exchange; signatures re-attach from the (persisted) input after
-    # the id-pair dedup — the lsh_candidate_pairs trick.
+    # the id-pair dedup — the lsh_candidate_pairs trick. (Round 5
+    # negative result: carrying even the PACKED 8-byte signature
+    # through the candidate dedup measured 1.5–3× worse than ids-only
+    # dedup + two broadcast re-attach joins, whether the dedup ran
+    # before or after the hamming filter — on a self-similar corpus
+    # nearly every candidate passes the filter, so the dedup's input
+    # multiset doesn't shrink and the wider aggregate rows dominate.)
     keyed = signatures.select(
         F.col(id_col),
         F.explode(
