@@ -87,6 +87,7 @@ def headline_names(all_names) -> list[str]:
         # --- added round 5 ---
         "dedup_fuzzy_fullrecall",
         "text_bigram_logprob",
+        "dedup_exact_spans",
     ]
     return [n for n in preferred if n in all_names] or sorted(all_names)[:8]
 

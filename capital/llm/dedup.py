@@ -1,22 +1,30 @@
 """Deduplication operators for training-data pipelines.
 
-Four tiers, cheapest first:
+Tiers, cheapest first:
 
 1. **Exact** (:func:`exact_dedup_groups`) — md5-keyed hash groupBy.
    One shuffle on a 16-byte key; the canonical 100 TB first pass.
-2. **MinHash + LSH** (:func:`minhash_signatures`,
+2. **Span-level exact** (:func:`span_dedup_stats`) — repeated
+   fixed-token windows dropped corpus-wide; the bounded-window form of
+   exact-substring dedup (Lee et al., ACL 2022).
+3. **MinHash + LSH** (:func:`minhash_signatures`,
    :func:`lsh_candidate_pairs`) — shingle → k minhashes → b bands;
    candidate pairs only where a band bucket collides. Shuffle cost is
    O(docs × b) tiny band keys, never O(docs²). (Broder, "On the
    resemblance and containment of documents", 1997; banding per
    Leskovec/Rajaraman/Ullman, *Mining of Massive Datasets* ch. 3.)
-3. **SimHash** (:func:`simhash_bits`) — near-dup bit signature;
-   Hamming-adjacent buckets. (Charikar, "Similarity estimation
-   techniques from rounding algorithms", STOC 2002; dedup application
-   per Manku/Jain/Sarma, WWW 2007.)
-4. **n-gram Jaccard** (:func:`jaccard_pairs`) — exact verification on a
+4. **SimHash** (:func:`simhash_bits`) — near-dup bit signature;
+   Hamming-adjacent buckets, single-prefix (:func:`simhash_neardup_
+   pairs`) or full-recall pigeonhole (:func:`simhash_fullrecall_
+   pairs`). (Charikar, STOC 2002; Manku/Jain/Sarma, WWW 2007.)
+5. **n-gram Jaccard** (:func:`jaccard_pairs`) — exact verification on a
    bounded candidate set (from LSH buckets or an explicit sample);
    the only quadratic step, applied after blocking.
+
+Edit-distance entity dedup (prefix-blocked and FastSS full-recall)
+lives in :mod:`capital.operators.dedup`; embedding-cosine near-dup in
+:mod:`capital.llm.similarity`; cluster resolution in
+:mod:`capital.llm.clusters`.
 
 Hash discipline: all hashes are md5 hex strings or bits derived from
 them — deterministic, engine-portable (the DuckDB oracles replicate
@@ -606,4 +614,76 @@ def incremental_neardup_flags(
             F.coalesce("n_index_hits", F.lit(0)).alias("n_index_hits"),
             "first_hit_id",
         )
+    )
+
+
+def span_dedup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 3,
+    max_occurrences: int = 1,
+) -> DataFrame:
+    """Span-level exact dedup: segment each document into fixed
+    ``span_tokens``-token windows, drop every span occurring more than
+    ``max_occurrences`` times corpus-wide, and fingerprint the
+    surviving per-document text — the bounded-window approximation of
+    exact-substring dedup (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", ACL 2022: repeated spans, not just
+    repeated documents, degrade models; suffix arrays find *maximal*
+    repeats, fixed windows find length-``span_tokens`` ones with pure
+    DataFrame ops).
+
+    Returns ``(id, n_spans, n_kept_spans, kept_md5)`` where
+    ``kept_md5`` hashes the kept spans re-joined in document order —
+    an atomic driver-friendly surrogate for the rebuilt text.
+
+    Shape: narrow span explode → one corpus-wide count aggregate
+    (map-side combined, so a boilerplate span collapses per-partition
+    before the exchange) → join back on the span text (the kept side
+    filters to ``cnt ≤ max`` FIRST, so hot boilerplate spans never
+    reach the join) → per-doc rebuild via ``array_sort(collect_list)``
+    (bounded by document length, never corpus-sized).
+    """
+    from capital.io import parallelize_narrow
+
+    k = span_tokens
+    toks = tokens(normalized(F.col(text_col)))
+    n_spans_arr = F.ceil(F.size(toks) / F.lit(float(k))).cast("int")
+    spans_arr = F.transform(
+        F.sequence(F.lit(0), n_spans_arr - F.lit(1)),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.concat_ws(
+                " ", F.slice(toks, i * F.lit(k) + F.lit(1), F.lit(k))
+            ).alias("span"),
+        ),
+    )
+    spans = (
+        parallelize_narrow(df)
+        .select(F.col(id_col), F.explode(spans_arr).alias("s"))
+        .select(id_col, "s.pos", "s.span")
+    )
+    counts = spans.groupBy("span").agg(F.count(F.lit(1)).alias("__cnt"))
+    kept = spans.join(
+        counts.filter(F.col("__cnt") <= max_occurrences), "span"
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept_spans"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "span"))),
+                    lambda x: x["span"],
+                ),
+                " ",
+            )
+        ).alias("kept_md5"),
+    )
+    totals = spans.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_spans"))
+    return totals.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        "n_spans",
+        F.coalesce("n_kept_spans", F.lit(0)).alias("n_kept_spans"),
+        F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_md5"),
     )

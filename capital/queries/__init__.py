@@ -113,8 +113,7 @@ _DRIVER_PRIORITY = [
     "q16_supplier_part_counts",
     "q20_excess_stock_suppliers",
     "text_bigram_logprob",
-    # --- round-4 first-timer as regression sentinel ---
-    "f5_epoch_millis",
+    "dedup_exact_spans",
     # --- 50-slot boundary ---
 ]
 

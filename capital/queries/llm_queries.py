@@ -359,6 +359,43 @@ def _simhash_pairs_oracle() -> str:
     """
 
 
+@query(
+    "dedup_exact_spans",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_NTOKS} AS toks FROM documents),
+    spans AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(toks[i*3+1 : least((i+1)*3, len(toks))], ' ')
+               AS span
+      FROM base,
+           unnest(range(0, CAST(ceil(len(toks)/3.0) AS BIGINT))) AS t(i)),
+    c AS (SELECT span, COUNT(*) AS cnt FROM spans GROUP BY span),
+    kept AS (
+      SELECT doc_id, pos, span FROM spans JOIN c USING (span)
+      WHERE cnt <= 1),
+    reb AS (
+      SELECT doc_id, COUNT(*) AS n_kept_spans,
+             md5(string_agg(span, ' ' ORDER BY pos)) AS kept_md5
+      FROM kept GROUP BY doc_id),
+    tot AS (SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY doc_id)
+    SELECT tot.doc_id, n_spans,
+           COALESCE(n_kept_spans, 0) AS n_kept_spans,
+           COALESCE(kept_md5, md5('')) AS kept_md5
+    FROM tot LEFT JOIN reb USING (doc_id)
+    """,
+)
+def dedup_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup (Lee et al. 2022 bounded-window form):
+    3-token windows repeated corpus-wide are dropped and the surviving
+    per-doc text fingerprinted — repeated SPANS, not just repeated
+    documents, are what substring-level dedup removes (see
+    capital/llm/dedup.py span_dedup_stats for the shuffle shape)."""
+    from capital.llm.dedup import span_dedup_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return span_dedup_stats(d, span_tokens=3, max_occurrences=1)
+
+
 @query("dedup_simhash_pairs", oracle=_simhash_pairs_oracle(), memoize=False)
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: prefix-block join + exact Hamming
