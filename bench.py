@@ -123,13 +123,17 @@ def main() -> None:
     clear_engine_cache(spark)
 
     # Two timed passes, min per query (standard bench practice: the min
-    # is the least-interference estimate of the plan's cost — the 27
+    # is the least-interference estimate of the plan's cost — the
     # queries run back-to-back in one JVM and GC/compilation noise from
     # a heavy neighbor inflates single measurements 2-10× on sub-second
-    # queries). Caches are cleared between passes so both recompute.
+    # queries). The second pass runs in REVERSE order so each query's
+    # two samples sit in different neighbor contexts — a query stuck
+    # behind the same heavy predecessor twice would otherwise inherit
+    # the same GC shadow in both samples. Caches are cleared between
+    # passes so both recompute.
     timings: dict[str, float] = {}
     for _pass in range(2):
-        for name in names:
+        for name in names if _pass == 0 else list(reversed(names)):
             try:
                 t0 = time.perf_counter()
                 df = queries[name](spark, sf_dir)
