@@ -1,0 +1,145 @@
+"""Z-order (Morton) clustering for multi-column data skipping.
+
+Parquet readers prune with per-file (and per-row-group) min/max stats.
+Sorting by one column gives perfect skipping on that column and none on
+any other; interleaving the bits of several columns' normalized ranks
+(the Z-order / Morton curve) gives *each* indexed column locality, so a
+predicate on any of them skips most files. This is the standard
+lakehouse clustering technique (Delta/Iceberg ``OPTIMIZE ZORDER BY``);
+here it is plain Spark: a codegen'd integer expression + one range
+repartition, writable to any parquet lake.
+
+Shape at 100 TB: one min/max aggregate over the indexed columns (scalar
+row, broadcast), a narrow z-value projection (pure bit arithmetic in
+whole-stage codegen), and ONE range exchange on the z-value —
+the same cost as the single-column sort a naive layout pays, with
+multi-column skipping instead of one-column.
+
+The z computation is deterministic integer arithmetic, generated from
+the same constants for the Spark plan and the DuckDB oracle SQL
+(``z_value_oracle_sql``), so it is hash-checkable like every other
+engine expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Bits of precision per indexed column. 16 bits × up to 4 columns fits
+#: a signed long with headroom.
+Z_BITS = 16
+_MAX_COLS = 4
+
+
+def normalized_rank(col: Column, cmin: Column, cmax: Column, bits: int = Z_BITS) -> Column:
+    """Map ``col`` into ``[0, 2^bits)`` by min/max scaling — the cheap
+    rank proxy (exact quantile ranks would cost a global sort; min/max
+    scaling is one scalar agg and is what engine OPTIMIZE
+    implementations use for numeric columns)."""
+    top = F.lit((1 << bits) - 1)
+    span = (cmax - cmin).cast("double")
+    scaled = F.when(
+        span > 0,
+        ((col.cast("double") - cmin.cast("double")) / span * top.cast("double")),
+    ).otherwise(F.lit(0.0))
+    return F.least(F.greatest(F.floor(scaled).cast("long"), F.lit(0)), top.cast("long"))
+
+
+def z_interleave(ranks: list[Column], bits: int = Z_BITS) -> Column:
+    """Morton interleave: bit ``i`` of rank ``j`` lands at position
+    ``i * ncols + j``. Pure shift/and/or integer arithmetic — stays in
+    whole-stage codegen."""
+    ncols = len(ranks)
+    if not 1 <= ncols <= _MAX_COLS:
+        raise ValueError(f"z_interleave takes 1..{_MAX_COLS} columns, got {ncols}")
+    z = F.lit(0).cast("long")
+    for j, r in enumerate(ranks):
+        for i in range(bits):
+            bit = F.shiftright(r, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * ncols + j))
+    return z
+
+
+def with_z_value(
+    df: DataFrame, cols: list[str], bits: int = Z_BITS, out_col: str = "z_value"
+) -> DataFrame:
+    """Attach the Morton key for ``cols``: one scalar min/max aggregate
+    broadcast into a narrow projection. The frame is otherwise
+    untouched — callers choose what to do with the key (range
+    repartition, bucket, sort)."""
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).alias(f"__min_{c}"))
+        aggs.append(F.max(c).alias(f"__max_{c}"))
+    bounds = df.agg(*aggs)
+    ranks = [
+        normalized_rank(
+            F.col(c), F.col(f"__min_{c}"), F.col(f"__max_{c}"), bits
+        )
+        for c in cols
+    ]
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(out_col, z_interleave(ranks, bits))
+        .drop(*[f"__min_{c}" for c in cols], *[f"__max_{c}" for c in cols])
+    )
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    num_files: int | None = None,
+    bits: int = Z_BITS,
+    mode: str = "overwrite",
+) -> None:
+    """Rewrite a table Z-clustered on ``cols``: compute the Morton key,
+    range-repartition on it (each output file owns a contiguous z
+    range → tight min/max stats on EVERY indexed column), and write
+    parquet without the key column.
+
+    This is the lake-maintenance twin of :func:`capital.io.
+    compact_partition`: run it on cold partitions so the dominant
+    query predicates skip files. ``num_files`` defaults to the
+    session's shuffle parallelism.
+    """
+    keyed = with_z_value(df, cols, bits)
+    n = num_files or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    (
+        keyed.repartitionByRange(n, "z_value")
+        .sortWithinPartitions("z_value")
+        .drop("z_value")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def z_value_oracle_sql(
+    cols: list[str], table: str, bits: int = Z_BITS
+) -> str:
+    """DuckDB SQL computing the identical z key — generated from the
+    same constants as the Spark expression so the driver can
+    hash-compare them."""
+    ncols = len(cols)
+    mins = ", ".join(f"MIN({c}) AS mn_{c}, MAX({c}) AS mx_{c}" for c in cols)
+    top = (1 << bits) - 1
+    rank_exprs = []
+    for c in cols:
+        rank_exprs.append(
+            f"least(greatest(CAST(floor(CASE WHEN mx_{c} > mn_{c} THEN "
+            f"(CAST({c} AS DOUBLE) - mn_{c}) / (mx_{c} - mn_{c}) * {top}.0 "
+            f"ELSE 0.0 END) AS BIGINT), 0), {top}) AS r_{c}"
+        )
+    terms = []
+    for j, c in enumerate(cols):
+        for i in range(bits):
+            terms.append(f"(((r_{c} >> {i}) & 1) << {i * ncols + j})")
+    z = " | ".join(terms)
+    return f"""
+    WITH b AS (SELECT {mins} FROM {table}),
+    r AS (SELECT *, {", ".join(rank_exprs)} FROM {table}, b)
+    SELECT *, ({z}) AS z_value FROM r
+    """

@@ -333,6 +333,28 @@ def dedup_fuzzy_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zorder_oracle() -> str:
+    from capital.operators.zorder import z_value_oracle_sql
+
+    inner = z_value_oracle_sql(["o_custkey", "o_totalprice"], "orders")
+    return f"SELECT o_orderkey, z_value FROM ({inner})"
+
+
+@query("p15_zorder_key", oracle=_zorder_oracle())
+def p15_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (o_custkey, o_totalprice):
+    the multi-column data-skipping layout primitive (see
+    operators/zorder.py — one scalar min/max broadcast + codegen'd bit
+    interleave; zorder_write range-partitions on this key so every
+    indexed column gets tight per-file min/max stats)."""
+    from capital.operators.zorder import with_z_value
+
+    orders = load_table(spark, sf_dir, "orders")
+    return with_z_value(orders, ["o_custkey", "o_totalprice"]).select(
+        "o_orderkey", "z_value"
+    )
+
+
 @query(
     "dedup_fuzzy_fullrecall",
     memoize=False,
