@@ -78,27 +78,57 @@ def connected_components(
     )
 
     prev_sig = None
-    for _ in range(max_rounds):
+    converged = False
+    for rnd in range(max_rounds):
         nbr_min = (
             edges.join(labels, edges.src == labels.id)
             .groupBy("dst")
             .agg(F.min("label").alias("nbr_label"))
         )
-        labels = (
-            labels.join(nbr_min, labels.id == nbr_min.dst, "left")
-            .select(
+        hooked = labels.join(
+            nbr_min, labels.id == nbr_min.dst, "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("label"), F.coalesce("nbr_label", "label")
+            ).alias("label"),
+        )
+        # Pointer jumping (path compression): label(v) ← label(label(v)).
+        # Labels are always vertex ids within the same component, so
+        # shortcutting is safe, and it halves the remaining label-chain
+        # depth per round — convergence in O(log diameter) rounds
+        # instead of O(diameter). Without it, a chain-shaped component
+        # longer than max_rounds silently received WRONG (unconverged)
+        # labels; near-dup clumps (diameter 2-4) never noticed, but
+        # the operator is general API. The jump starts at round 2:
+        # shallow graphs (the dedup norm) converge before ever paying
+        # its extra label-table join, deep chains still finish in
+        # ~2 + log2(diameter) rounds.
+        if rnd >= 2:
+            parent = hooked.select(
+                F.col("id").alias("__pid"), F.col("label").alias("__plabel")
+            )
+            hooked = hooked.join(
+                parent, hooked.label == F.col("__pid"), "left"
+            ).select(
                 "id",
                 F.least(
-                    F.col("label"), F.coalesce("nbr_label", "label")
+                    F.col("label"), F.coalesce("__plabel", "label")
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
-        )
+        labels = hooked.localCheckpoint(eager=True)
         sig = labels.agg(F.sum("label")).first()[0]
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} "
+            "rounds — with pointer jumping that needs a component of "
+            "diameter > ~2^rounds; raise max_rounds"
+        )
     resolved = labels.select(
         F.col("id").alias(id_col), F.col("label").alias("component_id")
     )

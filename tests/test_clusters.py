@@ -8,6 +8,9 @@ logic, not just one join).
 
 from __future__ import annotations
 
+import pytest
+from pyspark.sql import functions as F
+
 from capital.llm.clusters import (
     component_summary,
     connected_components,
@@ -84,3 +87,35 @@ def test_incremental_probe_flags_only_history_collisions(spark):
     ).collect()}
     assert out[30].is_dup and out[30].first_hit_id == 1
     assert not out[31].is_dup and out[31].n_index_hits == 0
+
+
+def test_deep_chain_converges_via_pointer_jumping(spark):
+    """A 300-node path has diameter 299 — plain min-label propagation
+    needs 299 rounds and used to stop at max_rounds with silently
+    WRONG labels. Pointer jumping must converge it in <= 25 rounds
+    with every node labeled 0."""
+    from capital.llm.clusters import connected_components
+
+    n = 300
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    vertices = spark.range(n).select(F.col("id").alias("doc_id"))
+    comps = connected_components(pairs, vertices)
+    labels = {r.doc_id: r.component_id for r in comps.collect()}
+    assert len(labels) == n
+    assert set(labels.values()) == {0}
+
+
+def test_nonconvergence_raises_not_silent(spark):
+    from capital.llm.clusters import connected_components
+
+    n = 64
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    vertices = spark.range(n).select(F.col("id").alias("doc_id"))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        # depth 63 needs ~log2(63)+1 ≈ 7 doubling rounds; 2 is too few
+        # (1 round can't converge and round 2 can't detect fixpoint).
+        connected_components(pairs, vertices, max_rounds=2)
