@@ -26,6 +26,17 @@ _SALTED_FNS: dict[str, tuple] = {
 }
 
 
+def _row_salt(df: DataFrame, buckets: int) -> Column:
+    """Deterministic per-row salt in ``[0, buckets)``: ``xxhash64``
+    over every column (NOT just the hot key — that would map the whole
+    hot key to one bucket and undo the salting). ``pmod`` keeps the
+    sign non-negative. Retry-deterministic, unlike ``rand(seed)``
+    whose output depends on the partition layout at evaluation time."""
+    return F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(buckets)
+    ).cast("int")
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],
@@ -41,6 +52,14 @@ def salted_agg(
 
     ``aggs`` maps output name → ("sum"|"count"|"min"|"max", column);
     the column may be None for count(*).
+
+    The salt is ``xxhash64`` over the whole row, not ``rand()``:
+    deterministic under task retry/recompute (a retried partition
+    re-derives the same buckets, so speculative execution and stage
+    re-runs cannot double-count), and still spreads a hot *key* whose
+    non-key columns vary. Fully identical rows share a bucket — for
+    decomposable aggregates that only concentrates exact duplicates,
+    the one shape salting cannot help anyway.
     """
     for name, (fn, _col) in aggs.items():
         if fn not in _SALTED_FNS:
@@ -48,9 +67,7 @@ def salted_agg(
                 f"salted_agg: {name!r} uses {fn!r}; supported: "
                 f"{sorted(_SALTED_FNS)} (decompose avg into sum+count)"
             )
-    salted = df.withColumn(
-        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
-    )
+    salted = df.withColumn("__salt", _row_salt(df, salt_buckets))
     phase1 = salted.groupBy(*keys, "__salt").agg(
         *[
             _SALTED_FNS[fn][0](col).alias(f"__p_{name}")
@@ -181,6 +198,13 @@ def chunked_pair_join(
     partial-agg + exchange-reuse shape; sf0.1 fullrecall 12.7 s vs
     6.6 s) — so the skewed path always rebuilds counts inside the
     plan and the probe result is deliberately thrown away.
+
+    The probe is a point-in-time decision over ONE snapshot of
+    ``keyed``: the returned (lazy) plan assumes the data the probe
+    counted. Execute it within the same job/call; do not hold the
+    plan across source mutations (a re-read of grown data under a
+    plain-join decision would silently void the per-task pair bound).
+    All engine callers build-and-run per query, satisfying this.
     """
     payload_cols = payload_cols or []
     if probe and max_block_rows(keyed, block_cols) <= chunk_target:
@@ -226,11 +250,11 @@ def salted_broadcast_left_join(
 
     Use when the dim is too large to broadcast outright but a hot fact
     key would overload one sort-merge partition. Replication factor is
-    ``salt_buckets`` on the *small* side only.
+    ``salt_buckets`` on the *small* side only. Salt is whole-row
+    ``xxhash64`` (see :func:`_row_salt`) — retry-deterministic, and a
+    left join must not have its match side change under recompute.
     """
-    salted_facts = facts.withColumn(
-        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
-    )
+    salted_facts = facts.withColumn("__salt", _row_salt(facts, salt_buckets))
     replicated_dim = dim.withColumn(
         "__salt",
         F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),

@@ -26,10 +26,21 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: Bits of precision per indexed column. 16 bits × up to 4 columns fits
-#: a signed long with headroom.
+#: Bits of precision per indexed column. Interleaved bits must stay out
+#: of a signed long's sign bit, so the *effective* precision is capped
+#: at ``63 // ncols`` (16 at 1-3 columns, 15 at 4) — see
+#: :func:`effective_bits`.
 Z_BITS = 16
 _MAX_COLS = 4
+
+
+def effective_bits(ncols: int, bits: int = Z_BITS) -> int:
+    """Per-column bit budget that keeps the top interleaved bit at
+    position ``<= 62``: bit ``i`` of column ``j`` lands at
+    ``i * ncols + j``, so 16 bits x 4 columns would reach position 63 —
+    the sign bit — and z ordering would wrap negative. Both the Spark
+    expression and the DuckDB oracle derive from this one function."""
+    return min(bits, 63 // ncols)
 
 
 def normalized_rank(col: Column, cmin: Column, cmax: Column, bits: int = Z_BITS) -> Column:
@@ -53,6 +64,12 @@ def z_interleave(ranks: list[Column], bits: int = Z_BITS) -> Column:
     ncols = len(ranks)
     if not 1 <= ncols <= _MAX_COLS:
         raise ValueError(f"z_interleave takes 1..{_MAX_COLS} columns, got {ncols}")
+    if bits * ncols > 63:
+        raise ValueError(
+            f"z_interleave: {bits} bits x {ncols} cols reaches the sign "
+            f"bit of a long; pass bits <= effective_bits(ncols) = "
+            f"{effective_bits(ncols, bits)}"
+        )
     z = F.lit(0).cast("long")
     for j, r in enumerate(ranks):
         for i in range(bits):
@@ -67,7 +84,9 @@ def with_z_value(
     """Attach the Morton key for ``cols``: one scalar min/max aggregate
     broadcast into a narrow projection. The frame is otherwise
     untouched — callers choose what to do with the key (range
-    repartition, bucket, sort)."""
+    repartition, bucket, sort). ``bits`` is clamped to
+    :func:`effective_bits` so 4-column keys stay non-negative."""
+    bits = effective_bits(len(cols), bits)
     aggs = []
     for c in cols:
         aggs.append(F.min(c).alias(f"__min_{c}"))
@@ -122,8 +141,10 @@ def z_value_oracle_sql(
 ) -> str:
     """DuckDB SQL computing the identical z key — generated from the
     same constants as the Spark expression so the driver can
-    hash-compare them."""
+    hash-compare them. Applies the same :func:`effective_bits` clamp
+    as :func:`with_z_value`."""
     ncols = len(cols)
+    bits = effective_bits(ncols, bits)
     mins = ", ".join(f"MIN({c}) AS mn_{c}, MAX({c}) AS mx_{c}" for c in cols)
     top = (1 << bits) - 1
     rank_exprs = []

@@ -42,78 +42,77 @@ for _m in _MODULES:
 
 
 #: Driver-facing ordering. The correctness gate evaluates exactly the
-#: first 50 entries per round (observed r1-r4), so this list is a real
+#: first 50 entries per round (observed r1-r5), so this list is a real
 #: rotation schedule, re-written each round:
 #:
-#: - Slots 1-31 (round 5): the 31 queries whose only driver row is from
-#:   round 1 — three rounds of shared-infrastructure churn (skew
-#:   chunking, session-cache keys, loader changes) since their last
-#:   hard check. After this round every query's latest driver row is
-#:   round 3 or newer, and every registered query has at least one
-#:   driver row (audited against CORRECTNESS_r01-r04).
-#: - Slots 30-50: regression sentinels — queries whose code paths
-#:   round 5 touched (chunked_pair_join fast path, session-window
-#:   shuffle tuning, dedup persist scoping, GEMM guard, new fuzzy
-#:   full-recall + TF-IDF oracles), then round-4 first-timers.
+#: - Slot 1 (round 6): ``p15_zorder_key`` — the only registered query
+#:   with no driver CORRECTNESS row in any round (registered after the
+#:   round-5 rotation froze; the round-5 verdict's #1 ask).
+#: - Next: new round-6 queries (never driver-checked).
+#: - Then the 40 queries whose latest driver row is round 3 — two
+#:   rounds of shared-infrastructure churn (skew probe fast path,
+#:   CacheScope, AQE tuning) since their last hard check. After this
+#:   round no query's latest evidence is older than round 4.
+#: - Tail: regression sentinels — the heavy movers round 5/6 touched
+#:   (shingle sharing, pointer jumping, chunked-join probe, AQE
+#:   coalesce tuning).
 #:
 #: Local parity (tests/test_oracle_parity.py) always
 #: checks all queries regardless of this ordering.
 _DRIVER_PRIORITY = [
-    # --- r1-only queries (29): freshest-evidence rotation ---
-    "q4_order_priority",
-    "q5_region_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_items",
-    "q12_priority_lines",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_discounted_revenue",
-    "q21_returns_sole_blame",
-    "q22_global_sales_opportunity",
-    "p3b_pivot_wide",
-    "p4_literal_rename_project",
-    "p9_notnull_filter",
-    "j5_registry_lookup",
-    "a2_events_by_day",
-    "a7_distinct_agg",
-    "u1_union_distinct_nations",
-    "u2_union_all_pages",
-    "w1_previous_working_day",
-    "w4_top_order_per_customer",
-    "w5_lag_delta",
-    "w6_trailing_7day_sum",
-    "f14_zero_fill_left_join",
-    "ud3_group_apply_rank",
-    "cal_dim_calendar",
-    # (two more r1-only queries the round-4 verdict's list missed —
-    # found by auditing CORRECTNESS_r01-r04 against the registry)
-    "u4_intersect_nations",
-    "w3_moving_avg",
-    # --- round-5-touched code paths ---
+    # --- never driver-checked ---
+    "p15_zorder_key",
+    "p16_zorder_string_key",
+    # --- r3-latest-evidence queries (40): freshest-evidence rotation ---
+    "sk_hll_rollup_distinct",
+    "sk_kll_quantiles",
+    "j1_asof_latest_order",
+    "j2_semi_join_open_days",
+    "w2_year_end_last_weekday",
+    "f1_date_extract",
+    "f2_date_format",
+    "f4_date_arith",
+    "f6_case_bucket",
+    "f8_substring_arith",
+    "f9_normalize_strings",
+    "f10_length_classify",
+    "text_token_count",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_repetition",
+    "text_char_entropy",
+    "text_pii_scrub",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_canonical_corpus",
+    "sim_cosine_topk",
+    "sim_lsh_topk",
+    "mm_binary_meta",
+    "text_bpe_token_count",
+    "pipe_funnel_stats",
+    "asm_mixture_sample",
+    "asm_split_assign",
+    "asm_contamination",
+    "asm_shard_sizes",
+    "st_tumbling_hourly",
+    "st_sliding_2h_1h",
+    "st_interval_cadences",
+    "a8_grouping_sets",
+    "s12_sql_entry",
+    "j6_correlated_scalar_subquery",
+    "f16_sorted_string_agg",
+    "ud2_pandas_udf_tokens",
+    # --- regression sentinels: round-5/6-touched heavy code paths ---
+    "pipe_clean_corpus",
+    "dedup_simhash_pairs",
+    "dedup_simhash_fullrecall",
+    "dedup_clusters",
+    "dedup_minhash_lsh",
     "st_session_30m",
     "dedup_embedding_cosine",
-    "dedup_minhash_lsh",
-    "dedup_minhash_verified",
-    "dedup_fuzzy_keys",
     "dedup_fuzzy_fullrecall",
-    "text_tfidf_stats",
-    "sim_cosine_topk_arrow",
-    "dedup_incremental_probe",
-    "dedup_clusters",
-    "dedup_simhash_fullrecall",
-    "pipe_clean_corpus",
-    # --- brand-new round-5 queries (never driver-checked) ---
-    "q2_min_cost_supplier",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q16_supplier_part_counts",
-    "q20_excess_stock_suppliers",
-    "text_bigram_logprob",
-    "dedup_exact_spans",
     # --- 50-slot boundary ---
 ]
 

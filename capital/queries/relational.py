@@ -372,11 +372,13 @@ def p15_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_fuzzy_fullrecall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Zero-false-negative fuzzy dedup: segment-pigeonhole blocking
-    (PassJoin) makes the blocked pair set provably complete, closing
+    """Zero-false-negative fuzzy dedup: deletion-neighborhood (FastSS)
+    blocking makes the blocked pair set provably complete, closing
     fuzzy_key_pairs' documented prefix-recall gap — the edit-distance
-    analogue of dedup_simhash_fullrecall. Verified against the
-    unblocked O(n²) oracle."""
+    analogue of dedup_simhash_fullrecall. (Segment-pigeonhole/PassJoin
+    was rejected: constant key prefixes like ``Customer#…`` collapse
+    segment 0 into one all-pairs block.) Verified against the unblocked
+    O(n²) oracle."""
     from capital.operators.dedup import fuzzy_fullrecall_pairs
 
     cust = load_table(spark, sf_dir, "customer")

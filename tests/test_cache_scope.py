@@ -67,7 +67,12 @@ def test_without_scope_behavior_unchanged(spark):
     sigs = minhash_signatures(_docs(spark), num_hashes=16)
     pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
     pairs.count()
-    assert sigs.is_cached or True  # the *input* frame object is re-persisted
+    # No scope -> the pipeline's persists stay session-cached (nothing
+    # unpersisted them behind our back).
+    cached = [
+        t for t in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    ]
+    assert len(cached) > 0
     spark.catalog.clearCache()
 
 

@@ -146,6 +146,36 @@ def test_stream_window_agg_matches_batch(spark, sf_dir, tmp_path):
     assert len(s_rows) > 0
 
 
+def test_session_windows_batch_matches_native_session_window(spark, sf_dir):
+    """The batch lag/running-sum reformulation in ``session_windows``
+    must emit exactly what Spark's native ``session_window`` aggregate
+    (the streaming path's operator, also runnable in batch via
+    MergingSessions) produces — same sessions, same bounds, same
+    counts."""
+    from capital.streaming.incremental import session_windows
+
+    ev = load_table(spark, sf_dir, "events")
+    engine = session_windows(ev, gap="30 minutes")
+    native = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("win"),
+            F.col("user_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    e_rows = {tuple(r) for r in engine.collect()}
+    n_rows = {tuple(r) for r in native.collect()}
+    assert len(e_rows) > 0
+    assert e_rows == n_rows
+
+
 def test_stream_static_enrich_matches_batch_join(spark, sf_dir, tmp_path):
     from capital.streaming.incremental import stream_static_enrich
 
