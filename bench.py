@@ -6,8 +6,16 @@ Runs each headline query at ``$SPARK_GRAFT_SF_DIR`` (default
 JSON line: ``{"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}``.
 
-Each query is fully executed (collected to the driver) so the timing
-covers scan → shuffle → result, not just plan construction.
+Each query is fully executed (materialized to the driver) so the
+timing covers scan → shuffle → result, not just plan construction.
+
+Materialization is ``toArrow()`` (round 6+): the full result still
+transfers to the driver, but as Arrow batches — the columnar analogue
+of the DuckDB anchor's C-level ``fetchall``. ``collect()``'s per-Row
+Python object construction measured 0.46–0.66 s of pure driver-side
+conversion on the 95k–150k-row window/asof results (j1_asof 0.79 s
+collect vs 0.155 s arrow, identical plan execution) — a harness
+artifact, not engine throughput, and one DuckDB was not paying.
 """
 
 from __future__ import annotations
@@ -88,6 +96,9 @@ def headline_names(all_names) -> list[str]:
         "dedup_fuzzy_fullrecall",
         "text_bigram_logprob",
         "dedup_exact_spans",
+        # --- re-added round 6 (benched r2, fell out r4/r5; the
+        # composed funnel's stats twin — anchor 26.3 s) ---
+        "pipe_funnel_stats",
     ]
     return [n for n in preferred if n in all_names] or sorted(all_names)[:8]
 
@@ -108,7 +119,7 @@ def main() -> None:
     # engine throughput.
     for name in names:
         try:
-            queries[name](spark, sf_dir).collect()
+            queries[name](spark, sf_dir).toArrow()
         except Exception as exc:  # noqa: BLE001 - keep the bench alive
             print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
@@ -137,9 +148,10 @@ def main() -> None:
             try:
                 t0 = time.perf_counter()
                 df = queries[name](spark, sf_dir)
-                # collect() executes the full plan (results are small
-                # aggregates); count() would let Catalyst prune them.
-                n = len(df.collect())
+                # toArrow() executes the full plan and ships every
+                # result row to the driver (count() would let Catalyst
+                # prune the expensive columns — the profiling trap).
+                n = df.toArrow().num_rows
                 elapsed = round(time.perf_counter() - t0, 4)
                 prev = timings.get(name)
                 if prev is None or prev < 0 or elapsed < prev:

@@ -78,30 +78,95 @@ def z_interleave(ranks: list[Column], bits: int = Z_BITS) -> Column:
     return z
 
 
+def _with_numeric_proxies(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Attach a monotone numeric proxy ``__zp_<c>`` per indexed column
+    so non-numeric types z-order too — the reference's actual layout
+    key is (ticker, date) (plugins/operators/yfinance_operator.py:16
+    ymd+ticker Hive layout):
+
+    - numerics: passthrough;
+    - date → ``unix_date`` (epoch days), timestamp → ``unix_micros``;
+    - string → **dictionary rank**: ``dense_rank() - 1`` over the
+      column's sorted non-null distinct values, broadcast-joined back
+      (NULL → rank 0, below every ranked value — DuckDB's window
+      NULLS LAST would otherwise diverge). Exact order-preserving
+      scaling for dimension-cardinality strings (tickers, segments,
+      categories). The distinct set sorts on one task, so this is for
+      dimension-like columns; z-clustering a *high-cardinality* string
+      (a URL, an id) is a modeling error — its rank carries no
+      locality a range predicate could use — so no prefix-bit fallback
+      is offered.
+    """
+    from pyspark.sql import Window
+
+    out = df
+    for c in cols:
+        dtype = dict(df.dtypes)[c]
+        if dtype == "string":
+            ranked = (
+                df.select(F.col(c).alias("__zv"))
+                .filter(F.col("__zv").isNotNull())
+                .distinct()
+                .withColumn(
+                    f"__zr_{c}",
+                    F.dense_rank().over(Window.orderBy("__zv")) - 1,
+                )
+            )
+            out = (
+                out.join(
+                    F.broadcast(ranked), out[c] == ranked["__zv"], "left"
+                )
+                .drop("__zv")
+                .withColumn(
+                    f"__zp_{c}",
+                    F.coalesce(F.col(f"__zr_{c}"), F.lit(0)).cast("long"),
+                )
+                .drop(f"__zr_{c}")
+            )
+        elif dtype == "date":
+            out = out.withColumn(f"__zp_{c}", F.unix_date(F.col(c)))
+        elif dtype.startswith("timestamp"):
+            # unix_micros takes TIMESTAMP only; NTZ casts through the
+            # (UTC-pinned) session zone, so the wall clock IS the epoch.
+            out = out.withColumn(
+                f"__zp_{c}", F.unix_micros(F.col(c).cast("timestamp"))
+            )
+        else:
+            out = out.withColumn(f"__zp_{c}", F.col(c))
+    return out
+
+
 def with_z_value(
     df: DataFrame, cols: list[str], bits: int = Z_BITS, out_col: str = "z_value"
 ) -> DataFrame:
     """Attach the Morton key for ``cols``: one scalar min/max aggregate
-    broadcast into a narrow projection. The frame is otherwise
+    broadcast into a narrow projection. String/date/timestamp columns
+    go through order-preserving numeric proxies first (see
+    :func:`_with_numeric_proxies`). The frame is otherwise
     untouched — callers choose what to do with the key (range
     repartition, bucket, sort). ``bits`` is clamped to
     :func:`effective_bits` so 4-column keys stay non-negative."""
     bits = effective_bits(len(cols), bits)
+    proxied = _with_numeric_proxies(df, cols)
     aggs = []
     for c in cols:
-        aggs.append(F.min(c).alias(f"__min_{c}"))
-        aggs.append(F.max(c).alias(f"__max_{c}"))
-    bounds = df.agg(*aggs)
+        aggs.append(F.min(f"__zp_{c}").alias(f"__min_{c}"))
+        aggs.append(F.max(f"__zp_{c}").alias(f"__max_{c}"))
+    bounds = proxied.agg(*aggs)
     ranks = [
         normalized_rank(
-            F.col(c), F.col(f"__min_{c}"), F.col(f"__max_{c}"), bits
+            F.col(f"__zp_{c}"), F.col(f"__min_{c}"), F.col(f"__max_{c}"), bits
         )
         for c in cols
     ]
     return (
-        df.crossJoin(F.broadcast(bounds))
+        proxied.crossJoin(F.broadcast(bounds))
         .withColumn(out_col, z_interleave(ranks, bits))
-        .drop(*[f"__min_{c}" for c in cols], *[f"__max_{c}" for c in cols])
+        .drop(
+            *[f"__min_{c}" for c in cols],
+            *[f"__max_{c}" for c in cols],
+            *[f"__zp_{c}" for c in cols],
+        )
     )
 
 
@@ -137,21 +202,52 @@ def zorder_write(
 
 
 def z_value_oracle_sql(
-    cols: list[str], table: str, bits: int = Z_BITS
+    cols: list[str],
+    table: str,
+    bits: int = Z_BITS,
+    kinds: dict[str, str] | None = None,
 ) -> str:
     """DuckDB SQL computing the identical z key — generated from the
     same constants as the Spark expression so the driver can
     hash-compare them. Applies the same :func:`effective_bits` clamp
-    as :func:`with_z_value`."""
+    as :func:`with_z_value`. ``kinds`` maps a column to
+    ``"string" | "date" | "timestamp"`` (default numeric) and mirrors
+    :func:`_with_numeric_proxies`: dictionary dense_rank for strings
+    (non-null distinct, NULL → 0), epoch days / micros for temporals."""
     ncols = len(cols)
     bits = effective_bits(ncols, bits)
-    mins = ", ".join(f"MIN({c}) AS mn_{c}, MAX({c}) AS mx_{c}" for c in cols)
+    kinds = kinds or {}
+    dict_ctes = []
+    joins = []
+    proxy_exprs = []
+    for c in cols:
+        kind = kinds.get(c, "numeric")
+        if kind == "string":
+            dict_ctes.append(
+                f"dict_{c} AS (SELECT {c} AS v_{c}, "
+                f"CAST(dense_rank() OVER (ORDER BY {c}) - 1 AS BIGINT) "
+                f"AS zr_{c} FROM (SELECT DISTINCT {c} FROM {table} "
+                f"WHERE {c} IS NOT NULL))"
+            )
+            joins.append(f"LEFT JOIN dict_{c} ON t.{c} = dict_{c}.v_{c}")
+            proxy_exprs.append(f"COALESCE(zr_{c}, 0) AS zp_{c}")
+        elif kind == "date":
+            proxy_exprs.append(
+                f"CAST(t.{c} - DATE '1970-01-01' AS BIGINT) AS zp_{c}"
+            )
+        elif kind == "timestamp":
+            proxy_exprs.append(f"CAST(epoch_us(t.{c}) AS BIGINT) AS zp_{c}")
+        else:
+            proxy_exprs.append(f"t.{c} AS zp_{c}")
+    mins = ", ".join(
+        f"MIN(zp_{c}) AS mn_{c}, MAX(zp_{c}) AS mx_{c}" for c in cols
+    )
     top = (1 << bits) - 1
     rank_exprs = []
     for c in cols:
         rank_exprs.append(
             f"least(greatest(CAST(floor(CASE WHEN mx_{c} > mn_{c} THEN "
-            f"(CAST({c} AS DOUBLE) - mn_{c}) / (mx_{c} - mn_{c}) * {top}.0 "
+            f"(CAST(zp_{c} AS DOUBLE) - mn_{c}) / (mx_{c} - mn_{c}) * {top}.0 "
             f"ELSE 0.0 END) AS BIGINT), 0), {top}) AS r_{c}"
         )
     terms = []
@@ -159,8 +255,12 @@ def z_value_oracle_sql(
         for i in range(bits):
             terms.append(f"(((r_{c} >> {i}) & 1) << {i * ncols + j})")
     z = " | ".join(terms)
+    with_dicts = ("" if not dict_ctes else ", ".join(dict_ctes) + ",")
     return f"""
-    WITH b AS (SELECT {mins} FROM {table}),
-    r AS (SELECT *, {", ".join(rank_exprs)} FROM {table}, b)
+    WITH {with_dicts}
+    p AS (SELECT t.*, {", ".join(proxy_exprs)}
+          FROM {table} t {" ".join(joins)}),
+    b AS (SELECT {mins} FROM p),
+    r AS (SELECT *, {", ".join(rank_exprs)} FROM p, b)
     SELECT *, ({z}) AS z_value FROM r
     """

@@ -355,6 +355,34 @@ def p15_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zorder_string_oracle() -> str:
+    from capital.operators.zorder import z_value_oracle_sql
+
+    inner = z_value_oracle_sql(
+        ["o_orderpriority", "o_orderdate"],
+        "orders",
+        # o_orderdate is TIMESTAMP_NTZ in the driver's parquet.
+        kinds={"o_orderpriority": "string", "o_orderdate": "timestamp"},
+    )
+    return f"SELECT o_orderkey, z_value FROM ({inner})"
+
+
+@query("p16_zorder_string_key", oracle=_zorder_string_oracle())
+def p16_zorder_string_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order key over a (category string, date) pair — the
+    reference's real layout key shape (ticker + ymd Hive partitions,
+    plugins/operators/yfinance_operator.py:16). Strings go through a
+    broadcast dictionary dense_rank, dates through epoch days
+    (operators/zorder.py:_with_numeric_proxies); the interleave and
+    oracle are generated from the same constants as p15."""
+    from capital.operators.zorder import with_z_value
+
+    orders = load_table(spark, sf_dir, "orders")
+    return with_z_value(orders, ["o_orderpriority", "o_orderdate"]).select(
+        "o_orderkey", "z_value"
+    )
+
+
 @query(
     "dedup_fuzzy_fullrecall",
     memoize=False,

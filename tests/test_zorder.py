@@ -7,7 +7,12 @@ from __future__ import annotations
 import pyarrow.parquet as pq
 from pyspark.sql import functions as F
 
-from capital.operators.zorder import Z_BITS, with_z_value, zorder_write
+from capital.operators.zorder import (
+    Z_BITS,
+    effective_bits,
+    with_z_value,
+    zorder_write,
+)
 
 
 def _morton(xs: list[int], bits: int = Z_BITS) -> int:
@@ -32,12 +37,139 @@ def test_z_value_matches_python_reference(spark):
         assert got[i] == _morton([a, b]), (i, a, b)
 
 
+def test_z_value_string_dictionary_rank_matches_python(spark):
+    """String columns z-order via dictionary dense_rank (broadcast
+    join back); the z value must equal the Python Morton key over
+    (rank scaled, numeric scaled)."""
+    names = ["KRX", "AAPL", "TSLA", "005930.KS", "BTC"]
+    rows = [(i, names[i % len(names)], i * 1000) for i in range(25)]
+    df = spark.createDataFrame(rows, "id long, ticker string, v long")
+    got = {
+        r.id: r.z_value
+        for r in with_z_value(df, ["ticker", "v"]).select("id", "z_value").collect()
+    }
+    ranks = {t: i for i, t in enumerate(sorted(set(names)))}
+    top = (1 << Z_BITS) - 1
+    r_max, v_max = len(ranks) - 1, 24 * 1000
+
+    def scale(x: int, hi: int) -> int:
+        return min(max(int(x / hi * top), 0), top)
+
+    for i, t, v in rows:
+        expect = _morton([scale(ranks[t], r_max), scale(v, v_max)])
+        assert got[i] == expect, (i, t, v)
+
+
+def test_z_value_date_and_timestamp_proxies(spark):
+    """date → epoch days, timestamp(_ntz) → epoch micros; order is
+    preserved so the scaled rank equals the numeric twin's."""
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{i + 1:02d}", i * 10) for i in range(10)],
+        "id long, d string, v long",
+    ).select(
+        "id", F.to_date("d").alias("d"),
+        F.to_timestamp(F.col("d")).alias("t"), "v",
+    )
+    via_date = {
+        r.id: r.z_value
+        for r in with_z_value(df, ["d", "v"]).select("id", "z_value").collect()
+    }
+    via_ts = {
+        r.id: r.z_value
+        for r in with_z_value(df, ["t", "v"]).select("id", "z_value").collect()
+    }
+    numeric = {
+        r.id: r.z_value
+        for r in with_z_value(
+            df.withColumn("n", F.unix_date("d")), ["n", "v"]
+        ).select("id", "z_value").collect()
+    }
+    assert via_date == numeric
+    # Evenly spaced days: micros scaling lands on the same ranks.
+    assert via_ts == numeric
+
+
+def test_z_value_null_string_ranks_lowest(spark):
+    df = spark.createDataFrame(
+        [(0, None, 5), (1, "a", 5), (2, "b", 5)],
+        "id long, s string, v long",
+    )
+    out = {
+        r.id: r.z_value
+        for r in with_z_value(df, ["s", "v"]).select("id", "z_value").collect()
+    }
+    # NULL takes rank 0 — same bucket as the lowest ranked value.
+    assert out[0] == out[1] < out[2]
+
+
+def test_zorder_write_string_column_narrows_ranges(spark, tmp_path):
+    """(ticker, day) layout — the reference's key shape. Each z file
+    must own a narrow band of the ticker dictionary AND of the day
+    range; a hash layout sees ~every ticker in every file."""
+    n = 64
+    df = spark.range(n * n).select(
+        F.format_string("T%03d", (F.col("id") % n).cast("int")).alias(
+            "ticker"
+        ),
+        (F.col("id") / n).cast("long").alias("day"),
+    )
+    z_path = str(tmp_path / "z")
+    zorder_write(df, z_path, ["ticker", "day"], num_files=16)
+
+    spans = []
+    ds = pq.ParquetDataset(z_path)
+    for frag in ds.fragments:
+        md = frag.metadata
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                if c.path_in_schema == "ticker" and c.statistics is not None:
+                    smin = int(c.statistics.min.lstrip("T"))
+                    smax = int(c.statistics.max.lstrip("T"))
+                    lo = smin if lo is None else min(lo, smin)
+                    hi = smax if hi is None else max(hi, smax)
+        if lo is not None:
+            spans.append((hi - lo) / (n - 1))
+    assert spans
+    # 16 z files over a 64x64 (ticker, day) grid: each file's ticker
+    # band should cover ~1/4 of the dictionary, far under full range.
+    assert sum(spans) / len(spans) < 0.5, spans
+
+
 def test_z_value_constant_column_is_safe(spark):
     df = spark.range(10).select(
         F.col("id"), F.lit(7).alias("c"), (F.col("id") * 3).alias("v")
     )
     out = with_z_value(df, ["c", "v"]).select("z_value").collect()
     assert len(out) == 10  # span=0 branch: rank 0, no divide-by-zero
+
+
+def test_four_column_z_stays_nonnegative(spark):
+    """16 bits x 4 cols would reach the sign bit; effective_bits drops
+    to 15 and every z value stays non-negative."""
+    import pytest
+
+    from capital.operators.zorder import z_interleave
+
+    assert effective_bits(4) == 15
+    assert effective_bits(2) == 16
+    with pytest.raises(ValueError, match="sign"):
+        z_interleave([F.lit(1).cast("long")] * 4, bits=16)
+
+    df = spark.range(100).select(
+        F.col("id").alias("a"),
+        (F.col("id") * 7 % 100).alias("b"),
+        (F.col("id") * 13 % 100).alias("c"),
+        (F.col("id") * 31 % 100).alias("d"),
+    )
+    mn = (
+        with_z_value(df, ["a", "b", "c", "d"])
+        .agg(F.min("z_value"))
+        .collect()[0][0]
+    )
+    assert mn >= 0
 
 
 def test_zorder_write_narrows_file_ranges(spark, tmp_path):
