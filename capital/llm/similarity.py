@@ -257,13 +257,13 @@ def cosine_neardup_pairs(
     vectors) concentrates in one bucket, and chunking bounds that
     bucket's quadratic pair output per task.
     """
-    from capital.io import parallelize_narrow
+    from capital.io import right_size_narrow
     from capital.operators.caching import scoped_persist
     from capital.operators.skew import chunked_pair_join
 
     planes = hyperplanes(dim, n_planes)
     keyed = scoped_persist(
-        parallelize_narrow(vectors).select(
+        right_size_narrow(vectors).select(
             F.col(id_col),
             F.col(vec_col),
             _norm(F.col(vec_col)).alias("nrm"),
