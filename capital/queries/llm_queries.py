@@ -609,13 +609,17 @@ _COS = (
 )
 
 
-#: Shared by the expression form and its Arrow-GEMM throughput twin:
-#: identical semantics, so one oracle pins both (round(…, 6) absorbs
-#: the kernels' last-ulp accumulation differences — verified clean at
-#: sf0.01 and sf0.1).
-_COSINE_TOPK_ORACLE = f"""
+def _cosine_topk_oracle(n_queries: int) -> str:
+    """Brute-force cosine top-k oracle, parameterized by query-set
+    size. Shared by the expression form (``_N_QUERIES``) and its
+    Arrow-GEMM throughput twin (``_N_QUERIES_GEMM`` — the GEMM kernel
+    exists for the many-queries regime, so it is checked AND anchored
+    there): identical semantics, so one generator pins both
+    (round(…, 6) absorbs the kernels' last-ulp accumulation
+    differences — verified clean at sf0.01 and sf0.1)."""
+    return f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-               FROM embeddings WHERE vec_id < {_N_QUERIES}),
+               FROM embeddings WHERE vec_id < {n_queries}),
     c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
     scored AS (
       SELECT query_id, neighbor_id, {_COS} AS sim
@@ -629,6 +633,15 @@ _COSINE_TOPK_ORACLE = f"""
            round(sim, 6) AS cosine_sim
     FROM ranked WHERE rn <= {_TOPK}
     """
+
+
+_COSINE_TOPK_ORACLE = _cosine_topk_oracle(_N_QUERIES)
+
+#: The GEMM twin's query-set size: big enough that the kernel runs in
+#: its design regime (matrix-matrix, not overhead-bound — measured
+#: break-even ~100 queries), small enough that the sf0.01 driver check
+#: still covers every embedding row as a query.
+_N_QUERIES_GEMM = 512
 
 
 @query("sim_cosine_topk", oracle=_COSINE_TOPK_ORACLE)
@@ -1071,19 +1084,20 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sim_cosine_topk_arrow",
     memoize=False,
-    oracle=_COSINE_TOPK_ORACLE,
+    oracle=_cosine_topk_oracle(_N_QUERIES_GEMM),
 )
 def sim_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Throughput twin of sim_cosine_topk: Arrow-batched numpy GEMM
     kernel (Catalyst higher-order lambdas are interpreted per element,
     so the expression form caps out ~100ns/element; BLAS does not).
-    Hash-checked against the same oracle as the expression form —
-    round(…, 6) absorbs GEMM-vs-fold last-ulp differences (kernel
-    equivalence also pinned in tests/test_arrow_sim.py)."""
+    Runs — and is hash-checked + anchored — at ``_N_QUERIES_GEMM``
+    queries, the matrix regime the kernel exists for; round(…, 6)
+    absorbs GEMM-vs-fold last-ulp differences (kernel equivalence
+    also pinned in tests/test_arrow_sim.py)."""
     from capital.llm.similarity import cosine_topk_arrow
 
     emb = load_table(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < _N_QUERIES)
+    queries_df = emb.filter(F.col("vec_id") < _N_QUERIES_GEMM)
     return cosine_topk_arrow(emb, queries_df, k=_TOPK)
 
 
