@@ -60,9 +60,12 @@ for _m in _MODULES:
 #: Local parity (tests/test_oracle_parity.py) always
 #: checks all queries regardless of this ordering.
 _DRIVER_PRIORITY = [
-    # --- never driver-checked ---
+    # --- never driver-checked (or semantics changed this round) ---
     "p15_zorder_key",
     "p16_zorder_string_key",
+    "asm_contamination_bloom",
+    # regime change r6: now runs at _N_QUERIES_GEMM=512 queries
+    "sim_cosine_topk_arrow",
     # --- r3-latest-evidence queries (40): freshest-evidence rotation ---
     "sk_hll_rollup_distinct",
     "sk_kll_quantiles",
@@ -106,13 +109,11 @@ _DRIVER_PRIORITY = [
     "ud2_pandas_udf_tokens",
     # --- regression sentinels: round-5/6-touched heavy code paths ---
     "pipe_clean_corpus",
-    "dedup_simhash_pairs",
     "dedup_simhash_fullrecall",
     "dedup_clusters",
     "dedup_minhash_lsh",
     "st_session_30m",
     "dedup_embedding_cosine",
-    "dedup_fuzzy_fullrecall",
     # --- 50-slot boundary ---
 ]
 

@@ -134,9 +134,11 @@ def asm_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_chunk_stats(d, budget=_PACK_BUDGET)
 
 
-@query(
-    "asm_contamination",
-    oracle=f"""
+#: Exact contamination SQL — shared by the exact query and its
+#: bloom-prefiltered twin: the bloom has no false negatives and the
+#: exact join drops its false positives, so BOTH plans must hash to
+#: this same result.
+_CONTAM_ORACLE = f"""
     WITH norm AS (
       SELECT doc_id,
              string_split_regex(
@@ -159,7 +161,12 @@ def asm_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, COUNT(DISTINCT train.g) AS n_shared
     FROM train JOIN bench USING (g)
     GROUP BY doc_id
-    """,
+    """
+
+
+@query(
+    "asm_contamination",
+    oracle=_CONTAM_ORACLE,
 )
 def asm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination check: training docs sharing a
@@ -169,6 +176,38 @@ def asm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = d.filter(F.col("doc_id") % _DECON_MOD == 0)
     train = d.filter(F.col("doc_id") % _DECON_MOD != 0)
     return contamination(train, bench, k=_DECON_K)
+
+
+@query(
+    "asm_contamination_bloom",
+    oracle=_CONTAM_ORACLE,
+)
+def asm_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination with a Bloom-filter prefilter in front of the
+    exact join (capital/llm/bloom.py): the scale path when the
+    benchmark shingle set is too big to broadcast raw — the probe side
+    meets only a fixed-size word table (k map-side broadcast joins),
+    and the bloom's false positives die in the exact join, so the
+    output hash-matches the exact oracle bit-for-bit."""
+    from capital.io import parallelize_narrow
+    from capital.llm.assemble import shingle_set
+    from capital.llm.bloom import bloom_prefilter
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % _DECON_MOD == 0)
+    train = d.filter(F.col("doc_id") % _DECON_MOD != 0)
+    t_sh = parallelize_narrow(train).select(
+        F.col("doc_id"), F.explode(shingle_set(F.col("text"), _DECON_K)).alias("g")
+    )
+    b_sh = bench.select(
+        F.explode(shingle_set(F.col("text"), _DECON_K)).alias("g")
+    ).distinct()
+    candidates = bloom_prefilter(t_sh, b_sh, "g", "g")
+    return (
+        candidates.join(F.broadcast(b_sh), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_shared"))
+    )
 
 
 @query(
