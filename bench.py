@@ -99,6 +99,9 @@ def headline_names(all_names) -> list[str]:
         # --- re-added round 6 (benched r2, fell out r4/r5; the
         # composed funnel's stats twin — anchor 26.3 s) ---
         "pipe_funnel_stats",
+        # --- added round 6 ---
+        "asm_contamination_bloom",
+        "p16_zorder_string_key",
     ]
     return [n for n in preferred if n in all_names] or sorted(all_names)[:8]
 
