@@ -34,8 +34,34 @@ def parse_holiday_xml(xml_text: str) -> list[dict]:
     return out
 
 
+_HOLIDAY_SCHEMA = "calnd_dd_dy string, holdy_nm string, year int"
+
+
 def holidays_to_dataframe(spark: SparkSession, xml_text: str) -> DataFrame:
     return spark.createDataFrame(
-        parse_holiday_xml(xml_text),
-        schema="calnd_dd_dy string, holdy_nm string, year int",
+        parse_holiday_xml(xml_text), schema=_HOLIDAY_SCHEMA
     )
+
+
+def parse_xml_payloads(df: DataFrame, xml_col: str = "xml") -> DataFrame:
+    """Distributed twin of :func:`holidays_to_dataframe` for the
+    many-payloads shape (one API response per (year, page) row — the
+    regime where driver-side parse stops scaling): ``mapInPandas``
+    parses each Arrow batch with ElementTree on the executors and
+    explodes item rows. Payloads parse independently, so this
+    partitions/scales like any narrow op; a malformed payload fails
+    its task loudly rather than silently dropping rows."""
+
+    def _parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[dict] = []
+            for x in pdf[xml_col]:
+                rows.extend(parse_holiday_xml(x))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["calnd_dd_dy", "holdy_nm", "year"]
+                )
+
+    return df.mapInPandas(_parse, schema=_HOLIDAY_SCHEMA)

@@ -31,6 +31,32 @@ def test_parse_holiday_xml(spark):
     assert df.filter(F.col("year") == 2024).count() == 3
 
 
+def test_parse_xml_payloads_distributed(spark):
+    """mapInPandas parse over many payloads == union of driver-side
+    parses, across multiple partitions (payloads are independent)."""
+    from capital.sources.xml_holiday import parse_xml_payloads
+
+    def payload(year: int) -> str:
+        return (
+            "<response><body><items>"
+            f"<item><locdate>{year}0101</locdate><dateName>NY</dateName></item>"
+            f"<item><locdate>{year}0301</locdate><dateName>M1</dateName></item>"
+            "</items></body></response>"
+        )
+
+    years = [2020, 2021, 2022, 2023]
+    df = spark.createDataFrame(
+        [(y, payload(y)) for y in years], "year_req int, xml string"
+    ).repartition(3)
+    got = parse_xml_payloads(df)
+    rows = {tuple(r) for r in got.collect()}
+    expect = {
+        (f"{y}-01-01", "NY", y) for y in years
+    } | {(f"{y}-03-01", "M1", y) for y in years}
+    assert rows == expect
+    assert dict(got.dtypes)["year"] == "int"
+
+
 def test_cast_bok_values(spark):
     raw = spark.createDataFrame(
         [("902Y006", "1355.2"), ("902Y006", "junk")],
