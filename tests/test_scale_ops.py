@@ -55,6 +55,30 @@ def test_salted_agg_matches_plain(spark, sf_dir):
         salted_agg(li, ["l_returnflag"], {"bad": ("avg", F.col("l_quantity"))})
 
 
+def test_salt_is_partition_layout_independent(spark, sf_dir):
+    """The whole-row xxhash64 salt (round 6, replacing rand(seed))
+    must assign each row the same bucket regardless of how the input
+    happens to be partitioned — the retry-determinism property: a
+    recomputed/speculated task re-derives identical buckets."""
+    from capital.operators.skew import _row_salt
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic
+    # testdata, so compare the full (row, salt) multiset — the salt is
+    # a pure function of the row, so identical rows salt identically.
+    def buckets(df):
+        return sorted(
+            tuple(r) for r in df.withColumn("salt", _row_salt(df, 16)).collect()
+        )
+
+    a = buckets(li.repartition(4))
+    b = buckets(li.repartition(17, "l_quantity"))
+    assert a == b
+
+
 def test_salted_join_matches_plain(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_quantity"
