@@ -245,7 +245,10 @@ def parallelize_narrow(df: DataFrame, min_partitions: int | None = None) -> Data
 
 
 def right_size_narrow(
-    df: DataFrame, rows_per_task: int = 256, max_partitions: int | None = None
+    df: DataFrame,
+    rows_per_task: int = 256,
+    max_partitions: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """:func:`parallelize_narrow` with the split count scaled to the
     actual row count: ``ceil(rows / rows_per_task)`` capped at default
@@ -264,7 +267,8 @@ def right_size_narrow(
     """
     sc = df.sparkSession.sparkContext
     cap = max_partitions or sc.defaultParallelism
-    n_rows = df.count()
+    if n_rows is None:
+        n_rows = df.count()
     target = max(1, min(cap, -(-n_rows // max(1, rows_per_task))))
     # No getNumPartitions() pre-check: the DataFrame→RDD conversion it
     # needs costs ~0.1 s of plan translation — more than the tiny

@@ -259,21 +259,30 @@ def cosine_neardup_pairs(
     """
     from capital.io import right_size_narrow
     from capital.operators.caching import scoped_persist
-    from capital.operators.skew import chunked_pair_join
+    from capital.operators.skew import chunked_pair_join, plain_by_hint
 
     planes = hyperplanes(dim, n_planes)
-    keyed = scoped_persist(
-        right_size_narrow(vectors).select(
-            F.col(id_col),
-            F.col(vec_col),
-            _norm(F.col(vec_col)).alias("nrm"),
-            sign_lsh_key(vec_col, planes).alias("bucket"),
-        ),
-        scope,
-    )  # skew probe + both join branches reuse the hashed corpus
+    n_rows = vectors.count()  # also sizes the fan-out (metadata-cheap)
+    keyed = right_size_narrow(vectors, n_rows=n_rows).select(
+        F.col(id_col),
+        F.col(vec_col),
+        _norm(F.col(vec_col)).alias("nrm"),
+        sign_lsh_key(vec_col, planes).alias("bucket"),
+    )
+    if not plain_by_hint(n_rows):
+        # Skew probe + both join branches reuse the hashed corpus.
+        # When the global count already bounds the pair space
+        # (plain_by_hint), no probe job runs and the self-join's
+        # exchange is reused — persisting would only add an eager
+        # materialization job on a micro input.
+        keyed = scoped_persist(keyed, scope)
     return (
         chunked_pair_join(
-            keyed, ["bucket"], id_col, payload_cols=[vec_col, "nrm"]
+            keyed,
+            ["bucket"],
+            id_col,
+            payload_cols=[vec_col, "nrm"],
+            total_rows_hint=n_rows,
         )
         .withColumn(
             "cosine_sim",

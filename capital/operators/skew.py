@@ -141,6 +141,14 @@ def _plain_pair_join(
     return left.join(right, block_cols).filter(F.col("id_a") < F.col("id_b"))
 
 
+def plain_by_hint(total_rows: int, chunk_target: int = 1024) -> bool:
+    """True when a known global row count makes the plain pair join
+    safe with no probe: even one all-rows block stays within
+    ``8·chunk_target²`` pairs. Callers use this to decide whether the
+    keyed frame needs persisting at all (no probe → single consumer)."""
+    return total_rows ** 2 <= 8 * chunk_target ** 2
+
+
 def max_block_rows(keyed: DataFrame, block_cols: list[str]) -> int:
     """Largest block's row count (0 for an empty frame) — one
     count-aggregate job over ``keyed``."""
@@ -155,6 +163,7 @@ def chunked_pair_join(
     payload_cols: list[str] | None = None,
     chunk_target: int = 1024,
     probe: bool = True,
+    total_rows_hint: int | None = None,
 ) -> DataFrame:
     """All within-block unordered pairs (``id_a < id_b``) with a hard
     per-task bound under block skew.
@@ -205,8 +214,27 @@ def chunked_pair_join(
     plan across source mutations (a re-read of grown data under a
     plain-join decision would silently void the per-task pair bound).
     All engine callers build-and-run per query, satisfying this.
+
+    **total_rows_hint** — when the caller already knows the frame's
+    row count n (e.g. it sized partitions with
+    ``io.right_size_narrow``), and n is small enough that even the
+    fully-degenerate case (every row in ONE block) stays within a
+    small constant of the design bound (``n²/2 ≤ 8·chunk_target²``,
+    i.e. n ≤ ~2.9k at the default target), the plain join is emitted
+    with NO probe job at all: the global count already bounds any
+    block's pair space, so the eager count-aggregate would re-answer
+    a question the caller answered. This removes one of the two
+    eager jobs on micro inputs (embedding-cosine at sf0.1: 2 jobs →
+    1). A wrong (stale, too-small) hint risks an oversized task, not
+    wrong results — same contract as the probe snapshot above.
     """
     payload_cols = payload_cols or []
+    if (
+        probe
+        and total_rows_hint is not None
+        and plain_by_hint(total_rows_hint, chunk_target)
+    ):
+        return _plain_pair_join(keyed, block_cols, id_col, payload_cols)
     if probe and max_block_rows(keyed, block_cols) <= chunk_target:
         return _plain_pair_join(keyed, block_cols, id_col, payload_cols)
     # keyed is NOT persisted here: materializing the chunk-annotated

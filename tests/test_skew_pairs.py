@@ -60,6 +60,40 @@ def test_chunked_pairs_match_naive_under_skew(spark):
     assert len(got) == 19900 + 10 + 3
 
 
+def test_total_rows_hint_fast_path_matches(spark):
+    """total_rows_hint small enough -> plain join with NO probe job,
+    identical pairs; a big hint falls through to the probed path."""
+    df = _skewed(spark)
+    n = df.count()
+    expect = _naive_pairs(df)
+    # n=209, chunk_target=74: 209^2 < 8*74^2 -> hint path engages.
+    got = {
+        (r.id_a, r.id_b)
+        for r in chunked_pair_join(
+            df, ["block"], "id", chunk_target=74, total_rows_hint=n
+        ).collect()
+    }
+    assert got == expect
+    # Oversized hint: must NOT take the plain path blindly — falls
+    # back to probe, and with the hot block over target, chunks.
+    got2 = {
+        (r.id_a, r.id_b)
+        for r in chunked_pair_join(
+            df,
+            ["block"],
+            "id",
+            chunk_target=CHUNK_TARGET,
+            total_rows_hint=10_000_000,
+        ).collect()
+    }
+    assert got2 == expect
+
+    from capital.operators.skew import plain_by_hint
+
+    assert plain_by_hint(209, 74)
+    assert not plain_by_hint(10_000_000, 1024)
+
+
 def test_chunked_pairs_payload_sides(spark):
     df = _skewed(spark)
     out = chunked_pair_join(
