@@ -120,6 +120,74 @@ def decode_assets(assets: DataFrame, decoder=None) -> DataFrame:
     )
 
 
+#: Output of the resize stage: the downsized payload plus its new
+#: metadata (the real-kernel contract: bytes in, smaller bytes out).
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("r_bytes", LongType(), True),
+        StructField("checksum", StringType(), True),
+    ]
+)
+
+
+def fake_resize_batch(target_w: int = 64, target_h: int = 48):
+    """STUB resize kernel factory (no image libs in this container).
+
+    Deterministic fake with a SQL-replicable shape: the "resized"
+    payload is the payload's first ``target_w * target_h`` bytes (a
+    crop — real kernels would decode + interpolate; the mapInPandas
+    contract, batch shape, and output schema are what's real here).
+    Emits the resized byte count and an md5 checksum of the resized
+    payload so the Arrow boundary is hash-checkable byte-for-byte.
+    """
+
+    def _resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import pandas as pd
+
+        cap = target_w * target_h
+        for pdf in batches:
+            cropped = pdf["payload"].map(
+                lambda b: None if b is None else bytes(b)[:cap]
+            )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": target_w,
+                    "height": target_h,
+                    "r_bytes": cropped.map(
+                        lambda b: 0 if b is None else len(b)
+                    ).astype("int64"),
+                    "checksum": cropped.map(
+                        lambda b: None
+                        if b is None
+                        else hashlib.md5(b).hexdigest()
+                    ),
+                }
+            ).astype({"width": "int32", "height": "int32"})
+
+    return _resize
+
+
+def resize_assets(
+    assets: DataFrame,
+    target_w: int = 64,
+    target_h: int = 48,
+    resizer=None,
+) -> DataFrame:
+    """Resize stage over ``ASSET_SCHEMA`` rows — Arrow-batched
+    ``mapInPandas``; ``resizer`` is the kernel seam (swap in a
+    PIL/OpenCV kernel with the same batch contract)."""
+    return assets.mapInPandas(
+        resizer or fake_resize_batch(target_w, target_h),
+        schema=RESIZED_SCHEMA,
+    )
+
+
 #: Output of the frame-sampling stage: one row per sampled frame.
 FRAME_SCHEMA = StructType(
     [

@@ -946,6 +946,36 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_assets(text_as_assets(d))
 
 
+_RESIZE_W, _RESIZE_H = 64, 48
+
+
+@query(
+    "mm_resize_stub",
+    oracle=f"""
+    SELECT doc_id AS asset_id,
+           {_RESIZE_W} AS width,
+           {_RESIZE_H} AS height,
+           CAST(least(strlen(text), {_RESIZE_W * _RESIZE_H}) AS BIGINT)
+             AS r_bytes,
+           md5(substr(text, 1, {_RESIZE_W * _RESIZE_H})) AS checksum
+    FROM documents
+    """,
+)
+def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage via Arrow-batched mapInPandas (interpolation
+    stubbed as a deterministic byte crop — real image libs absent; the
+    batch contract and RESIZED_SCHEMA are real). The crop is plain
+    substring arithmetic + md5, so the Python kernel's output is
+    hash-pinned against a pure-SQL oracle like mm_decode_stub
+    (synthetic docs are ASCII: byte n == char n)."""
+    from capital.llm.multimodal import resize_assets
+
+    d = load_table(spark, sf_dir, "documents")
+    return resize_assets(
+        text_as_assets(d), target_w=_RESIZE_W, target_h=_RESIZE_H
+    )
+
+
 # --- pyspark.ml library-path surface ------------------------------------
 
 

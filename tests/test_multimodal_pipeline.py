@@ -77,6 +77,32 @@ def test_features_feed_ann_search(spark, sf_dir):
     assert all(-1.0 <= r.cosine_sim <= 1.0 for r in topk.collect())
 
 
+def test_resize_stage_crops_and_pins_bytes(spark, sf_dir):
+    """Resize stub: payload crops to target_w*target_h bytes, metadata
+    carries the target dims, null payloads survive as r_bytes=0."""
+    import hashlib
+
+    from capital.llm.multimodal import resize_assets, text_as_assets
+
+    docs, _ = _frames(spark, sf_dir)
+    assets = text_as_assets(docs)
+    out = resize_assets(assets, target_w=8, target_h=4).collect()
+    raw = {r.asset_id: bytes(r.payload) for r in assets.collect()}
+    assert len(out) == len(raw)
+    for r in out:
+        expect = raw[r.asset_id][: 8 * 4]
+        assert (r.width, r.height) == (8, 4)
+        assert r.r_bytes == len(expect)
+        assert r.checksum == hashlib.md5(expect).hexdigest()
+
+    null_assets = spark.createDataFrame(
+        [(99, "application/octet-stream", None, None)],
+        "asset_id long, media_type string, payload binary, n_bytes long",
+    )
+    row = resize_assets(null_assets).collect()[0]
+    assert row.r_bytes == 0 and row.checksum is None
+
+
 def test_decoder_seam_accepts_real_codec(spark, sf_dir):
     """The codec boundary is a real seam: decode_assets must run any
     compliant Iterator[pd.DataFrame] -> Iterator[pd.DataFrame] kernel
