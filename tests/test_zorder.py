@@ -146,6 +146,28 @@ def test_z_value_constant_column_is_safe(spark):
     assert len(out) == 10  # span=0 branch: rank 0, no divide-by-zero
 
 
+def test_z_value_monotone_per_axis(spark):
+    """Fixing every other coordinate, the Morton key is monotone in
+    each remaining coordinate (on the identity-scaled rank domain) —
+    the property range predicates rely on for skipping."""
+    top = (1 << Z_BITS) - 1
+    xs = [0, 1, 7, 255, 4096, 40000, top]
+    rows = (
+        [(i, x, 12345) for i, x in enumerate(xs)]
+        + [(100 + i, 0, x) for i, x in enumerate(xs)]
+        + [(200, 0, 0), (201, top, top)]  # pin the scaling bounds
+    )
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    z = {
+        r.id: r.z_value
+        for r in with_z_value(df, ["x", "y"]).select("id", "z_value").collect()
+    }
+    x_series = [z[i] for i in range(len(xs))]
+    y_series = [z[100 + i] for i in range(len(xs))]
+    assert x_series == sorted(x_series)
+    assert y_series == sorted(y_series)
+
+
 def test_four_column_z_stays_nonnegative(spark):
     """16 bits x 4 cols would reach the sign bit; effective_bits drops
     to 15 and every z value stays non-negative."""
