@@ -111,6 +111,40 @@ def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
     assert out.select("event_id").distinct().count() == 200
 
 
+def test_streaming_bloom_prefilter_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming decontamination: the Bloom prefilter is pure
+    projections + stream-static broadcast joins, so it gates a stream
+    per micro-batch with no state store — streamed output must equal
+    the batch prefilter over the same data."""
+    from capital.llm.bloom import bloom_prefilter
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    ev = _write_batches(spark, sf_dir, src)
+    members = (
+        ev.select("user_id").distinct().filter(F.col("user_id") % 2 == 0)
+    )
+
+    q = incremental_run(
+        spark,
+        src,
+        EVENTS,
+        lambda df: bloom_prefilter(df, members, "user_id", "user_id"),
+        sink,
+        ckpt,
+    )
+    q.awaitTermination(180)
+    streamed = {tuple(r) for r in spark.read.parquet(sink).collect()}
+    batch = {
+        tuple(r) for r in bloom_prefilter(ev, members, "user_id", "user_id").collect()
+    }
+    assert streamed == batch
+    # The filter passed every true member row (no false negatives).
+    exact = ev.join(members, "user_id").count()
+    assert len(batch) >= exact > 0
+
+
 def test_stream_window_agg_matches_batch(spark, sf_dir, tmp_path):
     src = str(tmp_path / "src")
     sink = str(tmp_path / "sink")
