@@ -294,3 +294,19 @@ def test_partsupp_queries_plan_shapes(spark, sf_dir):
                 assert "Join type: Cross" in block, (name, block)
     plan = plan_of(_QUERIES["q16_supplier_part_counts"](spark, sf_dir))
     assert "LeftAnti" in plan
+
+
+def test_zorder_and_bloom_plan_shapes(spark, sf_dir):
+    """Round-6 operators keep their map-side posture: the z-order
+    dictionary rank joins back via broadcast (no sort-merge of the
+    fact side), and the bloom-prefiltered decontamination probes the
+    word table through broadcast joins only."""
+    plan = plan_of(_QUERIES["p16_zorder_string_key"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    plan = plan_of(_QUERIES["asm_contamination_bloom"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
