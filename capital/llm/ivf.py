@@ -156,3 +156,104 @@ def ivf_topk(
             F.round("cosine_sim", 6).alias("cosine_sim"),
         )
     )
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    centroids: list[list[float]] | None = None,
+) -> list[list[float]]:
+    """Persist the IVF index as a **cell-partitioned parquet lake**:
+    the Hive ``cell=`` directory layout IS the inverted-list
+    structure — a probe that touches ``nprobe`` cells scans only those
+    partitions (partition pruning = list selection, the same storage
+    trick the reference's ``ymd=`` layout used for dates). Centroids
+    land in a tiny sidecar table (``n_cells × dim`` doubles).
+
+    The growing-lake twin of the stored LSH band index
+    (``dedup.incremental_neardup_flags``): build once, append new
+    vectors per batch with the SAME stored centroids (pass
+    ``centroids=``), probe forever without re-reading the corpus.
+    """
+    if centroids is None:
+        centroids = train_centroids(corpus, n_cells, vec_col, seed)
+    assigned = assign_cells(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+        ),
+        centroids,
+        vec_col="c_vec",
+        nprobe=1,
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/lists"
+    )
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    return centroids
+
+
+def probe_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a stored IVF index without touching the corpus table.
+
+    Loads the centroid sidecar (bounded: ``n_cells`` rows — a loud,
+    tiny driver collect), assigns each query its ``nprobe`` cells, and
+    scans ONLY those ``cell=`` partitions via a static ``isin``
+    partition filter (visible as ``PartitionFilters`` in the plan —
+    asserted in tests/test_ivf.py). The probed-cell set is another
+    ≤ ``n_cells`` driver collect, traded deliberately for *static*
+    pruning: the cell list must be literal before the scan plans.
+    """
+    cents = spark.read.parquet(f"{path}/centroids").collect()
+    centroids = [
+        [float(x) for x in r.centroid]
+        for r in sorted(cents, key=lambda r: r.cell)
+    ]
+    q = assign_cells(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        ),
+        centroids,
+        vec_col="q_vec",
+        nprobe=nprobe,
+    )
+    probed = sorted(
+        r.cell for r in q.select("cell").distinct().collect()
+    )  # ≤ n_cells values
+    lists = spark.read.parquet(f"{path}/lists").filter(
+        F.col("cell").isin(probed)
+    )
+    scored = (
+        lists.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.round("cosine_sim", 6).alias("cosine_sim"),
+        )
+    )

@@ -65,6 +65,7 @@ _DRIVER_PRIORITY = [
     "p16_zorder_string_key",
     "asm_contamination_bloom",
     "mm_resize_stub",
+    "sim_ivf_stored_fullprobe",
     # regime change r6: now runs at _N_QUERIES_GEMM=512 queries
     "sim_cosine_topk_arrow",
     # --- r3-latest-evidence queries (40): freshest-evidence rotation ---
@@ -112,7 +113,6 @@ _DRIVER_PRIORITY = [
     "pipe_clean_corpus",
     "dedup_simhash_fullrecall",
     "dedup_clusters",
-    "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     # --- 50-slot boundary ---
 ]

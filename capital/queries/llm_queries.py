@@ -733,6 +733,25 @@ def sim_ivf_topk_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries_df, k=_TOPK, n_cells=16, nprobe=16)
 
 
+@query("sim_ivf_stored_fullprobe", memoize=False, oracle=_COSINE_TOPK_ORACLE)
+def sim_ivf_stored_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored-index ANN: the IVF lists persisted as a cell-partitioned
+    parquet lake (partition pruning = inverted-list selection, see
+    ivf.write_ivf_index) and probed without touching the corpus table.
+    nprobe = n_cells makes the search exhaustive, so the whole
+    build→write→prune→probe path must hash-match the brute-force
+    oracle — the stored twin of sim_ivf_topk_fullprobe."""
+    import tempfile
+
+    from capital.llm.ivf import probe_ivf_index, write_ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < _N_QUERIES)
+    path = tempfile.mkdtemp(prefix="ivf_index_")
+    write_ivf_index(emb, path, n_cells=16)
+    return probe_ivf_index(spark, path, queries_df, k=_TOPK, nprobe=16)
+
+
 _NEARDUP_PLANES = 6
 # 0.35 fires on the synthetic embeddings at sf0.01 (12 pairs) so the
 # driver hash-check pins real output; 0.9 never fired (vacuous 0=0).

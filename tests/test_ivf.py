@@ -56,3 +56,68 @@ def test_assign_cells_partitions_corpus(spark, sf_dir):
     assert assigned.count() == emb.count()
     n_cells_used = assigned.select("cell").distinct().count()
     assert 1 < n_cells_used <= 8
+
+
+def test_stored_index_probe_matches_in_memory(spark, sf_dir, tmp_path):
+    """write_ivf_index -> probe_ivf_index with the same centroids must
+    return exactly what the in-memory ivf_topk returns, and the list
+    scan must prune to the probed cell partitions (PartitionFilters —
+    the Hive layout IS the inverted list)."""
+    from capital.llm.ivf import probe_ivf_index, write_ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    path = str(tmp_path / "ivf")
+    centroids = write_ivf_index(emb, path, n_cells=8)
+
+    stored = probe_ivf_index(spark, path, queries, k=5, nprobe=3)
+    mem = ivf_topk(
+        emb, queries, k=5, n_cells=8, nprobe=3, centroids=centroids
+    )
+    assert {tuple(r) for r in stored.collect()} == {
+        tuple(r) for r in mem.collect()
+    }
+
+    import contextlib
+    import io as _io
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        stored.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "cell IN" in plan or "cell#" in plan
+
+
+def test_stored_index_appends_with_shared_centroids(spark, sf_dir, tmp_path):
+    """Growing-lake shape: a second batch indexed with the SAME stored
+    centroids lands in the same cell layout; probing sees both."""
+    from capital.llm.ivf import probe_ivf_index, write_ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivf")
+    centroids = write_ivf_index(first, path, n_cells=8)
+
+    # Append the second batch under the same centroids (no retrain).
+    from capital.llm.ivf import assign_cells as _ac
+
+    _ac(
+        second.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_vec"),
+        ),
+        centroids,
+        vec_col="c_vec",
+        nprobe=1,
+    ).write.mode("append").partitionBy("cell").parquet(f"{path}/lists")
+
+    queries = emb.filter(F.col("vec_id") < 4)
+    stored = probe_ivf_index(spark, path, queries, k=5, nprobe=8)
+    full = ivf_topk(
+        emb, queries, k=5, n_cells=8, nprobe=8, centroids=centroids
+    )
+    assert {tuple(r) for r in stored.collect()} == {
+        tuple(r) for r in full.collect()
+    }
