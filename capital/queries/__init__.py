@@ -66,6 +66,7 @@ _DRIVER_PRIORITY = [
     "asm_contamination_bloom",
     "mm_resize_stub",
     "sim_ivf_stored_fullprobe",
+    "sim_pq_topk",
     # regime change r6: now runs at _N_QUERIES_GEMM=512 queries
     "sim_cosine_topk_arrow",
     # --- r3-latest-evidence queries (40): freshest-evidence rotation ---
@@ -112,7 +113,6 @@ _DRIVER_PRIORITY = [
     # --- regression sentinels: round-5/6-touched heavy code paths ---
     "pipe_clean_corpus",
     "dedup_simhash_fullrecall",
-    "dedup_clusters",
     "dedup_embedding_cosine",
     # --- 50-slot boundary ---
 ]

@@ -733,6 +733,22 @@ def sim_ivf_topk_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries_df, k=_TOPK, n_cells=16, nprobe=16)
 
 
+@query("sim_pq_topk", memoize=False)
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with exact rerank (capital/llm/pq.py):
+    8-byte packed codes (32× smaller than the float vectors) produce
+    an ADC shortlist via pure codegen table lookups; only shortlist
+    vectors are read for the exact cosine rerank. Rows-only: the
+    per-subspace KMeans codebooks are not SQL-expressible — ADC
+    exactness is pinned on a centroid grid and recall is held vs the
+    brute-force baseline in tests/test_pq.py (the IVF precedent)."""
+    from capital.llm.pq import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return pq_topk(emb, queries_df, k=_TOPK, dim=_DIM)
+
+
 @query("sim_ivf_stored_fullprobe", memoize=False, oracle=_COSINE_TOPK_ORACLE)
 def sim_ivf_stored_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stored-index ANN: the IVF lists persisted as a cell-partitioned
