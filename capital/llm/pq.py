@@ -9,16 +9,18 @@ column replacing the 256-byte float array (32×)**. At 100 TB that is
 the difference between a codes table that fits executor memory /
 broadcast and one that does not.
 
-Search uses the classic **asymmetric distance computation (ADC)**
-mapped onto Spark expressions:
+Search uses the classic **asymmetric distance computation (ADC)**:
 
-- per query, ONE projection computes its distance table — the m×ks
-  squared sub-distances to every codebook centroid (literal
-  arithmetic over the broadcast codebooks; queries are few);
+- per query, ONE Arrow-batched numpy kernel computes its distance
+  table — the m×ks squared sub-distances to every codebook centroid
+  (the expression form's ~1000 literal terms exceed janino's method
+  limit, fail codegen, and run interpreted — see
+  :func:`query_adc_tables`);
 - per (query, code) pair, the score is ``Σ_j table[j*ks + code_j]``
   — m ``element_at`` lookups + adds on a packed long, pure
   whole-stage codegen, no per-pair float-vector math at all (the
-  corpus' float vectors are never read at search time).
+  corpus' float vectors are never read at scoring time). The
+  *pair-scoring* hot path never leaves the JVM.
 
 Vectors are L2-normalized before encoding and querying, so squared-L2
 ADC order is exactly cosine order (``||a−b||² = 2 − 2cos`` on unit
@@ -36,6 +38,8 @@ from __future__ import annotations
 import functools
 import operator
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -59,16 +63,6 @@ def _unit(vec: Column) -> Column:
     )
 
 
-def _sub_dist2(vec: Column, j: int, d: int, centroid: list[float]) -> Column:
-    """Squared distance of subvector j (positions j*d..j*d+d-1,
-    0-based) to a literal centroid — d codegen arithmetic terms."""
-    terms = [
-        (F.element_at(vec, j * d + i + 1) - F.lit(float(centroid[i]))) ** 2
-        for i in range(d)
-    ]
-    return functools.reduce(operator.add, terms)
-
-
 def train_codebooks(
     corpus: DataFrame,
     dim: int,
@@ -82,23 +76,47 @@ def train_codebooks(
     embedded as literals everywhere downstream (no model object at
     encode/search time). At 100 TB, train on a sample: the codebooks
     are an index artifact like IVF centroids."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     if dim % m:
         raise ValueError(f"dim={dim} must divide into m={m} subspaces")
     d = dim // m
-    unit = corpus.select(_unit(F.col(vec_col)).alias("__u"))
-    books: list[list[list[float]]] = []
-    for j in range(m):
+    from capital.io import right_size_narrow
+
+    # Persist the normalized training frame for the fit's scope:
+    # every Lloyd iteration of every sub-fit re-reads it, and the
+    # interpreted-HOF normalization would otherwise re-run
+    # m × maxIter × 2 times from the parquet scan.
+    unit = right_size_narrow(corpus.select(_unit(F.col(vec_col)).alias("__u")))
+    unit = unit.persist()
+
+    def _fit(j: int) -> list[list[float]]:
         sub = unit.select(
             array_to_vector(F.slice(F.col("__u"), j * d + 1, d)).alias("__s")
         )
+        # maxIter=8: sub-codebooks converge in a few Lloyd rounds and
+        # a fixed iteration cap keeps the fit deterministic AND cheap
+        # (default 20 iters × m sequential fits measured 37 s at
+        # sf0.1 — pure per-iteration job overhead on tiny data).
         model = KMeans(
-            k=ks, seed=seed + j, featuresCol="__s", predictionCol="__c"
+            k=ks,
+            seed=seed + j,
+            maxIter=8,
+            featuresCol="__s",
+            predictionCol="__c",
         ).fit(sub)
-        books.append([[float(x) for x in c] for c in model.clusterCenters()])
-    return books
+        return [[float(x) for x in c] for c in model.clusterCenters()]
+
+    # The m sub-fits are independent Spark jobs — submit them from
+    # threads so the scheduler interleaves their (tiny) stages.
+    try:
+        with ThreadPoolExecutor(max_workers=m) as pool:
+            return list(pool.map(_fit, range(m)))
+    finally:
+        unit.unpersist()
 
 
 def encode_pq(
@@ -108,29 +126,35 @@ def encode_pq(
     out_col: str = "pq_code",
 ) -> DataFrame:
     """Attach the packed PQ code: per subspace, the argmin centroid id
-    (struct-sort trick, ties to the lower id), packed as 4-bit fields
-    of one long. One narrow projection — no shuffle, no UDF."""
+    (numpy argmin takes the first minimum — ties to the lower id),
+    packed as 4-bit fields of one long.
+
+    Arrow-batched ``pandas_udf`` kernel: the expression form (m·ks
+    literal sub-distance terms + struct sorts) exceeds janino's method
+    limit — codegen compilation *fails* and the whole projection falls
+    back to interpreted evaluation (measured 9.8 s for 2000 rows; the
+    numpy batch kernel is milliseconds). Same trade as the GEMM
+    top-k kernel, and the scoring side stays pure codegen."""
     m = len(codebooks)
     ks = len(codebooks[0])
-    d = len(codebooks[0][0])
     if ks > 16:
         raise ValueError("packed 4-bit codes hold ks <= 16 centroids")
-    unit = _unit(F.col(vec_col))
-    tmp = df.withColumn("__u", unit)
-    code = F.lit(0).cast("long")
-    for j in range(m):
-        dists = F.array(
-            *[
-                F.struct(
-                    _sub_dist2(F.col("__u"), j, d, codebooks[j][c]).alias("d"),
-                    F.lit(c).alias("i"),
-                )
-                for c in range(ks)
-            ]
-        )
-        cj = F.sort_array(dists)[0]["i"].cast("long")
-        code = code.bitwiseOR(F.shiftleft(cj, 4 * j))
-    return tmp.withColumn(out_col, code).drop("__u")
+    cb = np.asarray(codebooks, dtype="float64")  # (m, ks, d)
+    shifts = 4 * np.arange(m, dtype="int64")
+
+    @F.pandas_udf("long")
+    def _encode(s: pd.Series) -> pd.Series:
+        if len(s) == 0:
+            return pd.Series([], dtype="int64")
+        x = np.stack(s.to_numpy()).astype("float64")  # (n, D)
+        nrm = np.linalg.norm(x, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        sub = (x / nrm).reshape(len(s), m, -1)  # (n, m, d)
+        d2 = ((sub[:, :, None, :] - cb[None]) ** 2).sum(-1)  # (n, m, ks)
+        codes = d2.argmin(-1).astype("int64")  # first-min tie rule
+        return pd.Series((codes << shifts).sum(-1))
+
+    return df.withColumn(out_col, _encode(F.col(vec_col)))
 
 
 def query_adc_tables(
@@ -141,18 +165,25 @@ def query_adc_tables(
 ) -> DataFrame:
     """Attach each query's ADC distance table: ``m*ks`` doubles laid
     out as ``[j*ks + c]`` — computed ONCE per query row; every
-    corpus-pair score afterwards is lookups into this array."""
+    corpus-pair score afterwards is lookups into this array. Arrow
+    numpy kernel for the same janino-limit reason as
+    :func:`encode_pq` (1024 literal terms never compile)."""
     m = len(codebooks)
     ks = len(codebooks[0])
-    d = len(codebooks[0][0])
-    unit = _unit(F.col(vec_col))
-    tmp = queries.withColumn("__u", unit)
-    entries = [
-        _sub_dist2(F.col("__u"), j, d, codebooks[j][c])
-        for j in range(m)
-        for c in range(ks)
-    ]
-    return tmp.withColumn(out_col, F.array(*entries)).drop("__u")
+    cb = np.asarray(codebooks, dtype="float64")  # (m, ks, d)
+
+    @F.pandas_udf("array<double>")
+    def _tables(s: pd.Series) -> pd.Series:
+        if len(s) == 0:
+            return pd.Series([], dtype="object")
+        x = np.stack(s.to_numpy()).astype("float64")
+        nrm = np.linalg.norm(x, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        sub = (x / nrm).reshape(len(s), m, 1, -1)  # (n, m, 1, d)
+        tab = ((sub - cb[None]) ** 2).sum(-1).reshape(len(s), m * ks)
+        return pd.Series(list(tab))
+
+    return queries.withColumn(out_col, _tables(F.col(vec_col)))
 
 
 def adc_score(code: Column, qtab: Column, m: int = PQ_M, ks: int = PQ_KS) -> Column:
