@@ -277,3 +277,158 @@ def pq_topk(
             F.round("cosine_sim", 6).alias("cosine_sim"),
         )
     )
+
+
+def write_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    dim: int,
+    n_cells: int = 16,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+) -> None:
+    """Persist a production-shape ANN index on the parquet lake —
+    IVF-PQ the way the storage layer wants it expressed:
+
+    - **coarse cells → Hive partitions** (``cell=`` directories): a
+      probe's list selection is partition pruning, as in
+      :func:`capital.llm.ivf.write_ivf_index`;
+    - **PQ codes → a column** next to the float vector: parquet is
+      columnar, so the ADC scoring scan reads ONLY ``pq_code``
+      (8 bytes/row — the 32× compression realized as column pruning,
+      no separate codes table to keep in sync);
+    - float vectors stay in the same rows but are only materialized
+      for the reranked shortlist.
+
+    Sidecars: IVF centroids and PQ codebooks as tiny tables.
+    """
+    from capital.llm.ivf import assign_cells, train_centroids
+
+    centroids = train_centroids(corpus, n_cells, vec_col, seed)
+    codebooks = train_codebooks(corpus, dim, m, ks, vec_col, seed)
+    rows = encode_pq(
+        assign_cells(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("c_vec"),
+            ),
+            centroids,
+            vec_col="c_vec",
+            nprobe=1,
+        ),
+        codebooks,
+        vec_col="c_vec",
+    )
+    rows.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/lists")
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [
+            (j, c, codebooks[j][c])
+            for j in range(m)
+            for c in range(ks)
+        ],
+        "subspace int, code int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def probe_ivfpq_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    rerank: int | None = None,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-phase search over a stored IVF-PQ index, never touching the
+    corpus table:
+
+    1. **ADC phase**: partition-pruned scan of the ``nprobe`` probed
+       cells reading ONLY ``(neighbor_id, pq_code)`` (column pruning —
+       the vectors' bytes are not read), scored by codegen table
+       lookups against the broadcast query tables, top-``rerank``
+       shortlist per query.
+    2. **Rerank phase**: the shortlist's float vectors are fetched
+       from the same pruned partitions by a broadcast semi-join and
+       reranked with exact cosine — full precision for the final
+       order, paid only for ``queries × rerank`` rows.
+    """
+    from capital.llm.ivf import assign_cells
+    from capital.llm.similarity import cosine
+
+    rerank = rerank or 8 * k
+    cents = spark.read.parquet(f"{path}/centroids").collect()
+    centroids = [
+        [float(x) for x in r.centroid]
+        for r in sorted(cents, key=lambda r: r.cell)
+    ]
+    cb_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    mm = 1 + max(r.subspace for r in cb_rows)
+    kk = 1 + max(r.code for r in cb_rows)
+    codebooks: list[list[list[float]]] = [
+        [None] * kk for _ in range(mm)  # type: ignore[list-item]
+    ]
+    for r in cb_rows:
+        codebooks[r.subspace][r.code] = [float(x) for x in r.centroid]
+
+    q = query_adc_tables(
+        assign_cells(
+            queries.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col)
+            ),
+            centroids,
+            vec_col=vec_col,
+            nprobe=nprobe,
+        ),
+        codebooks,
+        vec_col,
+    ).select("query_id", "cell", F.col(vec_col).alias("q_vec"), "qtab")
+    probed = sorted(r.cell for r in q.select("cell").distinct().collect())
+    lists = spark.read.parquet(f"{path}/lists").filter(
+        F.col("cell").isin(probed)
+    )
+    scored = (
+        lists.select("cell", "neighbor_id", "pq_code")  # no c_vec read
+        .join(F.broadcast(q.select("query_id", "cell", "qtab")), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "adc_dist2", adc_score(F.col("pq_code"), F.col("qtab"), m, ks)
+        )
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist2"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        scored.withColumn("__r", F.row_number().over(w_adc))
+        .filter(F.col("__r") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    cand = lists.select("neighbor_id", "c_vec").join(
+        F.broadcast(shortlist), "neighbor_id"
+    )
+    reranked = cand.join(
+        F.broadcast(q.select("query_id", "q_vec").distinct()), "query_id"
+    ).withColumn("cosine_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        reranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.round("cosine_sim", 6).alias("cosine_sim"),
+        )
+    )

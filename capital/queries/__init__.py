@@ -67,6 +67,7 @@ _DRIVER_PRIORITY = [
     "mm_resize_stub",
     "sim_ivf_stored_fullprobe",
     "sim_pq_topk",
+    "sim_ivfpq_stored_fullprobe",
     # regime change r6: now runs at _N_QUERIES_GEMM=512 queries
     "sim_cosine_topk_arrow",
     # --- r3-latest-evidence queries (40): freshest-evidence rotation ---
@@ -112,7 +113,6 @@ _DRIVER_PRIORITY = [
     "ud2_pandas_udf_tokens",
     # --- regression sentinels: round-5/6-touched heavy code paths ---
     "pipe_clean_corpus",
-    "dedup_simhash_fullrecall",
     "dedup_embedding_cosine",
     # --- 50-slot boundary ---
 ]

@@ -775,6 +775,34 @@ def sim_ivf_stored_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe_ivf_index(spark, path, queries_df, k=_TOPK, nprobe=16)
 
 
+@query(
+    "sim_ivfpq_stored_fullprobe", memoize=False, oracle=_COSINE_TOPK_ORACLE
+)
+def sim_ivfpq_stored_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored IVF-PQ index probed exhaustively (nprobe = all cells,
+    rerank = corpus): coarse cells as Hive partitions (pruning = list
+    selection), packed PQ codes as a parquet COLUMN (column pruning =
+    the 32× scan win), float vectors read only at rerank — the
+    production ANN-lake shape (capital/llm/pq.py). Exhaustive settings
+    make it exact, so the whole write→prune→ADC→rerank path
+    hash-matches the brute-force oracle."""
+    import os
+    import tempfile
+
+    from capital.llm.pq import probe_ivfpq_index, write_ivfpq_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < _N_QUERIES)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"capital_ivfpq_index_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    write_ivfpq_index(emb, path, dim=_DIM, n_cells=16)
+    return probe_ivfpq_index(
+        spark, path, queries_df, k=_TOPK, nprobe=16, rerank=emb.count()
+    )
+
+
 _NEARDUP_PLANES = 6
 # 0.35 fires on the synthetic embeddings at sf0.01 (12 pairs) so the
 # driver hash-check pins real output; 0.9 never fired (vacuous 0=0).

@@ -95,6 +95,11 @@ def test_no_python_udfs_in_relational_surface(spark, sf_dir):
         "mm_decode_stub",
         "ud2_pandas_udf_tokens",
         "ud3_group_apply_rank",
+        # PQ encode/ADC tables are deliberate Arrow kernels: the
+        # expression forms exceed janino's method limit and fall back
+        # to interpreted (see llm/pq.py); pair SCORING stays codegen.
+        "sim_pq_topk",
+        "sim_ivfpq_stored_fullprobe",
     }
     for name, fn in _QUERIES.items():
         if name in explicitly_python:

@@ -102,3 +102,54 @@ def test_codebooks_deterministic(spark, sf_dir):
     b1 = train_codebooks(emb, dim=64)
     b2 = train_codebooks(emb, dim=64)
     assert b1 == b2
+
+
+def test_stored_ivfpq_fullprobe_equals_brute_force(spark, sf_dir, tmp_path):
+    """nprobe = all cells and rerank >= corpus: the stored two-phase
+    path degenerates to exact search — pins the whole
+    write→prune→ADC→rerank machinery against the brute-force truth."""
+    from capital.llm.pq import probe_ivfpq_index, write_ivfpq_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_index(emb, path, dim=64, n_cells=8)
+    n = emb.count()
+    stored = probe_ivfpq_index(
+        spark, path, queries, k=_K, nprobe=8, rerank=n
+    )
+    exact = cosine_topk(emb, queries, k=_K)
+    s = sorted((r.query_id, r.rank, r.neighbor_id) for r in stored.collect())
+    e = sorted((r.query_id, r.rank, r.neighbor_id) for r in exact.collect())
+    assert s == e
+
+
+def test_stored_ivfpq_prunes_partitions_and_columns(spark, sf_dir, tmp_path):
+    """The ADC scan must read only the probed cell partitions
+    (PartitionFilters) and only the code column (ReadSchema without
+    c_vec) — partition pruning = list selection, column pruning = the
+    32x memory win, both at the storage layer."""
+    import contextlib
+    import io as _io
+
+    from capital.llm.pq import probe_ivfpq_index, write_ivfpq_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4)
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_index(emb, path, dim=64, n_cells=8)
+    out = probe_ivfpq_index(spark, path, queries, k=_K, nprobe=3)
+    assert out.count() > 0
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    adc_scans = [
+        l
+        for l in plan.splitlines()
+        if "ReadSchema" in l and "pq_code" in l
+    ]
+    assert adc_scans, "no ADC scan found"
+    assert all("c_vec" not in l for l in adc_scans), adc_scans
