@@ -417,7 +417,10 @@ def probe_ivfpq_index(
         F.broadcast(shortlist), "neighbor_id"
     )
     reranked = cand.join(
-        F.broadcast(q.select("query_id", "q_vec").distinct()), "query_id"
+        # q carries nprobe rows per query (cell explode); one vector
+        # per query id suffices for the rerank.
+        F.broadcast(q.select("query_id", "q_vec").dropDuplicates(["query_id"])),
+        "query_id",
     ).withColumn("cosine_sim", cosine(F.col("q_vec"), F.col("c_vec")))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
