@@ -68,6 +68,7 @@ _DRIVER_PRIORITY = [
     "sim_ivf_stored_fullprobe",
     "sim_pq_topk",
     "sim_ivfpq_stored_fullprobe",
+    "dedup_embedding_clusters",
     # regime change r6: now runs at _N_QUERIES_GEMM=512 queries
     "sim_cosine_topk_arrow",
     # --- r3-latest-evidence queries (40): freshest-evidence rotation ---
@@ -111,8 +112,7 @@ _DRIVER_PRIORITY = [
     "j6_correlated_scalar_subquery",
     "f16_sorted_string_agg",
     "ud2_pandas_udf_tokens",
-    # --- regression sentinels: round-5/6-touched heavy code paths ---
-    "pipe_clean_corpus",
+    # --- regression sentinel: the r6-touched heavy code path ---
     "dedup_embedding_cosine",
     # --- 50-slot boundary ---
 ]

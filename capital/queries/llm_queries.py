@@ -832,6 +832,49 @@ def _neardup_oracle() -> str:
     """
 
 
+def _embedding_clusters_oracle() -> str:
+    """Transitive closure of the embedding near-dup pairs (recursive
+    CTE), over ALL embedding rows so isolated vectors are singleton
+    components — the SemDeDup-style semantic-duplicate grouping."""
+    return f"""
+    WITH RECURSIVE pairs AS ({_neardup_oracle()}),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+    reach(id, label) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id AS vec_id, MIN(label) AS component_id FROM reach GROUP BY id
+    """
+
+
+@query(
+    "dedup_embedding_clusters",
+    memoize=False,
+    oracle=_embedding_clusters_oracle(),
+)
+def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic duplicate grouping (SemDeDup-shaped): sign-LSH-blocked
+    cosine pairs over the embedding corpus, closed into components by
+    the same pointer-jumping label propagation the MinHash clusters
+    use — every vector gets its semantic-group id (singletons
+    included). Composes two independently-oracled operators; the
+    recursive-CTE oracle checks the composition end to end."""
+    from capital.llm.clusters import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_neardup_pairs(
+        emb,
+        threshold=_NEARDUP_THRESHOLD,
+        n_planes=_NEARDUP_PLANES,
+        dim=_DIM,
+    )
+    return connected_components(
+        pairs, emb.select("vec_id"), id_col="vec_id"
+    )
+
+
 @query(
     "dedup_embedding_cosine",
     memoize=False,
