@@ -139,3 +139,27 @@ def bloom_prefilter(
         .filter(F.col("__mc"))
         .drop("__mc")
     )
+
+
+def merge_bloom_words(*word_tables: DataFrame) -> DataFrame:
+    """Merge bloom word tables built over different batches (same
+    ``m_bits``/``k``): ``bit_or`` is associative and commutative, so a
+    filter grown batch-by-batch is BIT-IDENTICAL to one built over the
+    union of the batches (property-tested) — the growing-blocklist /
+    growing-benchmark shape, one tiny aggregate per merge, history
+    never re-hashed."""
+    if not word_tables:
+        raise ValueError("merge_bloom_words needs at least one table")
+    acc = word_tables[0]
+    for t in word_tables[1:]:
+        acc = acc.unionByName(t)
+    return acc.groupBy("word_idx").agg(F.bit_or("word").alias("word"))
+
+
+def write_bloom(words: DataFrame, path: str) -> None:
+    """Persist a word table (≤ m/64 rows — one small file)."""
+    words.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def read_bloom(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)

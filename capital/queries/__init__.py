@@ -49,7 +49,8 @@ for _m in _MODULES:
 #:   with no driver CORRECTNESS row in any round (registered after the
 #:   round-5 rotation froze; the round-5 verdict's #1 ask).
 #: - Next: new round-6 queries (never driver-checked).
-#: - Then the 40 queries whose latest driver row is round 3 — two
+#: - Then the r3-latest-evidence queries (f1_date_extract rotated
+#:   out for a new query; it re-enters round 7) — two
 #:   rounds of shared-infrastructure churn (skew probe fast path,
 #:   CacheScope, AQE tuning) since their last hard check. After this
 #:   round no query's latest evidence is older than round 4.
@@ -69,15 +70,15 @@ _DRIVER_PRIORITY = [
     "sim_pq_topk",
     "sim_ivfpq_stored_fullprobe",
     "dedup_embedding_clusters",
+    "text_source_profile",
     # regime change r6: now runs at _N_QUERIES_GEMM=512 queries
     "sim_cosine_topk_arrow",
-    # --- r3-latest-evidence queries (40): freshest-evidence rotation ---
+    # --- r3-latest-evidence queries (39): freshest-evidence rotation ---
     "sk_hll_rollup_distinct",
     "sk_kll_quantiles",
     "j1_asof_latest_order",
     "j2_semi_join_open_days",
     "w2_year_end_last_weekday",
-    "f1_date_extract",
     "f2_date_format",
     "f4_date_arith",
     "f6_case_bucket",

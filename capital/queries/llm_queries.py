@@ -98,6 +98,54 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _source_profile_oracle() -> str:
+    """Per-source curation dashboard, composed from the registered
+    quality oracle (one source of truth for the score formula) — the
+    'which sources earn their tokens' rollup every mixture decision
+    starts from."""
+    from capital.llm.pipeline import QUALITY_MIN
+    from capital.queries.registry import ora_avg, registered_oracles
+
+    q_sql = registered_oracles()["text_quality_score"]
+    return f"""
+    WITH q AS ({q_sql}),
+    d AS (SELECT doc_id, source FROM documents)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           {ora_avg("quality_score", "avg_quality")},
+           round(SUM(CASE WHEN quality_score >= {QUALITY_MIN}
+                          THEN 1 ELSE 0 END) / COUNT(*), 6) AS frac_pass
+    FROM q JOIN d USING (doc_id)
+    GROUP BY source
+    """
+
+
+@query("text_source_profile", oracle=_source_profile_oracle())
+def text_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level corpus profile: doc/token volume, mean quality,
+    and the fraction passing the pipeline's quality gate — grouped on
+    the ``source`` column (one map-side-combined aggregate; the
+    quality scoring is the same narrow projection the gate uses)."""
+    from capital.llm.pipeline import QUALITY_MIN
+    from capital.queries.registry import decimal_avg
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = with_quality_score(d)
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        decimal_avg(F.col("quality_score"), "avg_quality"),
+        F.round(
+            F.sum(
+                F.when(F.col("quality_score") >= QUALITY_MIN, 1).otherwise(0)
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("frac_pass"),
+    )
+
+
 def _lang_id_oracle() -> str:
     hits = ",\n             ".join(
         f"len(list_filter(toks, x -> x IN {_sql_list(m)})) AS h_{lang}"

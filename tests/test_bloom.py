@@ -76,3 +76,26 @@ def test_words_table_is_bounded(spark):
         F.concat(F.lit("k"), F.col("id")).alias("g")
     )
     assert bloom_words(many, "g", _M, _K).count() <= _M // 64
+
+
+def test_incremental_merge_is_bit_identical(spark, tmp_path):
+    """bit_or associativity: a filter grown from two batches equals
+    the filter built over their union, bit for bit — so membership
+    answers are EXACTLY the same, not approximately."""
+    from capital.llm.bloom import merge_bloom_words, read_bloom, write_bloom
+
+    a = _members(spark, 300)
+    b = _strangers(spark, 400)  # disjoint second batch
+    merged = merge_bloom_words(
+        bloom_words(a, "g", _M, _K), bloom_words(b, "g", _M, _K)
+    )
+    at_once = bloom_words(a.union(b), "g", _M, _K)
+    m = {(r.word_idx, r.word) for r in merged.collect()}
+    o = {(r.word_idx, r.word) for r in at_once.collect()}
+    assert m == o
+
+    # Round-trips through parquet unchanged.
+    path = str(tmp_path / "bloom")
+    write_bloom(merged, path)
+    rt = {(r.word_idx, r.word) for r in read_bloom(spark, path).collect()}
+    assert rt == o
