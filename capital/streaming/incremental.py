@@ -93,6 +93,49 @@ def incremental_partition_overwrite(
     )
 
 
+def incremental_upsert_jdbc(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    transform: Callable[[DataFrame], DataFrame],
+    url: str,
+    table: str,
+    keys: list[str],
+    checkpoint_dir: str,
+    fmt: str = "parquet",
+    options: dict[str, str] | None = None,
+) -> StreamingQuery:
+    """Stream → warehouse with exactly-once *effect*: ``foreachBatch``
+    feeding the keyed transactional upsert (``io.upsert_jdbc``,
+    stage → DELETE+INSERT in one transaction).
+
+    JDBC sinks have no transactional sink contract with the streaming
+    checkpoint, so a crash between batch write and checkpoint commit
+    REPLAYS the batch — with an append sink that duplicates rows.
+    Keyed upsert makes the replay convergent: the same keys delete,
+    the same rows insert, and the warehouse ends in the same state
+    (the CDC-to-warehouse shape; replay idempotency is tested against
+    embedded Derby). Requirement: ``keys`` must be a true unique key
+    of the batch output — ``upsert_jdbc`` validates and the test
+    replays a batch to prove convergence.
+    """
+    from capital.io import upsert_jdbc
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = transform(batch_df)
+        upsert_jdbc(out, url, table, keys, options=options)
+
+    return (
+        spark.readStream.schema(schema)
+        .format(fmt)
+        .load(source_dir)
+        .writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def tumbling_counts(
     events: DataFrame,
     window: str = "1 hour",

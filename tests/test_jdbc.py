@@ -165,3 +165,55 @@ def test_jdbc_keyed_upsert_delete_insert(spark, derby_url):
     assert sorted((r.k, r.v) for r in back.collect()) == [
         (1, 10.0), (2, 99.0), (3, 30.0),
     ]
+
+
+def test_streaming_upsert_jdbc_replay_converges(spark, derby_url, sf_dir, tmp_path):
+    """foreachBatch → keyed upsert: replaying the same batch (crash
+    between JDBC write and checkpoint commit, simulated by a fresh
+    checkpoint over the same files) converges to the same warehouse
+    state instead of duplicating — the CDC-to-warehouse contract."""
+    from pyspark.sql import functions as F
+
+    from capital.io import load_table, read_jdbc
+    from capital.schemas import EVENTS
+    from capital.streaming.incremental import incremental_upsert_jdbc
+
+    src = str(tmp_path / "src")
+    ev = load_table(spark, sf_dir, "events").limit(300)
+    ev.coalesce(1).write.mode("append").parquet(src)
+    n_keys = ev.select("event_id").distinct().count()
+
+    execute_jdbc_statements(
+        spark,
+        derby_url,
+        ["CREATE TABLE stream_events (event_id BIGINT, value DOUBLE)"],
+    )
+
+    def run(ckpt: str):
+        q = incremental_upsert_jdbc(
+            spark,
+            src,
+            EVENTS,
+            lambda df: df.select("event_id", "value").dropDuplicates(
+                ["event_id"]
+            ),
+            derby_url,
+            "stream_events",
+            ["event_id"],
+            ckpt,
+        )
+        q.awaitTermination(180)
+
+    run(str(tmp_path / "ckpt1"))
+    back1 = read_jdbc(spark, derby_url, "stream_events")
+    assert back1.count() == n_keys
+
+    # Replay the identical files under a fresh checkpoint: the keyed
+    # upsert must converge (same keys deleted, same rows inserted).
+    run(str(tmp_path / "ckpt2"))
+    back2 = read_jdbc(spark, derby_url, "stream_events")
+    assert back2.count() == n_keys
+
+    # Same checkpoint again: bookmark semantics -> nothing re-runs.
+    run(str(tmp_path / "ckpt2"))
+    assert read_jdbc(spark, derby_url, "stream_events").count() == n_keys
