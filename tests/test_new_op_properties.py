@@ -123,3 +123,57 @@ def test_chunking_covers_every_token_exactly(spark, n_tokens, chunk,
     assert last_start + rows[-1].n_chunk_tokens - 1 == n_eff
     for r in rows[:-1]:
         assert r.n_chunk_tokens == chunk  # only the tail may be short
+
+
+_key = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_characters="\x00"),
+    min_size=0,
+    max_size=24,
+)
+
+
+@given(
+    members=st.lists(_key, min_size=1, max_size=20, unique=True),
+    probes=st.lists(_key, min_size=1, max_size=30, unique=True),
+)
+@_slow
+def test_bloom_never_false_negative_and_merge_associative(
+    spark, members, probes
+):
+    """For ANY member/probe sets (arbitrary unicode keys): every
+    member probes true, and a two-batch merged filter is bit-identical
+    to the at-once build."""
+    from capital.llm.bloom import (
+        bloom_might_contain,
+        bloom_words,
+        merge_bloom_words,
+    )
+
+    m_bits, k = 1 << 14, 3
+    mdf = spark.createDataFrame([(x,) for x in members], "g string")
+    words = bloom_words(mdf, "g", m_bits, k)
+    probed = bloom_might_contain(
+        spark.createDataFrame([(x,) for x in probes], "g string"),
+        words,
+        "g",
+        m_bits,
+        k,
+    )
+    got = {r.g: r.might_contain for r in probed.collect()}
+    for x in probes:
+        if x in set(members):
+            assert got[x] is True, x
+
+    half = max(1, len(members) // 2)
+    a = spark.createDataFrame([(x,) for x in members[:half]], "g string")
+    b_rows = [(x,) for x in members[half:]]
+    if b_rows:
+        b = spark.createDataFrame(b_rows, "g string")
+        merged = merge_bloom_words(
+            bloom_words(a, "g", m_bits, k), bloom_words(b, "g", m_bits, k)
+        )
+    else:
+        merged = bloom_words(a, "g", m_bits, k)
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in words.collect()
+    }

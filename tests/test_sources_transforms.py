@@ -259,3 +259,41 @@ def test_gate_on_open_market(spark):
     days = {r.date.isoformat() for r in gated.collect()}
     # Jan 6 2024 is a Saturday → gated out.
     assert days == {"2024-01-05", "2024-01-08"}
+
+
+def test_file_read_with_dead_letter(spark, tmp_path):
+    """Malformed JSON lines quarantine with their raw text; good rows
+    load under the declared schema; nothing vanishes."""
+    from capital.sources.files import read_with_dead_letter
+
+    p = tmp_path / "drop.jsonl"
+    p.write_text(
+        '{"code": 1, "name": "construction"}\n'
+        "this is not json\n"
+        '{"code": 2, "name": "mining"}\n'
+        '{"code": "not-an-int and unclosed\n'
+        '{"code": 3, "name": "farming"}\n'
+    )
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("code", IntegerType(), True),
+            StructField("name", StringType(), True),
+        ]
+    )
+    good, dead = read_with_dead_letter(spark, str(p), schema)
+    assert sorted((r.code, r.name) for r in good.collect()) == [
+        (1, "construction"),
+        (2, "mining"),
+        (3, "farming"),
+    ]
+    raws = [r.raw for r in dead.collect()]
+    assert len(raws) == 2
+    assert any("not json" in r for r in raws)
+    assert good.columns == ["code", "name"]
