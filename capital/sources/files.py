@@ -35,7 +35,11 @@ def read_with_dead_letter(
     is cached before splitting: Spark disallows filtering on the
     internal corrupt-record column of a lazy scan (the parser would
     need the raw line after pruning dropped it), and the cache also
-    guarantees both halves come from ONE read of the input.
+    guarantees both halves come from ONE read of the input. The cache
+    is scan-sized and session-scoped: unpersist it (or wrap the load
+    in an ``operators.caching.CacheScope``) once both halves are
+    consumed — it cannot be dropped here because either half may be
+    read later.
     """
     aug = StructType(
         list(schema.fields) + [StructField(CORRUPT_COL, StringType(), True)]

@@ -239,3 +239,42 @@ def test_zorder_write_narrows_file_ranges(spark, tmp_path):
         # axis; assert a conservative 2× improvement.
         assert naive_span > 0.9, (col, naive_span)
         assert z_span < naive_span / 2, (col, z_span, naive_span)
+
+
+def test_string_rank_preserves_lexicographic_order_hypothesis(spark):
+    """Property: for ANY set of strings, the single-column z value
+    orders exactly like the strings themselves (dictionary dense_rank
+    is order-preserving; min/max scaling is monotone)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    keys = st.lists(
+        st.text(
+            alphabet=st.characters(codec="utf-8", exclude_characters="\x00"),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=2,
+        max_size=10,
+        unique=True,
+    )
+
+    @given(ks=keys)
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    def prop(ks):
+        df = spark.createDataFrame(
+            [(i, k) for i, k in enumerate(ks)], "id long, s string"
+        )
+        z = {
+            r.id: r.z_value
+            for r in with_z_value(df, ["s"]).select("id", "z_value").collect()
+        }
+        order_by_string = sorted(range(len(ks)), key=lambda i: ks[i])
+        order_by_z = sorted(range(len(ks)), key=lambda i: (z[i], ks[i]))
+        assert order_by_string == order_by_z, (ks, z)
+
+    prop()
