@@ -279,6 +279,22 @@ def right_size_narrow(
     return parallelize_narrow(df, cap)
 
 
+def union_evolving(frames: list[DataFrame]) -> DataFrame:
+    """Union bronze drops whose schemas drifted across vintages:
+    by-name alignment with missing columns null-filled
+    (``unionByName(allowMissingColumns=True)`` folded over the list).
+    The reference's multi-year API payloads gain/lose fields across
+    vintages; positional ``union`` would silently misalign columns —
+    this is the schema-evolution-safe form. Narrow op: no shuffle,
+    the scans union at the plan level."""
+    if not frames:
+        raise ValueError("union_evolving needs at least one frame")
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out
+
+
 def stamp_ymd(df: DataFrame, date_col: str) -> DataFrame:
     """Derive the ``ymd`` partition key from an event-time column.
 

@@ -297,3 +297,17 @@ def test_file_read_with_dead_letter(spark, tmp_path):
     assert len(raws) == 2
     assert any("not json" in r for r in raws)
     assert good.columns == ["code", "name"]
+
+
+def test_union_evolving_aligns_drifted_schemas(spark):
+    from capital.io import union_evolving
+
+    v1 = spark.createDataFrame([(1, "a")], "code int, name string")
+    v2 = spark.createDataFrame(
+        [(2, "b", "E")], "code int, name string, grade string"
+    )
+    v3 = spark.createDataFrame([("c", 3)], "name string, code int")  # reordered
+    out = union_evolving([v1, v2, v3])
+    assert set(out.columns) == {"code", "name", "grade"}
+    rows = {(r.code, r.name, r.grade) for r in out.collect()}
+    assert rows == {(1, "a", None), (2, "b", "E"), (3, "c", None)}
