@@ -153,3 +153,23 @@ def test_stored_ivfpq_prunes_partitions_and_columns(spark, sf_dir, tmp_path):
     ]
     assert adc_scans, "no ADC scan found"
     assert all("c_vec" not in l for l in adc_scans), adc_scans
+
+
+def test_stored_ivfpq_realistic_probe_recall(spark, sf_dir, tmp_path):
+    """Realistic settings (nprobe < cells, rerank = 8k): the pruned
+    two-phase search must still recover most true neighbors — the
+    recall check every ANN index ships with."""
+    from capital.llm.pq import probe_ivfpq_index, write_ivfpq_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_index(emb, path, dim=64, n_cells=8)
+    approx = probe_ivfpq_index(spark, path, queries, k=_K, nprobe=4)
+    exact = cosine_topk(emb, queries, k=_K)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # Half the cells probed + PQ shortlist + exact rerank; measured
+    # on the synthetic embeddings at sf0.001/sf0.01 fixtures.
+    assert recall >= 0.5, f"recall {recall:.2f}"
