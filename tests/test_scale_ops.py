@@ -239,3 +239,34 @@ def test_bucketed_lsh_index_probe_no_index_exchange(spark, tmp_path):
     # Join result is correct: the near-identical doc collides.
     hits = {r.doc_id for r in joined.select("doc_id").distinct().collect()}
     assert 1000 in hits
+
+
+def test_right_size_narrow_targets(spark, sf_dir):
+    """Splits scale with rows: tiny input -> few partitions; the cap
+    engages at default parallelism (cluster behavior unchanged)."""
+    from capital.io import right_size_narrow
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    small = right_size_narrow(emb, rows_per_task=max(1, n // 3))
+    assert small.rdd.getNumPartitions() <= 4
+    capped = right_size_narrow(emb, rows_per_task=1, max_partitions=8)
+    assert capped.rdd.getNumPartitions() == 8
+
+
+def test_cluster_conf_applies(spark):
+    """CLUSTER_CONF keys are all settable Spark confs (a typo'd key
+    would only surface on a real cluster otherwise)."""
+    from capital.session import CLUSTER_CONF
+
+    saved = {}
+    for k, v in CLUSTER_CONF.items():
+        if k.startswith("spark.sql."):
+            saved[k] = spark.conf.get(k, None)
+            spark.conf.set(k, v)  # raises on unknown/static SQL conf
+            assert spark.conf.get(k) == v
+    for k, v in saved.items():
+        if v is not None:
+            spark.conf.set(k, v)
+        else:
+            spark.conf.unset(k)

@@ -278,3 +278,12 @@ def test_string_rank_preserves_lexicographic_order_hypothesis(spark):
         assert order_by_string == order_by_z, (ks, z)
 
     prop()
+
+
+def test_z_interleave_rejects_too_many_columns(spark):
+    import pytest
+
+    from capital.operators.zorder import z_interleave
+
+    with pytest.raises(ValueError, match="1..4"):
+        z_interleave([F.lit(1).cast("long")] * 5)
