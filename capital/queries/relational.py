@@ -847,3 +847,58 @@ def sk_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return quantile_rollup_checked(ev)
+
+
+@query(
+    "scd2_part_history",
+    oracle="""
+    WITH base AS (SELECT p_partkey, p_brand, p_retailprice FROM part)
+    SELECT p_partkey, p_brand, p_retailprice,
+           DATE '2024-01-01' AS valid_from,
+           DATE '2024-06-01' AS valid_to
+    FROM base WHERE p_partkey % 7 = 0
+    UNION ALL
+    SELECT p_partkey, p_brand, p_retailprice + 100,
+           DATE '2024-06-01', CAST(NULL AS DATE)
+    FROM base WHERE p_partkey % 7 = 0
+    UNION ALL
+    SELECT p_partkey, p_brand, p_retailprice,
+           DATE '2024-01-01', CAST(NULL AS DATE)
+    FROM base WHERE p_partkey % 7 <> 0
+    UNION ALL
+    SELECT p_partkey + 1000000, 'NEWCO', CAST(1.0 AS DOUBLE),
+           DATE '2024-06-01', CAST(NULL AS DATE)
+    FROM base WHERE p_partkey % 97 = 0
+    """,
+)
+def scd2_part_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension history (operators/scd.py): initialize the part
+    dimension, apply a deterministic update batch (price change for
+    key%7=0, a no-op re-send for key%7=1, brand-new keys for key%97=0)
+    and return the full versioned table. The oracle derives the exact
+    expected history from the same predicates — closed+reopened rows
+    for real changes, untouched rows for no-ops and absentees, fresh
+    open rows for new keys."""
+    from capital.operators.scd import scd2_apply, scd2_init
+
+    base = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+    dim = scd2_init(base, "2024-01-01")
+    changed = base.filter(F.col("p_partkey") % 7 == 0).withColumn(
+        "p_retailprice", F.col("p_retailprice") + 100
+    )
+    noop = base.filter(F.col("p_partkey") % 7 == 1)
+    new_keys = base.filter(F.col("p_partkey") % 97 == 0).select(
+        (F.col("p_partkey") + 1_000_000).alias("p_partkey"),
+        F.lit("NEWCO").alias("p_brand"),
+        F.lit(1.0).alias("p_retailprice"),
+    )
+    updates = changed.unionByName(noop).unionByName(new_keys)
+    return scd2_apply(
+        dim,
+        updates,
+        keys=["p_partkey"],
+        tracked=["p_brand", "p_retailprice"],
+        batch_date="2024-06-01",
+    )
