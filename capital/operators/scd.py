@@ -106,3 +106,38 @@ def scd2_apply(
 def scd2_current(dim: DataFrame) -> DataFrame:
     """The current snapshot: open versions only, validity dropped."""
     return dim.filter(F.col(VALID_TO).isNull()).drop(VALID_FROM, VALID_TO)
+
+
+def scd2_asof_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    how: str = "left",
+) -> DataFrame:
+    """Temporal dimension lookup: join each fact to the dimension
+    VERSION valid at the fact's timestamp
+    (``valid_from <= ts < valid_to``, open version unbounded).
+
+    Plan shape at scale: the history table is dimension-sized (a few
+    versions per member), so it broadcasts and the equi-key hash join
+    carries the interval predicate as its residual condition — no
+    fact-side shuffle, no range explosion (each fact matches at most
+    one version because validity intervals partition time per key).
+    """
+    f = facts.alias("f")
+    d = dim.alias("d")
+    cond = functools.reduce(
+        lambda a, b: a & b,
+        [F.col(f"f.{k}") == F.col(f"d.{k}") for k in keys],
+    )
+    ts = F.col(f"f.{ts_col}")
+    cond = (
+        cond
+        & (ts >= F.col(f"d.{VALID_FROM}"))
+        & (F.col(f"d.{VALID_TO}").isNull() | (ts < F.col(f"d.{VALID_TO}")))
+    )
+    dim_cols = [c for c in dim.columns if c not in keys]
+    return f.join(F.broadcast(d), cond, how).select(
+        "f.*", *[F.col(f"d.{c}").alias(c) for c in dim_cols]
+    )

@@ -72,17 +72,17 @@ _DRIVER_PRIORITY = [
     "dedup_embedding_clusters",
     "text_source_profile",
     "scd2_part_history",
+    "j8_scd2_asof_lookup",
     # regime change r6: now runs at _N_QUERIES_GEMM=512 queries
     "sim_cosine_topk_arrow",
-    # --- r3-latest-evidence queries (38): freshest-evidence rotation
-    # (f1_date_extract / f2_date_format yielded their slots to new
+    # --- r3-latest-evidence queries (37): freshest-evidence rotation
+    # (f1/f2/f4 date-function queries yielded their slots to new
     # round-6 queries; they re-enter the round-7 rotation) ---
     "sk_hll_rollup_distinct",
     "sk_kll_quantiles",
     "j1_asof_latest_order",
     "j2_semi_join_open_days",
     "w2_year_end_last_weekday",
-    "f4_date_arith",
     "f6_case_bucket",
     "f8_substring_arith",
     "f9_normalize_strings",

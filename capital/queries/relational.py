@@ -902,3 +902,70 @@ def scd2_part_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         tracked=["p_brand", "p_retailprice"],
         batch_date="2024-06-01",
     )
+
+
+@query(
+    "j8_scd2_asof_lookup",
+    oracle="""
+    WITH base AS (SELECT p_partkey, p_retailprice FROM part),
+    hist AS (
+      SELECT p_partkey, p_retailprice,
+             DATE '1992-01-01' AS valid_from, DATE '1996-01-01' AS valid_to
+      FROM base WHERE p_partkey % 7 = 0
+      UNION ALL
+      SELECT p_partkey, p_retailprice + 100,
+             DATE '1996-01-01', CAST(NULL AS DATE)
+      FROM base WHERE p_partkey % 7 = 0
+      UNION ALL
+      SELECT p_partkey, p_retailprice,
+             DATE '1992-01-01', CAST(NULL AS DATE)
+      FROM base WHERE p_partkey % 7 <> 0
+    )
+    SELECT l_orderkey, l_linenumber, l_partkey,
+           h.p_retailprice AS version_price,
+           h.valid_from AS version_from
+    FROM (SELECT l_orderkey, l_linenumber, l_partkey,
+                 CAST(l_shipdate AS DATE) AS sd
+          FROM lineitem WHERE l_partkey % 11 = 0) f
+    JOIN hist h ON f.l_partkey = h.p_partkey
+      AND f.sd >= h.valid_from
+      AND (h.valid_to IS NULL OR f.sd < h.valid_to)
+    """,
+)
+def j8_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal dimension lookup (operators/scd.scd2_asof_lookup):
+    every lineitem joins the part-price VERSION valid at its ship
+    date — prices change for key%7=0 parts on 1996-01-01, so facts
+    straddling that date resolve to different versions of the same
+    key. Broadcast equi-join with the interval as residual condition;
+    at most one version matches per fact."""
+    from capital.operators.scd import scd2_apply, scd2_asof_lookup, scd2_init
+
+    base = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice"
+    )
+    dim = scd2_init(base, "1992-01-01")
+    updates = base.filter(F.col("p_partkey") % 7 == 0).withColumn(
+        "p_retailprice", F.col("p_retailprice") + 100
+    )
+    hist = scd2_apply(
+        dim, updates, ["p_partkey"], ["p_retailprice"], "1996-01-01"
+    ).withColumnRenamed("p_partkey", "l_partkey")
+    facts = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 11 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            F.col("l_shipdate").cast("date").alias("sd"),
+        )
+    )
+    out = scd2_asof_lookup(facts, hist, ["l_partkey"], "sd", how="inner")
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.col("p_retailprice").alias("version_price"),
+        F.col("valid_from").alias("version_from"),
+    )

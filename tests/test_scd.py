@@ -86,3 +86,29 @@ def test_second_batch_extends_history(spark):
         (15.0, "2024-06-01", "2024-09-01"),
         (17.0, "2024-09-01", "None"),
     ]
+
+
+def test_asof_lookup_plans_as_broadcast_hash_join(spark, sf_dir):
+    """The interval predicate must ride a broadcast HASH join on the
+    equi-key (the residual-condition shape) — never a nested loop."""
+    import contextlib
+    import io as _io
+
+    from capital.queries import all_queries
+
+    df = all_queries()["j8_scd2_asof_lookup"](spark, sf_dir)
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # Every fact resolves to exactly one version.
+    from capital.io import load_table
+    n_facts = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 11 == 0)
+        .count()
+    )
+    assert df.count() == n_facts
