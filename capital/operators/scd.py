@@ -66,6 +66,8 @@ def scd2_apply(
     full history. ``updates`` carries ``keys + tracked`` (one row per
     key — enforce upstream with first_wins/dropDuplicates); ``dim``
     is a prior :func:`scd2_init`/``scd2_apply`` output."""
+    if not keys or not tracked:
+        raise ValueError("scd2_apply needs non-empty keys and tracked")
     cols = keys + tracked
     closed_history = dim.filter(F.col(VALID_TO).isNotNull())
     open_rows = dim.filter(F.col(VALID_TO).isNull()).alias("o")
