@@ -27,10 +27,16 @@ ADC order is exactly cosine order (``||a−b||² = 2 − 2cos`` on unit
 vectors) — comparable with the engine's other ANN tiers.
 
 Determinism: per-subspace KMeans with fixed seeds is reproducible but
-not SQL-expressible, so PQ queries register rows-only; correctness is
-held by recall-vs-brute-force tests plus an exactness property (a
-vector sitting ON a centroid grid reconstructs losslessly, making ADC
-equal true distance — tests/test_pq.py).
+not SQL-expressible, so the trained-codebook query registers
+rows-only; correctness is held by recall-vs-brute-force tests plus an
+exactness property (a vector sitting ON a centroid grid reconstructs
+losslessly, making ADC equal true distance — tests/test_pq.py).
+**The hash-anchored twin** fixes the codebooks with
+:func:`fixed_codebooks` (no training), which makes every stage —
+encode argmin, ADC tables, shortlist, rerank — SQL-expressible; the
+numpy kernels below accumulate **sequentially in array order** so
+their doubles are bit-identical to a DuckDB left-fold ``list_sum``
+over the same literals (the engine's float-parity convention).
 """
 
 from __future__ import annotations
@@ -47,6 +53,39 @@ from pyspark.sql import functions as F
 #: (4-bit codes; 8 codes pack into 32 bits of one long).
 PQ_M = 8
 PQ_KS = 16
+
+
+def fixed_codebooks(
+    dim: int,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    seed: int = 7,
+    scale: float = 0.35,
+) -> list[list[list[float]]]:
+    """Deterministic pseudo-random codebooks (no training) — the PQ
+    analogue of :func:`capital.llm.similarity.hyperplanes`: components
+    derive from a splitmix-style integer mix of (seed, subspace,
+    centroid, dim index), rounded to 6 decimals so the literals are
+    short and parse to the identical double in Spark and DuckDB.
+
+    ``scale`` ≈ the sub-vector component range of unit-normalized
+    vectors (|u_i| ~ 1/√dim · √(dim/m)), so the fixed grid still
+    discriminates. Any codebooks exercise the full encode/ADC/rerank
+    machinery — fixing them is what makes a hash oracle possible."""
+    out = []
+    for j in range(m):
+        sub = []
+        for c in range(ks):
+            row = []
+            for t in range(dim // m):
+                x = (seed * 1_000_003 + j * 97_001 + c * 10_007 + t) & 0xFFFFFFFF
+                x = (x ^ (x >> 16)) * 0x45D9F3B & 0xFFFFFFFF
+                x = (x ^ (x >> 16)) * 0x45D9F3B & 0xFFFFFFFF
+                x = x ^ (x >> 16)
+                row.append(round(((x / 0xFFFFFFFF) * 2.0 - 1.0) * scale, 6))
+            sub.append(row)
+        out.append(sub)
+    return out
 
 
 def _unit(vec: Column) -> Column:
@@ -119,6 +158,34 @@ def train_codebooks(
         unit.unpersist()
 
 
+def _unit_subvectors(s: pd.Series, m: int) -> np.ndarray:
+    """Batch → L2-normalized (n, m, d) float64 sub-vectors.
+
+    The norm's sum of squares accumulates **sequentially over dims**
+    (not ``np.linalg.norm``, whose pairwise/SIMD reduction reorders
+    the adds): each elementary op then maps one-to-one onto a DuckDB
+    ``sqrt(list_sum([e[i]*e[i] …]))`` left fold, keeping the doubles
+    bit-identical between the Arrow kernel and the SQL oracle."""
+    x = np.stack(s.to_numpy()).astype("float64")  # (n, D)
+    acc = np.zeros(len(x))
+    for t in range(x.shape[1]):
+        acc += x[:, t] * x[:, t]
+    nrm = np.sqrt(acc)[:, None]
+    nrm[nrm == 0] = 1.0
+    return (x / nrm).reshape(len(x), m, -1)
+
+
+def _seq_sq_dist(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Squared L2 distance over the LAST axis, accumulated
+    sequentially in index order (the DuckDB ``list_sum`` fold order —
+    see :func:`_unit_subvectors`)."""
+    diff = a - b
+    d2 = np.zeros(diff.shape[:-1])
+    for t in range(diff.shape[-1]):
+        d2 += diff[..., t] * diff[..., t]
+    return d2
+
+
 def encode_pq(
     df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -146,11 +213,8 @@ def encode_pq(
     def _encode(s: pd.Series) -> pd.Series:
         if len(s) == 0:
             return pd.Series([], dtype="int64")
-        x = np.stack(s.to_numpy()).astype("float64")  # (n, D)
-        nrm = np.linalg.norm(x, axis=1, keepdims=True)
-        nrm[nrm == 0] = 1.0
-        sub = (x / nrm).reshape(len(s), m, -1)  # (n, m, d)
-        d2 = ((sub[:, :, None, :] - cb[None]) ** 2).sum(-1)  # (n, m, ks)
+        sub = _unit_subvectors(s, m)  # (n, m, d)
+        d2 = _seq_sq_dist(sub[:, :, None, :], cb[None])  # (n, m, ks)
         codes = d2.argmin(-1).astype("int64")  # first-min tie rule
         return pd.Series((codes << shifts).sum(-1))
 
@@ -176,11 +240,8 @@ def query_adc_tables(
     def _tables(s: pd.Series) -> pd.Series:
         if len(s) == 0:
             return pd.Series([], dtype="object")
-        x = np.stack(s.to_numpy()).astype("float64")
-        nrm = np.linalg.norm(x, axis=1, keepdims=True)
-        nrm[nrm == 0] = 1.0
-        sub = (x / nrm).reshape(len(s), m, 1, -1)  # (n, m, 1, d)
-        tab = ((sub - cb[None]) ** 2).sum(-1).reshape(len(s), m * ks)
+        sub = _unit_subvectors(s, m)[:, :, None, :]  # (n, m, 1, d)
+        tab = _seq_sq_dist(sub, cb[None]).reshape(len(s), m * ks)
         return pd.Series(list(tab))
 
     return queries.withColumn(out_col, _tables(F.col(vec_col)))

@@ -797,6 +797,118 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, queries_df, k=_TOPK, dim=_DIM)
 
 
+#: Pinned-PQ shortlist size (pq_topk's default, 8·k, spelled out so
+#: the oracle generator and the Spark call share the constant).
+_PQ_RERANK = 8 * _TOPK
+
+
+def _pq_pinned_oracle() -> str:
+    """The full PQ search — encode → ADC shortlist → exact rerank —
+    as one DuckDB statement over the SAME fixed codebook literals the
+    Spark query uses (capital/llm/pq.py fixed_codebooks). Every float
+    op is order-matched to the Arrow kernels' sequential accumulation
+    (list_sum = left fold), so the shortlist, not just the reranked
+    output, is bit-identical."""
+    from capital.llm.pq import PQ_KS, PQ_M, fixed_codebooks
+
+    m, ks, d = PQ_M, PQ_KS, _DIM // PQ_M
+    cb = fixed_codebooks(_DIM)
+    lit = (
+        "["
+        + ", ".join(
+            "["
+            + ", ".join(
+                "[" + ", ".join(repr(w) for w in c) + "]" for c in sub
+            )
+            + "]"
+            for sub in cb
+        )
+        + "]"
+    )
+    diff = f"(u[(j-1)*{d}+i] - b[j][c][i])"
+    return f"""
+    WITH cb AS (SELECT {lit} AS b),
+    raw AS (
+      SELECT vec_id,
+             [CAST(embedding[i] AS DOUBLE) FOR i IN range(1, {_DIM} + 1)] AS e
+      FROM embeddings),
+    unit AS (
+      SELECT vec_id,
+             CASE WHEN nrm > 0
+                  THEN [e[i] / nrm FOR i IN range(1, {_DIM} + 1)]
+                  ELSE e END AS u
+      FROM (SELECT vec_id, e,
+                   sqrt(list_sum([e[i] * e[i]
+                                  FOR i IN range(1, {_DIM} + 1)])) AS nrm
+            FROM raw)),
+    dt AS (
+      SELECT vec_id,
+             [[list_sum([{diff} * {diff} FOR i IN range(1, {d} + 1)])
+               FOR c IN range(1, {ks} + 1)]
+              FOR j IN range(1, {m} + 1)] AS t
+      FROM unit, cb),
+    codes AS (
+      SELECT vec_id AS neighbor_id,
+             [list_position(t[j], list_min(t[j])) - 1
+              FOR j IN range(1, {m} + 1)] AS code
+      FROM dt),
+    qt AS (
+      SELECT vec_id AS query_id, flatten(t) AS tab
+      FROM dt WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             list_sum([tab[(j-1)*{ks} + code[j] + 1]
+                       FOR j IN range(1, {m} + 1)]) AS adc
+      FROM qt, codes WHERE query_id <> neighbor_id),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc, neighbor_id) AS rn
+        FROM scored) WHERE rn <= {_PQ_RERANK}),
+    q AS (SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings WHERE vec_id < {_N_QUERIES}),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    rer AS (
+      SELECT query_id, neighbor_id, {_COS} AS sim
+      FROM short JOIN q USING (query_id) JOIN c USING (neighbor_id)),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rn
+      FROM rer)
+    SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id,
+           round(sim, 6) AS cosine_sim
+    FROM ranked WHERE rn <= {_TOPK}
+    """
+
+
+@query("sim_pq_topk_pinned", memoize=False, oracle=_pq_pinned_oracle())
+def sim_pq_topk_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN with FIXED codebooks (capital/llm/pq.py
+    fixed_codebooks) — the hash-anchored twin of the rows-only
+    sim_pq_topk, per the sim_ivf_topk_fullprobe precedent: with the
+    codebooks as shared literals, encode (first-min argmin), ADC
+    table lookups, the top-rerank shortlist, AND the exact cosine
+    rerank are all SQL-expressible, so the whole two-phase search at
+    its REAL settings (shortlist = 8·k, not exhaustive) hash-matches
+    the oracle. The ADC shortlist itself is pinned — not just the
+    reranked output — because the Arrow kernels accumulate doubles
+    sequentially in array order (DuckDB list_sum parity)."""
+    from capital.llm.pq import fixed_codebooks, pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return pq_topk(
+        emb,
+        queries_df,
+        k=_TOPK,
+        dim=_DIM,
+        codebooks=fixed_codebooks(_DIM),
+        rerank=_PQ_RERANK,
+    )
+
+
 @query("sim_ivf_stored_fullprobe", memoize=False, oracle=_COSINE_TOPK_ORACLE)
 def sim_ivf_stored_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stored-index ANN: the IVF lists persisted as a cell-partitioned
