@@ -190,9 +190,15 @@ def write_ivf_index(
         vec_col="c_vec",
         nprobe=1,
     )
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(
-        f"{path}/lists"
-    )
+    # Full rebuild ⇒ STATIC partition overwrite for this write only:
+    # the engine session default is dynamic (right for the documented
+    # append path), but a rebuild over new centroids/corpus must also
+    # DELETE cells the new data doesn't hit — dynamic mode would leave
+    # stale cell= directories that probes then scan under the new
+    # centroids (silently wrong neighbors).
+    assigned.write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("cell").parquet(f"{path}/lists")
     spark = corpus.sparkSession
     spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)],

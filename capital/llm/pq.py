@@ -383,7 +383,12 @@ def write_ivfpq_index(
         codebooks,
         vec_col="c_vec",
     )
-    rows.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/lists")
+    # STATIC partition overwrite: a full rebuild must delete cells the
+    # new assignment doesn't produce (see ivf.write_ivf_index — the
+    # session-default dynamic mode would leave stale cell= dirs).
+    rows.write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("cell").parquet(f"{path}/lists")
     spark = corpus.sparkSession
     spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)],
@@ -436,6 +441,14 @@ def probe_ivfpq_index(
     cb_rows = spark.read.parquet(f"{path}/codebooks").collect()
     mm = 1 + max(r.subspace for r in cb_rows)
     kk = 1 + max(r.code for r in cb_rows)
+    if (m, ks) != (mm, kk):
+        # The stored sidecar is the truth: scoring with the caller's
+        # m/ks against codes packed under mm/kk mis-indexes every ADC
+        # lookup (silently wrong shortlists). Fail loudly instead.
+        raise ValueError(
+            f"probe_ivfpq_index: index at {path!r} was written with "
+            f"m={mm}, ks={kk} but probe was called with m={m}, ks={ks}"
+        )
     codebooks: list[list[list[float]]] = [
         [None] * kk for _ in range(mm)  # type: ignore[list-item]
     ]

@@ -71,15 +71,16 @@ def scd2_apply(
     cols = keys + tracked
     closed_history = dim.filter(F.col(VALID_TO).isNotNull())
     open_rows = dim.filter(F.col(VALID_TO).isNull()).alias("o")
-    upd = updates.select(*cols).alias("u")
+    # Explicit presence marker: absence after the left join is read
+    # from this column, never inferred from tracked-column NULLs — so
+    # an update that legitimately nullifies EVERY tracked attribute is
+    # a change, not a silent drop.
+    upd = updates.select(
+        *cols, F.lit(True).alias("__in_batch")
+    ).alias("u")
 
     joined = open_rows.join(upd, keys, "left")
-    # Key absent from the batch ⇒ every update-side column is NULL
-    # after the left join. (Convention: an all-NULL tracked update is
-    # meaningless, so absence is unambiguous.)
-    absent = functools.reduce(
-        lambda a, b: a & b, [F.col(f"u.{c}").isNull() for c in tracked]
-    )
+    absent = F.col("u.__in_batch").isNull()
     # Keep the open row when the key didn't arrive or arrived
     # unchanged; close-and-reopen otherwise.
     stays = _same(tracked, "o", "u") | absent
@@ -92,7 +93,7 @@ def scd2_apply(
         *[F.col(f"o.{k}").alias(k) for k in keys],
         *[F.col(f"u.{c}").alias(c) for c in tracked],
     )
-    brand_new = upd.join(
+    brand_new = upd.drop("__in_batch").join(
         open_rows.select(*[F.col(f"o.{k}").alias(k) for k in keys]),
         keys,
         "left_anti",
@@ -116,16 +117,24 @@ def scd2_asof_lookup(
     keys: list[str],
     ts_col: str,
     how: str = "left",
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """Temporal dimension lookup: join each fact to the dimension
     VERSION valid at the fact's timestamp
     (``valid_from <= ts < valid_to``, open version unbounded).
 
-    Plan shape at scale: the history table is dimension-sized (a few
-    versions per member), so it broadcasts and the equi-key hash join
+    Plan shape at scale: when the history table is dimension-sized (a
+    few versions per member) it broadcasts and the equi-key hash join
     carries the interval predicate as its residual condition — no
     fact-side shuffle, no range explosion (each fact matches at most
     one version because validity intervals partition time per key).
+
+    ``broadcast``: ``True`` forces the broadcast hint (caller KNOWS
+    the history is small); ``False`` forbids it (fact-sized "dim" —
+    degrade to a shuffled sort-merge join instead of a driver OOM);
+    ``None`` (default, safe) adds no hint and lets Catalyst/AQE decide
+    from measured sizes — small histories still broadcast at runtime
+    via the autoBroadcastJoinThreshold, oversized ones never do.
     """
     f = facts.alias("f")
     d = dim.alias("d")
@@ -140,6 +149,7 @@ def scd2_asof_lookup(
         & (F.col(f"d.{VALID_TO}").isNull() | (ts < F.col(f"d.{VALID_TO}")))
     )
     dim_cols = [c for c in dim.columns if c not in keys]
-    return f.join(F.broadcast(d), cond, how).select(
+    right = F.broadcast(d) if broadcast else d
+    return f.join(right, cond, how).select(
         "f.*", *[F.col(f"d.{c}").alias(c) for c in dim_cols]
     )

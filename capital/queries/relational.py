@@ -961,7 +961,9 @@ def j8_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_shipdate").cast("date").alias("sd"),
         )
     )
-    out = scd2_asof_lookup(facts, hist, ["l_partkey"], "sd", how="inner")
+    out = scd2_asof_lookup(
+        facts, hist, ["l_partkey"], "sd", how="inner", broadcast=True
+    )  # history is dimension-sized here; hint keeps the audited plan
     return out.select(
         "l_orderkey",
         "l_linenumber",

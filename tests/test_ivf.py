@@ -121,3 +121,37 @@ def test_stored_index_appends_with_shared_centroids(spark, sf_dir, tmp_path):
     assert {tuple(r) for r in stored.collect()} == {
         tuple(r) for r in full.collect()
     }
+
+
+def test_index_rebuild_drops_stale_cells(spark, sf_dir, tmp_path):
+    """A full rebuild at an existing path must DELETE cell partitions
+    the new assignment doesn't produce. The engine session default is
+    dynamic partition-overwrite (right for appends); the index writers
+    force static mode for rebuilds — otherwise stale cell= dirs
+    survive and probes scan them under the NEW centroids (silently
+    wrong neighbors)."""
+    import os
+
+    from capital.llm.ivf import write_ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, path, n_cells=8)
+    cells_before = {
+        d for d in os.listdir(f"{path}/lists") if d.startswith("cell=")
+    }
+    assert len(cells_before) > 2
+
+    # Rebuild with a 2-cell quantizer: only cells {0, 1} can exist.
+    write_ivf_index(emb, path, n_cells=2)
+    cells_after = {
+        d for d in os.listdir(f"{path}/lists") if d.startswith("cell=")
+    }
+    assert cells_after <= {"cell=0", "cell=1"}, cells_after
+
+    # Probing the rebuilt index sees only the new corpus rows.
+    from capital.llm.ivf import probe_ivf_index
+
+    queries = emb.filter(F.col("vec_id") < 4)
+    got = probe_ivf_index(spark, path, queries, k=5, nprobe=2)
+    assert got.count() == 4 * 5
