@@ -26,15 +26,42 @@ _SALTED_FNS: dict[str, tuple] = {
 }
 
 
-def _row_salt(df: DataFrame, buckets: int) -> Column:
+def _row_salt(
+    df: DataFrame, buckets: int, layout_salt: bool = False
+) -> Column:
     """Deterministic per-row salt in ``[0, buckets)``: ``xxhash64``
-    over every column (NOT just the hot key — that would map the whole
-    hot key to one bucket and undo the salting). ``pmod`` keeps the
-    sign non-negative. Retry-deterministic, unlike ``rand(seed)``
-    whose output depends on the partition layout at evaluation time."""
-    return F.pmod(
-        F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(buckets)
-    ).cast("int")
+    over every hashable column (NOT just the hot key — that would map
+    the whole hot key to one bucket and undo the salting). ``pmod``
+    keeps the sign non-negative. Retry-deterministic, unlike
+    ``rand(seed)`` whose output depends on the partition layout at
+    evaluation time.
+
+    Map-typed columns are excluded (``xxhash64`` rejects maps — their
+    entry order is undefined, so they cannot hash stably anyway).
+
+    Limitation (documented, by design): the salt is a pure function of
+    the row, so FULLY IDENTICAL rows share a bucket. A key-only
+    projection of a hot key (count(*) by hot key) therefore degenerates
+    to one bucket — pass ``layout_salt=True`` there to mix in
+    ``spark_partition_id()``: the hot key then spreads across as many
+    buckets as input partitions (map-side combine already collapses
+    within-partition duplicates). The trade is layout *independence* —
+    the salt value changes if the upstream partitioning changes — while
+    retry-determinism is kept (a retried task recomputes the same
+    partition id over the same rows)."""
+    hashable = [
+        F.col(f.name)
+        for f in df.schema.fields
+        if not f.dataType.typeName().startswith("map")
+    ]
+    if layout_salt:
+        hashable.append(F.spark_partition_id())
+    if not hashable:
+        raise ValueError(
+            "salted_agg: no hashable columns to salt on "
+            "(all-map-column frame; pass layout_salt=True)"
+        )
+    return F.pmod(F.xxhash64(*hashable), F.lit(buckets)).cast("int")
 
 
 def salted_agg(
@@ -42,6 +69,7 @@ def salted_agg(
     keys: list[str],
     aggs: dict[str, tuple[str, Column | None]],
     salt_buckets: int = 16,
+    layout_salt: bool = False,
 ) -> DataFrame:
     """Two-phase aggregation over salted keys.
 
@@ -57,9 +85,10 @@ def salted_agg(
     deterministic under task retry/recompute (a retried partition
     re-derives the same buckets, so speculative execution and stage
     re-runs cannot double-count), and still spreads a hot *key* whose
-    non-key columns vary. Fully identical rows share a bucket — for
-    decomposable aggregates that only concentrates exact duplicates,
-    the one shape salting cannot help anyway.
+    non-key columns vary. Fully identical rows share a bucket — for a
+    key-only projection (count(*) by hot key) that defeats the
+    salting: pass ``layout_salt=True`` there (see :func:`_row_salt`
+    for the exact trade).
     """
     for name, (fn, _col) in aggs.items():
         if fn not in _SALTED_FNS:
@@ -67,7 +96,9 @@ def salted_agg(
                 f"salted_agg: {name!r} uses {fn!r}; supported: "
                 f"{sorted(_SALTED_FNS)} (decompose avg into sum+count)"
             )
-    salted = df.withColumn("__salt", _row_salt(df, salt_buckets))
+    salted = df.withColumn(
+        "__salt", _row_salt(df, salt_buckets, layout_salt)
+    )
     phase1 = salted.groupBy(*keys, "__salt").agg(
         *[
             _SALTED_FNS[fn][0](col).alias(f"__p_{name}")

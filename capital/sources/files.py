@@ -27,6 +27,7 @@ def read_with_dead_letter(
     schema: StructType,
     fmt: str = "json",
     options: dict[str, str] | None = None,
+    scope=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Read ``path`` under ``schema``; return ``(good, dead)``.
 
@@ -35,11 +36,15 @@ def read_with_dead_letter(
     is cached before splitting: Spark disallows filtering on the
     internal corrupt-record column of a lazy scan (the parser would
     need the raw line after pruning dropped it), and the cache also
-    guarantees both halves come from ONE read of the input. The cache
-    is scan-sized and session-scoped: unpersist it (or wrap the load
-    in an ``operators.caching.CacheScope``) once both halves are
-    consumed — it cannot be dropped here because either half may be
-    read later.
+    guarantees both halves come from ONE read of the input.
+
+    The cache is scan-sized and cannot be dropped here (either half
+    may be read later). Per-batch ingestion loops MUST pass an
+    ``operators.caching.CacheScope`` as ``scope`` and release it once
+    both halves are consumed — otherwise each call accumulates a
+    session-lifetime cached scan on the driver-heap-bounded local
+    engine. ``scope=None`` keeps the session-scoped behavior for
+    one-shot loads.
     """
     aug = StructType(
         list(schema.fields) + [StructField(CORRUPT_COL, StringType(), True)]
@@ -51,7 +56,8 @@ def read_with_dead_letter(
     )
     for k, v in (options or {}).items():
         reader = reader.option(k, v)
-    df = reader.format(fmt).load(path).cache()
+    df = reader.format(fmt).load(path)
+    df = scope.persist(df) if scope is not None else df.cache()
     good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     dead = df.filter(F.col(CORRUPT_COL).isNotNull()).select(
         F.col(CORRUPT_COL).alias("raw")

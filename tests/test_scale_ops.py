@@ -270,3 +270,39 @@ def test_cluster_conf_applies(spark):
             spark.conf.set(k, v)
         else:
             spark.conf.unset(k)
+
+
+def test_salted_agg_layout_salt_spreads_key_only_projection(spark):
+    """The documented degenerate shape: count(*) over a key-only
+    projection has all hot-key rows identical, so the pure-row salt
+    maps them to ONE bucket. layout_salt=True mixes in the partition
+    id and spreads them — with identical aggregate results."""
+    from capital.operators.skew import _row_salt
+
+    hot = spark.range(0, 4000).select(F.lit("HOT").alias("k")).repartition(8)
+    # Pure-row salt: one bucket (the degenerate case, documented).
+    pure = hot.withColumn("s", _row_salt(hot, 16)).select("s").distinct()
+    assert pure.count() == 1
+    # Layout salt: spreads across partitions.
+    spread = (
+        hot.withColumn("s", _row_salt(hot, 16, layout_salt=True))
+        .select("s")
+        .distinct()
+    )
+    assert spread.count() > 1
+    # Aggregate results identical either way.
+    out = salted_agg(
+        hot, ["k"], {"n": ("count", None)}, layout_salt=True
+    ).collect()
+    assert [(r.k, r.n) for r in out] == [("HOT", 4000)]
+
+
+def test_salted_agg_skips_map_columns(spark):
+    """xxhash64 rejects map types (undefined entry order); the salt
+    must exclude them instead of raising."""
+    df = spark.createDataFrame(
+        [("a", {"x": 1}, 2.0), ("a", {"y": 2}, 3.0)],
+        "k string, m map<string,int>, v double",
+    )
+    out = salted_agg(df.select("k", "m", "v"), ["k"], {"s": ("sum", F.col("v"))})
+    assert [(r.k, r.s) for r in out.collect()] == [("a", 5.0)]

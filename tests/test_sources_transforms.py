@@ -311,3 +311,28 @@ def test_union_evolving_aligns_drifted_schemas(spark):
     assert set(out.columns) == {"code", "name", "grade"}
     rows = {(r.code, r.name, r.grade) for r in out.collect()}
     assert rows == {(1, "a", None), (2, "b", "E"), (3, "c", None)}
+
+
+def test_file_dead_letter_cache_scope_releases(spark, tmp_path):
+    """Per-batch ingestion: a CacheScope passed to
+    read_with_dead_letter owns the split's cached scan, so looped
+    calls don't accumulate session-lifetime caches."""
+    from capital.operators.caching import CacheScope
+    from capital.sources.files import read_with_dead_letter
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    p = tmp_path / "batch.jsonl"
+    p.write_text('{"code": 1}\nnot json\n{"code": 2}\n')
+    schema = StructType([StructField("code", IntegerType(), True)])
+
+    with CacheScope() as scope:
+        good, dead = read_with_dead_letter(
+            spark, str(p), schema, scope=scope
+        )
+        assert good.count() == 2 and dead.count() == 1
+        assert len(scope.frames) == 1
+        assert scope.frames[0].storageLevel.useMemory
+    # Scope exit released the cached scan.
+    assert not scope.frames or not any(
+        f.storageLevel.useMemory for f in scope.frames
+    )
