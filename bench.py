@@ -146,6 +146,7 @@ def main() -> None:
     # the same GC shadow in both samples. Caches are cleared between
     # passes so both recompute.
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     for _pass in range(2):
         for name in names if _pass == 0 else list(reversed(names)):
             try:
@@ -156,6 +157,7 @@ def main() -> None:
                 # prune the expensive columns — the profiling trap).
                 n = df.toArrow().num_rows
                 elapsed = round(time.perf_counter() - t0, 4)
+                samples.setdefault(name, []).append(elapsed)
                 prev = timings.get(name)
                 if prev is None or prev < 0 or elapsed < prev:
                     timings[name] = elapsed
@@ -183,6 +185,12 @@ def main() -> None:
             4,
         ),
         "queries": timings,
+        # Host-contention audit (round 7): same-code readings varied
+        # 2×+ on this shared VM, so each query reports BOTH timed
+        # passes. A wide spread marks a reading as noise-suspect; the
+        # headline uses the per-query min (least-interference
+        # estimate). Queries failing a pass have fewer samples.
+        "pass_spread": samples,
         "failed": failed,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
     }
