@@ -102,6 +102,11 @@ def headline_names(all_names) -> list[str]:
         # --- added round 6 ---
         "asm_contamination_bloom",
         "p16_zorder_string_key",
+        # --- added round 7 (anchors in BASELINE.md; the other two
+        # round-7 queries are sub-10ms DuckDB floors — not headline
+        # material on a 50ms-task-floor engine) ---
+        "dedup_cdc_stats",
+        "cur_perplexity_gate",
     ]
     return [n for n in preferred if n in all_names] or sorted(all_names)[:8]
 

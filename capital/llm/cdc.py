@@ -1,0 +1,108 @@
+"""Content-defined chunking (CDC) for shift-robust sub-document dedup.
+
+Fixed-stride span dedup (``llm/dedup.span_dedup_stats``) breaks when
+boilerplate is *shifted* by one inserted token — every downstream
+span changes. CDC cuts chunk boundaries from the CONTENT instead
+(the rsync/LBFS trick, Muthitacharoen et al. 2001, used at corpus
+scale by dedup pipelines over crawl snapshots): a token STARTS a new
+chunk when ``md5(token) mod avg_size == 0``, so a boundary decision
+depends only on the token itself — insert a token anywhere and every
+chunk not containing the edit keeps its exact bytes and digest.
+Expected chunk length is ``avg_size`` tokens (geometric).
+
+Shape (all corpus-scale steps are the engine's standard explode +
+map-side-combine patterns):
+
+- posexplode tokens → boundary flag (narrow map);
+- running sum of boundaries per doc = chunk id (ONE window shuffle on
+  doc id, sorted by position);
+- chunk digest = md5 of the order-preserved token join (groupBy
+  (doc, chunk) — clusters within the window's hash partitioning);
+- corpus-wide digest counts (ONE shuffle on 16-byte digests,
+  map-side combined; hot boilerplate digests collapse to one row per
+  partition before the exchange).
+
+Determinism: boundaries, digests, and counts are all md5 — no RNG,
+bit-identical on the DuckDB oracle side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from capital.llm.assemble import hash_bucket
+from capital.llm.text import normalized, tokens
+
+
+def cdc_chunks(
+    df: DataFrame,
+    avg_size: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "cdc",
+) -> DataFrame:
+    """Per-document content-defined chunks:
+    ``(id, chunk_idx, digest, n_tokens)``. ``chunk_idx`` is 1-based in
+    document order; ``digest`` is md5 of the space-joined tokens."""
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(normalized(F.col(text_col)))).alias(
+            "__pos", "__token"
+        ),
+    )
+    boundary = F.when(
+        (F.col("__pos") == 0)
+        | (hash_bucket(F.col("__token"), seed, avg_size) == 0),
+        1,
+    ).otherwise(0)
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    chunked = tok.withColumn(
+        "chunk_idx", F.sum(boundary).over(w)
+    )
+    # Order-preserving chunk text: collect (pos, token), sort by pos,
+    # join — groupBy order is not otherwise guaranteed.
+    return chunked.groupBy(id_col, "chunk_idx").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__pos", "__token"))
+                    ),
+                    lambda s: s["__token"],
+                ),
+                " ",
+            )
+        ).alias("digest"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+
+
+def cdc_dup_stats(
+    df: DataFrame,
+    avg_size: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "cdc",
+) -> DataFrame:
+    """Per-document CDC duplication profile:
+    ``(id, n_chunks, n_dup_chunks, dup_tokens)`` where a chunk is
+    "dup" when its digest occurs in MORE THAN ONE document (its own
+    repeats don't count — within-doc repetition is the repetition
+    operator's job). The shift-robust near-boilerplate signal."""
+    chunks = cdc_chunks(df, avg_size, id_col, text_col, seed)
+    docs_per_digest = chunks.groupBy("digest").agg(
+        F.count_distinct(F.col(id_col)).alias("__docs")
+    )
+    dup = F.when(F.col("__docs") > 1, 1).otherwise(0)
+    return (
+        chunks.join(docs_per_digest, "digest")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(dup).alias("n_dup_chunks"),
+            F.sum(
+                F.when(dup == 1, F.col("n_tokens")).otherwise(0)
+            ).alias("dup_tokens"),
+        )
+    )

@@ -1,0 +1,82 @@
+"""Distribution-drift monitoring between two data periods (PSI).
+
+A 100 TB ingestion pipeline needs a standing answer to "did this
+week's data change shape?" — the Population Stability Index is the
+standard categorical-drift score (banking/model-monitoring lineage):
+
+``PSI = Σ_bins (p_now − p_ref) · ln(p_now / p_ref)``
+
+with PSI < 0.1 read as stable, 0.1–0.25 as moderate drift, > 0.25 as
+action-needed. The engine reports the PER-BIN terms (which bin moved
+is the actionable output; the scalar total is one ``decimal_sum``
+away and order-independent by the repo's float discipline).
+
+Laplace smoothing (+0.5 per bin over K bins) keeps the log defined
+when a category is absent from one period — absence IS the drift
+signal, not a divide-by-zero.
+
+Shape at scale: one map-side-combined count aggregation over
+``(period, bin)`` (bins are low-cardinality by construction), then
+dimension-sized arithmetic — the corpus is scanned once and never
+shuffled beyond the tiny grouped partials.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def psi_drift(
+    df: DataFrame,
+    bin_col: str | Column,
+    period_col: str | Column,
+    ref_period: str,
+    cur_period: str,
+) -> DataFrame:
+    """Per-bin PSI terms between two periods.
+
+    ``bin_col`` — the categorical (or pre-bucketed) feature;
+    ``period_col`` — evaluates to ``ref_period`` / ``cur_period``
+    (rows in neither are ignored). Returns one row per bin seen in
+    EITHER period: ``(bin, n_ref, n_cur, p_ref, p_cur, psi_term)``
+    with probabilities and terms rounded to 6 decimals."""
+    b = F.col(bin_col) if isinstance(bin_col, str) else bin_col
+    p = F.col(period_col) if isinstance(period_col, str) else period_col
+    counts = (
+        df.select(b.alias("bin"), p.alias("__period"))
+        .filter(F.col("__period").isin(ref_period, cur_period))
+        .groupBy("bin")
+        .agg(
+            F.sum(
+                F.when(F.col("__period") == ref_period, 1).otherwise(0)
+            ).alias("n_ref"),
+            F.sum(
+                F.when(F.col("__period") == cur_period, 1).otherwise(0)
+            ).alias("n_cur"),
+        )
+    )
+    # Dimension-sized from here (K bins): unpartitioned totals are
+    # over the aggregate, never the corpus.
+    from pyspark.sql import Window
+
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    totals = counts.withColumn("__tr", F.sum("n_ref").over(w)).withColumn(
+        "__tc", F.sum("n_cur").over(w)
+    ).withColumn("__k", F.count(F.lit(1)).over(w))
+    p_ref = (F.col("n_ref") + 0.5) / (F.col("__tr") + 0.5 * F.col("__k"))
+    p_cur = (F.col("n_cur") + 0.5) / (F.col("__tc") + 0.5 * F.col("__k"))
+    return totals.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round(p_ref, 6).alias("p_ref"),
+        F.round(p_cur, 6).alias("p_cur"),
+        F.round(
+            (F.round(p_cur, 6) - F.round(p_ref, 6))
+            * F.log(F.round(p_cur, 6) / F.round(p_ref, 6)),
+            6,
+        ).alias("psi_term"),
+    )

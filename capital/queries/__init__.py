@@ -28,6 +28,7 @@ _MODULES = [
     "capital.queries.assemble_queries",
     "capital.queries.streaming_queries",
     "capital.queries.extras",
+    "capital.queries.curation_queries",
 ]
 
 for _m in _MODULES:

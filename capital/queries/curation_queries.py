@@ -1,0 +1,231 @@
+"""Round-7 curation / drift / CDC queries.
+
+Oracle strategy follows the repo convention: every stochastic choice
+is the md5 hash-fraction/bucket (bit-identical in DuckDB), thresholds
+and rates are module constants interpolated into BOTH the Spark call
+and the generated SQL, and cross-engine float sums ride the
+decimal/round-6 discipline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from capital.io import load_table
+from capital.queries.assemble_queries import _bucket_sql, _u_sql
+from capital.queries.registry import query
+
+# --- perplexity gate (CCNet head/middle/tail) ---------------------------
+
+#: Fixed gate thresholds on avg -log2 p(token): calibrated once on a
+#: reference slice (the production posture — constants, not per-batch
+#: quantiles, so batches gate consistently). On the synthetic corpus
+#: the median sits near 4.907 and the q75 near 4.913.
+_PPL_HEAD_MAX = 4.905
+_PPL_TAIL_MIN = 4.92
+_PPL_RATES = {"head": 1.0, "middle": 0.5, "tail": 0.0}
+_PPL_SEED = "pplgate"
+
+#: Unigram-LM scoring CTEs (the text_unigram_logprob oracle, reused).
+_UNIGRAM_SCORE_CTES = r"""
+    tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+               '\s+')) AS token
+      FROM documents),
+    c AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+    p AS (SELECT token,
+                 CAST(round(log2(CAST(n AS DOUBLE)
+                                 / (SELECT SUM(n) FROM c)), 6)
+                   AS DECIMAL(28,6)) AS logp
+          FROM c),
+    scored AS (
+      SELECT doc_id,
+             COUNT(*) AS n_tokens,
+             round(CAST(-SUM(logp) AS DOUBLE) / COUNT(*), 6)
+               AS avg_neg_logprob
+      FROM tok JOIN p USING (token)
+      GROUP BY doc_id)
+"""
+
+
+def _ppl_gate_oracle() -> str:
+    rate_cases = " ".join(
+        f"WHEN '{b}' THEN {r}" for b, r in sorted(_PPL_RATES.items())
+    )
+    return f"""
+    WITH {_UNIGRAM_SCORE_CTES},
+    bucketed AS (
+      SELECT doc_id, n_tokens, avg_neg_logprob,
+             CASE WHEN avg_neg_logprob < {_PPL_HEAD_MAX} THEN 'head'
+                  WHEN avg_neg_logprob >= {_PPL_TAIL_MIN} THEN 'tail'
+                  ELSE 'middle' END AS ppl_bucket
+      FROM scored)
+    SELECT doc_id, n_tokens, avg_neg_logprob, ppl_bucket
+    FROM bucketed
+    WHERE {_u_sql(_PPL_SEED)} < CASE ppl_bucket {rate_cases} ELSE 0.0 END
+    """
+
+
+@query("cur_perplexity_gate", oracle=_ppl_gate_oracle())
+def cur_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-shaped perplexity gate (llm/curation.perplexity_gate):
+    corpus-as-its-own-LM unigram score → FIXED head/middle/tail
+    thresholds → per-bucket deterministic keep rates (head 1.0,
+    middle 0.5, tail 0.0). Fixed thresholds make the gate a narrow
+    map — no global ranking shuffle, consistent across batches."""
+    from capital.llm.curation import perplexity_gate
+
+    d = load_table(spark, sf_dir, "documents")
+    return perplexity_gate(
+        d,
+        head_max=_PPL_HEAD_MAX,
+        tail_min=_PPL_TAIL_MIN,
+        rates=_PPL_RATES,
+        seed=_PPL_SEED,
+    )
+
+
+# --- per-source document caps -------------------------------------------
+
+_CAP = 10
+_CAP_SEED = "cap7"
+
+
+@query(
+    "cur_capped_sources",
+    oracle=f"""
+    WITH u AS (
+      SELECT source, doc_id, {_u_sql(_CAP_SEED)} AS uu FROM documents),
+    ranked AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY uu, doc_id) AS cap_rank
+      FROM u)
+    SELECT source, doc_id, CAST(cap_rank AS INTEGER) AS cap_rank
+    FROM ranked WHERE cap_rank <= {_CAP}
+    """,
+)
+def cur_capped_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (llm/curation.capped_per_source): at
+    most {cap} docs per source, the smallest md5 fractions win —
+    the anti-dominance rule rate-based mixing can't express. The
+    oracle ranks ALL rows; the engine pre-filters to ~2·cap
+    candidates per source with a losslessness guard, so the outputs
+    are identical while the billion-row hot domain never sorts."""
+    from capital.llm.curation import capped_per_source
+
+    d = load_table(spark, sf_dir, "documents")
+    return capped_per_source(d, cap=_CAP, seed=_CAP_SEED).withColumn(
+        "cap_rank", F.col("cap_rank").cast("int")
+    )
+
+
+# --- content-defined chunking dedup -------------------------------------
+
+_CDC_AVG = 8
+_CDC_SEED = "cdc"
+
+
+def _cdc_oracle() -> str:
+    return rf"""
+    WITH base AS (
+      SELECT doc_id,
+             string_split_regex(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+               '\s+') AS toks
+      FROM documents),
+    tok AS (
+      SELECT doc_id, toks[i] AS token, i
+      FROM base, unnest(range(1, len(toks) + 1)) AS t(i)),
+    b AS (
+      SELECT doc_id, token, i,
+             CASE WHEN i = 1
+                       OR {_bucket_sql(_CDC_SEED, _CDC_AVG, "token")} = 0
+                  THEN 1 ELSE 0 END AS boundary
+      FROM tok),
+    chunked AS (
+      SELECT doc_id, token, i,
+             SUM(boundary) OVER (PARTITION BY doc_id ORDER BY i
+                                 ROWS UNBOUNDED PRECEDING) AS chunk_idx
+      FROM b),
+    chunks AS (
+      SELECT doc_id, chunk_idx,
+             md5(string_agg(token, ' ' ORDER BY i)) AS digest,
+             COUNT(*) AS n_tokens
+      FROM chunked GROUP BY doc_id, chunk_idx),
+    d AS (
+      SELECT digest, COUNT(DISTINCT doc_id) AS n_docs
+      FROM chunks GROUP BY digest)
+    SELECT c.doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           CAST(SUM(CASE WHEN d.n_docs > 1 THEN c.n_tokens ELSE 0 END)
+             AS BIGINT) AS dup_tokens
+    FROM chunks c JOIN d USING (digest)
+    GROUP BY c.doc_id
+    """
+
+
+@query("dedup_cdc_stats", oracle=_cdc_oracle())
+def dedup_cdc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup profile (llm/cdc.py): md5-
+    boundary chunks (shift-robust — an inserted token only changes
+    the chunk containing it), per-doc count of chunks shared with
+    OTHER documents. Complements fixed-stride span dedup, which a
+    one-token shift defeats."""
+    from capital.llm.cdc import cdc_dup_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return cdc_dup_stats(d, avg_size=_CDC_AVG, seed=_CDC_SEED)
+
+
+# --- drift monitoring (PSI) ---------------------------------------------
+
+_PSI_SPLIT = "2024-01-15"
+
+
+@query(
+    "drift_event_type_psi",
+    oracle=f"""
+    WITH counts AS (
+      SELECT event_type AS bin,
+             CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP)
+                                < TIMESTAMP '{_PSI_SPLIT}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+             CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP)
+                                >= TIMESTAMP '{_PSI_SPLIT}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+      FROM events GROUP BY event_type),
+    t AS (
+      SELECT bin, n_ref, n_cur,
+             SUM(n_ref) OVER () AS tr, SUM(n_cur) OVER () AS tc,
+             COUNT(*) OVER () AS k
+      FROM counts)
+    SELECT bin, n_ref, n_cur,
+           round((n_ref + 0.5) / (tr + 0.5 * k), 6) AS p_ref,
+           round((n_cur + 0.5) / (tc + 0.5 * k), 6) AS p_cur,
+           round((round((n_cur + 0.5) / (tc + 0.5 * k), 6)
+                  - round((n_ref + 0.5) / (tr + 0.5 * k), 6))
+                 * ln(round((n_cur + 0.5) / (tc + 0.5 * k), 6)
+                      / round((n_ref + 0.5) / (tr + 0.5 * k), 6)), 6)
+             AS psi_term
+    FROM t
+    """,
+)
+def drift_event_type_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index terms between the month's first and
+    second half of the events stream (operators/drift.psi_drift):
+    the standing did-the-data-change-shape monitor. Per-bin terms are
+    the actionable output; one tiny grouped aggregation, the corpus
+    never shuffles."""
+    from capital.operators.drift import psi_drift
+
+    e = load_table(spark, sf_dir, "events")
+    period = F.when(
+        F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp"), "ref"
+    ).otherwise("cur")
+    return psi_drift(e, "event_type", period, "ref", "cur")

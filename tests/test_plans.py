@@ -99,6 +99,7 @@ def test_no_python_udfs_in_relational_surface(spark, sf_dir):
         # expression forms exceed janino's method limit and fall back
         # to interpreted (see llm/pq.py); pair SCORING stays codegen.
         "sim_pq_topk",
+        "sim_pq_topk_pinned",
         "sim_ivfpq_stored_fullprobe",
     }
     for name, fn in _QUERIES.items():
