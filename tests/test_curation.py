@@ -126,3 +126,24 @@ def test_psi_drift_smoothing_handles_absent_bins(spark):
         "bin", "period", "ref", "cur",
     ).collect()
     assert abs(s[0].psi_term) < 1e-9
+
+
+def test_capped_per_source_prefilters_before_ranking(spark, sf_dir):
+    """The scale claim in-plan: the ranking Window's input must be the
+    threshold-FILTERED candidate set (u < per-source threshold), not
+    the raw corpus — i.e. a Filter on the joined threshold sits below
+    the Window sort."""
+    import contextlib
+    import io as _io
+
+    d = load_table(spark, sf_dir, "documents")
+    df = capped_per_source(d, cap=5, seed="p")
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # One Window (the ranking); at least one broadcast join feeding it
+    # (the tiny per-source threshold table); and the candidate filter.
+    assert plan.count("Window") >= 1
+    assert "BroadcastHashJoin" in plan
+    assert "__t" in plan and "__u" in plan
