@@ -106,3 +106,57 @@ def cdc_dup_stats(
             ).alias("dup_tokens"),
         )
     )
+
+
+def cdc_index_rows(
+    df: DataFrame,
+    avg_size: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "cdc",
+) -> DataFrame:
+    """Storable CDC index rows ``(digest, id)`` — append one batch's
+    rows per ingestion run (the growing-lake pattern of the LSH band
+    index, ``dedup.band_keys``): the stored index is digests only
+    (16-byte keys + ids), never the text, so history is never
+    re-chunked."""
+    return cdc_chunks(df, avg_size, id_col, text_col, seed).select(
+        "digest", id_col
+    )
+
+
+def cdc_incremental_flags(
+    batch: DataFrame,
+    index: DataFrame,
+    avg_size: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "cdc",
+) -> DataFrame:
+    """Probe ONE batch against a stored CDC digest index: per batch
+    document, how many of its chunks (and tokens) already exist in
+    history — the shift-robust boilerplate/near-dup signal for
+    incremental ingestion.
+
+    Scale shape: the batch is chunked (batch-sized window), its
+    digests join the index on the uniform 16-byte digest key
+    (bucket the stored index by digest and the probe co-locates;
+    a Bloom prefilter of index digests drops the join entirely for
+    mostly-novel batches — ``llm/bloom.py`` composes directly).
+    History text is never re-read."""
+    chunks = cdc_chunks(batch, avg_size, id_col, text_col, seed)
+    known = index.select("digest").distinct()
+    hit = F.when(F.col("__known").isNotNull(), 1).otherwise(0)
+    return (
+        chunks.join(
+            known.withColumn("__known", F.lit(1)), "digest", "left"
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(hit).alias("n_known_chunks"),
+            F.sum(
+                F.when(hit == 1, F.col("n_tokens")).otherwise(0)
+            ).alias("known_tokens"),
+        )
+    )

@@ -229,3 +229,135 @@ def drift_event_type_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp"), "ref"
     ).otherwise("cur")
     return psi_drift(e, "event_type", period, "ref", "cur")
+
+
+# --- incremental CDC probe (growing lake) -------------------------------
+
+_CDC_INC_MOD = 3  # doc_id % MOD == 0 -> today's batch; else history
+
+
+def _cdc_incremental_oracle() -> str:
+    return rf"""
+    WITH base AS (
+      SELECT doc_id,
+             string_split_regex(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+               '\s+') AS toks
+      FROM documents),
+    tok AS (
+      SELECT doc_id, toks[i] AS token, i
+      FROM base, unnest(range(1, len(toks) + 1)) AS t(i)),
+    b AS (
+      SELECT doc_id, token, i,
+             CASE WHEN i = 1
+                       OR {_bucket_sql(_CDC_SEED, _CDC_AVG, "token")} = 0
+                  THEN 1 ELSE 0 END AS boundary
+      FROM tok),
+    chunked AS (
+      SELECT doc_id, token, i,
+             SUM(boundary) OVER (PARTITION BY doc_id ORDER BY i
+                                 ROWS UNBOUNDED PRECEDING) AS chunk_idx
+      FROM b),
+    chunks AS (
+      SELECT doc_id, chunk_idx,
+             md5(string_agg(token, ' ' ORDER BY i)) AS digest,
+             COUNT(*) AS n_tokens
+      FROM chunked GROUP BY doc_id, chunk_idx),
+    hist AS (
+      SELECT DISTINCT digest FROM chunks
+      WHERE doc_id % {_CDC_INC_MOD} <> 0),
+    probe AS (
+      SELECT c.doc_id, c.n_tokens,
+             CASE WHEN h.digest IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM chunks c LEFT JOIN hist h USING (digest)
+      WHERE c.doc_id % {_CDC_INC_MOD} = 0)
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(hit) AS BIGINT) AS n_known_chunks,
+           CAST(SUM(CASE WHEN hit = 1 THEN n_tokens ELSE 0 END)
+             AS BIGINT) AS known_tokens
+    FROM probe GROUP BY doc_id
+    """
+
+
+@query("dedup_cdc_incremental", oracle=_cdc_incremental_oracle())
+def dedup_cdc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CDC probe (llm/cdc.cdc_incremental_flags): today's
+    batch (doc_id % 3 == 0) chunked and probed against the STORED
+    digest index of the history (doc_id % 3 != 0) — the growing-lake
+    shape of the LSH incremental probe, made shift-robust: history
+    text is never re-chunked, the index is 16-byte digests + ids."""
+    from capital.llm.cdc import cdc_incremental_flags, cdc_index_rows
+
+    d = load_table(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % _CDC_INC_MOD == 0)
+    history = d.filter(F.col("doc_id") % _CDC_INC_MOD != 0)
+    index = cdc_index_rows(history, avg_size=_CDC_AVG, seed=_CDC_SEED)
+    return cdc_incremental_flags(
+        batch, index, avg_size=_CDC_AVG, seed=_CDC_SEED
+    )
+
+
+# --- numeric-feature drift (binned PSI) ---------------------------------
+
+#: Fixed bin edges on events.value (constants = consistent monitoring
+#: across batches; data quartiles sit near 15/35/69).
+_PSI_VALUE_EDGES = [10.0, 25.0, 50.0, 100.0]
+
+
+def _value_bin_sql() -> str:
+    cases = " ".join(
+        f"WHEN value < {e} THEN 'b{i}'"
+        for i, e in enumerate(_PSI_VALUE_EDGES)
+    )
+    return f"CASE {cases} ELSE 'b{len(_PSI_VALUE_EDGES)}' END"
+
+
+@query(
+    "drift_value_psi",
+    oracle=f"""
+    WITH counts AS (
+      SELECT {_value_bin_sql()} AS bin,
+             CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP)
+                                < TIMESTAMP '{_PSI_SPLIT}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+             CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP)
+                                >= TIMESTAMP '{_PSI_SPLIT}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+      FROM events GROUP BY 1),
+    t AS (
+      SELECT bin, n_ref, n_cur,
+             SUM(n_ref) OVER () AS tr, SUM(n_cur) OVER () AS tc,
+             COUNT(*) OVER () AS k
+      FROM counts)
+    SELECT bin, n_ref, n_cur,
+           round((n_ref + 0.5) / (tr + 0.5 * k), 6) AS p_ref,
+           round((n_cur + 0.5) / (tc + 0.5 * k), 6) AS p_cur,
+           round((round((n_cur + 0.5) / (tc + 0.5 * k), 6)
+                  - round((n_ref + 0.5) / (tr + 0.5 * k), 6))
+                 * ln(round((n_cur + 0.5) / (tc + 0.5 * k), 6)
+                      / round((n_ref + 0.5) / (tr + 0.5 * k), 6)), 6)
+             AS psi_term
+    FROM t
+    """,
+)
+def drift_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-feature drift: events.value pre-bucketed against FIXED
+    edges (the monitoring posture — edges calibrated once, batches
+    comparable over time), then the same per-bin PSI terms. Shows
+    psi_drift generalizes beyond categoricals with a one-expression
+    bin column."""
+    from capital.operators.drift import psi_drift
+
+    e = load_table(spark, sf_dir, "events")
+    bin_expr = F.lit(None).cast("string")
+    # Build the CASE ladder from the shared edges (lowest edge wins).
+    for i, edge in reversed(list(enumerate(_PSI_VALUE_EDGES))):
+        bin_expr = F.when(F.col("value") < edge, f"b{i}").otherwise(
+            bin_expr if i < len(_PSI_VALUE_EDGES) - 1
+            else f"b{len(_PSI_VALUE_EDGES)}"
+        )
+    period = F.when(
+        F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp"), "ref"
+    ).otherwise("cur")
+    return psi_drift(e, bin_expr, period, "ref", "cur")

@@ -147,3 +147,37 @@ def test_capped_per_source_prefilters_before_ranking(spark, sf_dir):
     assert plan.count("Window") >= 1
     assert "BroadcastHashJoin" in plan
     assert "__t" in plan and "__u" in plan
+
+
+def test_cdc_incremental_index_round_trips_parquet(spark, tmp_path):
+    """The growing-lake CDC flow: index rows persisted per batch,
+    appended, re-read, probed — a doc identical to history is fully
+    known; a novel doc has zero known chunks."""
+    from capital.llm.cdc import cdc_incremental_flags, cdc_index_rows
+
+    hist1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta " * 4)],
+        "doc_id long, text string",
+    )
+    hist2 = spark.createDataFrame(
+        [(2, "one two three four five six seven eight " * 4)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "cdc_index")
+    cdc_index_rows(hist1, avg_size=4).write.mode("append").parquet(path)
+    cdc_index_rows(hist2, avg_size=4).write.mode("append").parquet(path)
+
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta eta theta " * 4),
+            (11, "totally novel words appear here only once ever"),
+        ],
+        "doc_id long, text string",
+    )
+    index = spark.read.parquet(path)
+    out = {
+        r.doc_id: r
+        for r in cdc_incremental_flags(batch, index, avg_size=4).collect()
+    }
+    assert out[10].n_known_chunks == out[10].n_chunks > 0
+    assert out[11].n_known_chunks == 0 and out[11].n_chunks > 0
