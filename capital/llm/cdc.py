@@ -84,13 +84,27 @@ def cdc_dup_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     seed: str = "cdc",
+    scope=None,
 ) -> DataFrame:
     """Per-document CDC duplication profile:
     ``(id, n_chunks, n_dup_chunks, dup_tokens)`` where a chunk is
     "dup" when its digest occurs in MORE THAN ONE document (its own
     repeats don't count — within-doc repetition is the repetition
-    operator's job). The shift-robust near-boilerplate signal."""
+    operator's job). The shift-robust near-boilerplate signal.
+
+    Plan note (measured, round 7): the chunk frame feeds BOTH the
+    digest-count aggregate and the join-back with no exchange reuse,
+    so the explode + window + ordered-collect pipeline runs twice —
+    and that is the FASTER shape. Persisting chunks measured 1.9–2.3 s
+    vs 1.6–1.7 s unpersisted at sf0.1 (interleaved min-of-2): the
+    materialization barrier + memory store cost more than the
+    recompute saves, the same lesson as the skew-probe count caching
+    (don't displace the agg pipeline with an InMemoryRelation). Pass a
+    ``CacheScope`` as ``scope`` to persist anyway when the input is
+    expensive to recompute (e.g. a filtered/decoded upstream)."""
     chunks = cdc_chunks(df, avg_size, id_col, text_col, seed)
+    if scope is not None:
+        chunks = scope.persist(chunks)
     docs_per_digest = chunks.groupBy("digest").agg(
         F.count_distinct(F.col(id_col)).alias("__docs")
     )
