@@ -230,3 +230,91 @@ def quantile_rollup_checked(
             ),
         )
     )
+
+
+# --- count-min sketch (heavy-hitter / frequency estimation) -------------
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str = "token",
+    depth: int = 4,
+    width: int = 256,
+    seed: str = "cms",
+) -> DataFrame:
+    """Count-min sketch of ``key_col`` frequencies (Cormode &
+    Muthukrishnan 2005) as a ``depth × width`` COUNT TABLE —
+    ``(row, bucket, n)`` rows, ``depth·width`` of them total,
+    regardless of corpus size.
+
+    Each key increments one bucket per row (md5 bucket under a
+    per-row seed — deterministic, so the sketch is a pure function of
+    the input multiset and replays/engine swaps build the identical
+    table; the DuckDB oracle reproduces it bit-for-bit). Estimation
+    reads ``min_j table[j][bucket_j(key)]`` — an upper bound on the
+    true count with error ≤ 2N/width at ~1−(1/2)^depth confidence.
+
+    Scale shape: one narrow ``depth``-way explode, then groupBy on
+    (row, bucket) — map-side combine collapses every task to at most
+    ``depth·width`` partial rows before the exchange, exactly like
+    the HLL/KLL rollups. Merging batches = summing tables
+    (:func:`cms_merge`) — associative, so daily sketches roll up."""
+    from capital.llm.assemble import hash_bucket
+
+    rows = F.explode(
+        F.array(*[F.lit(j) for j in range(depth)])
+    ).alias("row")
+    keyed = df.select(F.col(key_col).alias("__k")).select("__k", rows)
+    bucket = F.lit(None).cast("long")
+    for j in reversed(range(depth)):
+        bucket = F.when(
+            F.col("row") == j,
+            hash_bucket(F.col("__k"), f"{seed}{j}", width),
+        ).otherwise(bucket)
+    return (
+        keyed.withColumn("bucket", bucket)
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge count-min tables built with the same (depth, width,
+    seed): bucket-wise sum — associative and commutative, so
+    batch-built sketches equal the at-once build exactly."""
+    from functools import reduce
+
+    out = reduce(lambda a, b: a.unionByName(b), sketches)
+    return out.groupBy("row", "bucket").agg(F.sum("n").alias("n"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str = "token",
+    depth: int = 4,
+    width: int = 256,
+    seed: str = "cms",
+) -> DataFrame:
+    """Frequency estimates for the probe keys: ``min`` over the
+    ``depth`` bucket counts (0 when a bucket is empty — the key never
+    occurred). The sketch is tiny (``depth·width`` rows) and
+    broadcasts; probing never touches the original corpus."""
+    from capital.llm.assemble import hash_bucket
+
+    rows = F.explode(
+        F.array(*[F.lit(j) for j in range(depth)])
+    ).alias("row")
+    keyed = probes.select(F.col(key_col)).select(key_col, rows)
+    bucket = F.lit(None).cast("long")
+    for j in reversed(range(depth)):
+        bucket = F.when(
+            F.col("row") == j,
+            hash_bucket(F.col(key_col), f"{seed}{j}", width),
+        ).otherwise(bucket)
+    return (
+        keyed.withColumn("bucket", bucket)
+        .join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est_count"))
+    )

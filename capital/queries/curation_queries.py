@@ -361,3 +361,76 @@ def drift_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp"), "ref"
     ).otherwise("cur")
     return psi_drift(e, bin_expr, period, "ref", "cur")
+
+
+# --- count-min sketch token-frequency estimation ------------------------
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 256
+_CMS_SEED = "cms"
+#: Probe keys: the en marker vocab + a token that never occurs (the
+#: zero-estimate path must be exercised).
+_CMS_PROBES: tuple[str, ...] = ("the", "a", "of", "and", "to", "zz_absent")
+
+_NTOKS_SQL = (
+    r"string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', "
+    r"'g')), '\s+')"
+)
+
+
+def _cms_oracle() -> str:
+    def bucket_case(key: str) -> str:
+        whens = " ".join(
+            f"WHEN {j} THEN {_bucket_sql(f'{_CMS_SEED}{j}', _CMS_WIDTH, key)}"
+            for j in range(_CMS_DEPTH)
+        )
+        return f"CASE row {whens} END"
+
+    rows_values = ", ".join(f"({j})" for j in range(_CMS_DEPTH))
+    probe_list = ", ".join(f"('{w}')" for w in _CMS_PROBES)
+    return f"""
+    WITH tok AS (
+      SELECT unnest({_NTOKS_SQL}) AS token FROM documents),
+    keyed AS (
+      SELECT token, j.row AS row FROM tok, (VALUES {rows_values}) j(row)),
+    sk AS (
+      SELECT row, {bucket_case("token")} AS bucket, COUNT(*) AS n
+      FROM keyed GROUP BY 1, 2),
+    probes AS (SELECT * FROM (VALUES {probe_list}) p(token)),
+    pb AS (
+      SELECT token, j.row AS row, {bucket_case("token")} AS bucket
+      FROM probes, (VALUES {rows_values}) j(row))
+    SELECT token,
+           CAST(MIN(COALESCE(n, 0)) AS BIGINT) AS est_count
+    FROM pb LEFT JOIN sk USING (row, bucket)
+    GROUP BY token
+    """
+
+
+@query("sk_cms_token_counts", oracle=_cms_oracle())
+def sk_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation
+    (operators/sketches.cms_build/cms_estimate): the corpus collapses
+    to a depth×width count table (1024 rows here, any corpus size) via
+    map-side-combined partials; probes read min-of-depth buckets from
+    the broadcast table without touching the corpus. md5 bucketing
+    makes the sketch — and therefore the estimates — deterministic and
+    bit-reproducible in the DuckDB oracle; the never-seen probe pins
+    the zero path."""
+    from capital.operators.sketches import cms_build, cms_estimate
+
+    d = load_table(spark, sf_dir, "documents")
+    from capital.llm.text import normalized, tokens
+
+    tok = d.select(
+        F.explode(tokens(normalized(F.col("text")))).alias("token")
+    )
+    sketch = cms_build(
+        tok, depth=_CMS_DEPTH, width=_CMS_WIDTH, seed=_CMS_SEED
+    )
+    probes = spark.createDataFrame(
+        [(w,) for w in _CMS_PROBES], "token string"
+    )
+    return cms_estimate(
+        sketch, probes, depth=_CMS_DEPTH, width=_CMS_WIDTH, seed=_CMS_SEED
+    )

@@ -80,3 +80,66 @@ def _exact_band(spark, sf_dir, event_type, q, eps=0.05):
         F.expr(f"percentile(value, {min(q + eps, 1.0)})").alias("hi"),
     ).collect()[0]
     return row.lo, row.hi
+
+
+# --- count-min sketch ----------------------------------------------------
+
+
+def test_cms_never_underestimates_and_hits_exact_counts(spark, sf_dir):
+    """CMS property: est >= true count for every key; with width 256
+    over this vocab most probes are collision-free and exact."""
+    from pyspark.sql import functions as F
+
+    from capital.io import load_table
+    from capital.llm.text import normalized, tokens
+    from capital.operators.sketches import cms_build, cms_estimate
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(tokens(normalized(F.col("text")))).alias("token")
+    )
+    exact = {
+        r.token: r.n
+        for r in tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    probes = spark.createDataFrame(
+        [(t,) for t in sorted(exact)[:30]] + [("never_seen_zz",)],
+        "token string",
+    )
+    sketch = cms_build(tok)
+    est = {
+        r.token: r.est_count
+        for r in cms_estimate(sketch, probes).collect()
+    }
+    for t, e in est.items():
+        assert e >= exact.get(t, 0), (t, e, exact.get(t))
+    assert est["never_seen_zz"] == 0
+    exact_hits = sum(
+        1 for t in est if t != "never_seen_zz" and est[t] == exact[t]
+    )
+    assert exact_hits >= 25  # collisions are the exception, not the rule
+
+
+def test_cms_merge_equals_at_once_build(spark, sf_dir):
+    """Mergeability: batch sketches summed bucket-wise are
+    BIT-IDENTICAL to sketching the union at once — the rollup
+    invariant shared with the HLL/KLL tier."""
+    from pyspark.sql import functions as F
+
+    from capital.io import load_table
+    from capital.llm.text import normalized, tokens
+    from capital.operators.sketches import cms_build, cms_merge
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(tokens(normalized(F.col("text")))).alias("token")
+    )
+    whole = cms_build(tok)
+    merged = cms_merge(
+        cms_build(tok.filter(F.col("doc_id") % 2 == 0)),
+        cms_build(tok.filter(F.col("doc_id") % 2 == 1)),
+    )
+    a = sorted(tuple(r) for r in whole.collect())
+    b = sorted(tuple(r) for r in merged.collect())
+    assert a == b
