@@ -181,3 +181,64 @@ def test_cdc_incremental_index_round_trips_parquet(spark, tmp_path):
     }
     assert out[10].n_known_chunks == out[10].n_chunks > 0
     assert out[11].n_known_chunks == 0 and out[11].n_chunks > 0
+
+
+def test_streaming_incremental_cdc_against_stored_index(spark, tmp_path):
+    """The CDC growing-lake loop on a real stream (the shift-robust
+    twin of the LSH loop): each micro-batch probes the stored chunk-
+    digest index, records per-doc known-chunk counts, and appends its
+    own digests — later batches see everything before them without
+    re-chunking it."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from capital.llm.cdc import cdc_incremental_flags, cdc_index_rows
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    src = str(tmp_path / "src")
+    index_dir = str(tmp_path / "index")
+    flags_dir = str(tmp_path / "flags")
+    ckpt = str(tmp_path / "ckpt")
+
+    day1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta " * 4)],
+        schema,
+    )
+    cdc_index_rows(day1, avg_size=4).write.mode("append").parquet(index_dir)
+
+    day2 = spark.createDataFrame(
+        [
+            # shifted copy of doc 1: still mostly known chunks
+            (10, "prefix shift " + "alpha beta gamma delta epsilon zeta eta theta " * 4),
+            (11, "genuinely novel second day material nothing shared at all"),
+        ],
+        schema,
+    )
+    day2.coalesce(1).write.mode("append").parquet(src)
+
+    def _probe_and_append(batch_df, batch_id):
+        index = batch_df.sparkSession.read.parquet(index_dir)
+        cdc_incremental_flags(batch_df, index, avg_size=4).write.mode(
+            "append"
+        ).parquet(flags_dir)
+        cdc_index_rows(batch_df, avg_size=4).write.mode("append").parquet(
+            index_dir
+        )
+
+    q = (
+        spark.readStream.schema(schema).parquet(src)
+        .writeStream.foreachBatch(_probe_and_append)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    flags = {r.doc_id: r for r in spark.read.parquet(flags_dir).collect()}
+    # The shifted copy shares most chunks with history (CDC shift
+    # robustness END TO END through the stored index).
+    assert flags[10].n_known_chunks >= flags[10].n_chunks - 2 > 0
+    assert flags[11].n_known_chunks == 0
+    # The index grew: a day-3 batch would see day 2's digests too.
+    assert spark.read.parquet(index_dir).select("doc_id").distinct().count() == 3
