@@ -409,6 +409,21 @@ def doc_frequency_boilerplate(
     )
 
 
+def round6_stable(col: Column) -> Column:
+    """Cross-engine-stable round-to-6 for NON-NEGATIVE doubles whose
+    pre-round value is bit-identical on both engines:
+    ``floor(x·10⁶ + 0.5) / 10⁶`` — four elementary IEEE ops any engine
+    executes identically. Engine ``round()`` implementations are NOT
+    interchangeable at half-way boundaries (Java BigDecimal rounds the
+    exact decimal expansion of the double; C-style rounds the scaled
+    product): at sf0.1 one document's avg logprob landed on such a
+    boundary and Spark/DuckDB round() disagreed by exactly 1e-6
+    (round-7 audit). Use this wherever the rounded value is derived
+    from exact (decimal/integer) inputs; plain round() is fine when
+    values are far from boundaries in expectation."""
+    return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+
 def unigram_logprob(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -447,8 +462,8 @@ def unigram_logprob(
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(
-                -F.sum("__logp").cast("double") / F.count(F.lit(1)), 6
+            round6_stable(
+                -F.sum("__logp").cast("double") / F.count(F.lit(1))
             ).alias("avg_neg_logprob"),
         )
     )
@@ -557,8 +572,8 @@ def bigram_logprob(
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(
-                -F.sum("__logp").cast("double") / F.count(F.lit(1)), 6
+            round6_stable(
+                -F.sum("__logp").cast("double") / F.count(F.lit(1))
             ).alias("avg_neg_logprob2"),
         )
     )

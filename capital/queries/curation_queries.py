@@ -44,7 +44,8 @@ _UNIGRAM_SCORE_CTES = r"""
     scored AS (
       SELECT doc_id,
              COUNT(*) AS n_tokens,
-             round(CAST(-SUM(logp) AS DOUBLE) / COUNT(*), 6)
+             floor(CAST(-SUM(logp) AS DOUBLE) / COUNT(*)
+                   * 1000000.0 + 0.5) / 1000000.0
                AS avg_neg_logprob
       FROM tok JOIN p USING (token)
       GROUP BY doc_id)

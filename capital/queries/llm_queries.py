@@ -1098,7 +1098,8 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM c)
     SELECT doc_id,
            COUNT(*) AS n_tokens,
-           round(CAST(-SUM(logp) AS DOUBLE) / COUNT(*), 6)
+           floor(CAST(-SUM(logp) AS DOUBLE) / COUNT(*)
+                 * 1000000.0 + 0.5) / 1000000.0
              AS avg_neg_logprob
     FROM tok JOIN p USING (token)
     GROUP BY doc_id
@@ -1130,7 +1131,8 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS DECIMAL(28,6)) AS logp
       FROM c2 JOIN c1 USING (prev))
     SELECT doc_id, COUNT(*) AS n_bigrams,
-           round(-CAST(SUM(logp) AS DOUBLE) / COUNT(*), 6)
+           floor(-CAST(SUM(logp) AS DOUBLE) / COUNT(*)
+                 * 1000000.0 + 0.5) / 1000000.0
              AS avg_neg_logprob2
     FROM big JOIN probs USING (prev, cur)
     GROUP BY doc_id
