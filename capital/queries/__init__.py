@@ -49,12 +49,12 @@ for _m in _MODULES:
 #: of this ordering.
 #:
 #: Round-7 rotation, derived from the recorded evidence rounds
-#: (CORRECTNESS_r01–r06): the 8 new round-7 queries and the 4 queries
+#: (CORRECTNESS_r01–r06): the 9 new round-7 queries and the 4 queries
 #: whose code paths round 7 touched come first (changed/new code
 #: re-evidences before unchanged code rotates), then the r3 date
-#: cohort and 35 of the 40 r4-evidence queries — after this round no
+#: cohort and 34 of the 40 r4-evidence queries — after this round no
 #: query's latest hash-green driver row is older than r4 except the
-#: five continuously-benched staples noted below (they lead round 8).
+#: six continuously-benched staples noted below (they lead round 8).
 #: The three declared rows-only queries (dedup_ml_minhash,
 #: sim_ivf_topk, sim_pq_topk) are deliberately OUTSIDE the 50-slot
 #: window: they'd spend a gate slot reporting `err: no_oracle` while
@@ -71,6 +71,7 @@ _DRIVER_PRIORITY = [
     "drift_event_type_psi",
     "drift_value_psi",
     "sk_cms_token_counts",
+    "graph_pagerank_trade",
     # --- latest evidence r3 (the date-function cohort; round-6
     # verdict ask #2) ---
     "f1_date_extract",
@@ -84,9 +85,9 @@ _DRIVER_PRIORITY = [
     "j8_scd2_asof_lookup",
     "sim_ivfpq_stored_fullprobe",
     "sim_ivf_stored_fullprobe",
-    # --- latest evidence r4 (35 of 40; the five continuously-benched
-    # TPC/stream staples q1/q3/q6/st_stream_join_attribution/
-    # dedup_simhash_pairs wait one round — q1 is additionally the
+    # --- latest evidence r4 (34 of 40; the six continuously-benched/
+    # sibling-covered staples q1/q3/q6/st_stream_join_attribution/
+    # dedup_simhash_pairs/text_df_boilerplate wait one round — q1 is additionally the
     # entry() smoke every round) ---
     "a1_scalar_max_pred",
     "a4_first_wins_dedup",
@@ -118,7 +119,6 @@ _DRIVER_PRIORITY = [
     "sim_quantized_topk",
     "st_dedup_keys",
     "text_chunk_documents",
-    "text_df_boilerplate",
     "text_unigram_logprob",
     "text_vocab_coverage",
     "u3_except_custkeys",

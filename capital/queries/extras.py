@@ -194,3 +194,86 @@ def f2b_bok_interval_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         bok_time_string(F.col("o_orderdate"), "yearly").alias("time_yearly"),
     )
+
+
+# --- graph analytics: fixed-iteration PageRank --------------------------
+
+_PR_ITERS = 5
+_PR_DAMPING = 0.85
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled PageRank: fixed iterations make the loop plain SQL —
+    one CTE per step, sharing the Spark operator's constants and its
+    integer nano-rank accumulation (exact sums both engines) plus the
+    floor-stable final rounding.
+
+    Every numeric literal is written in scientific notation (``1e9``,
+    ``0.5e0``): DuckDB types bare decimal-point literals as DECIMAL,
+    and DECIMAL/INTEGER division follows decimal scale rules, not
+    IEEE double — a silent 1-ulp divergence from the Spark operator
+    (caught at sf0.01). The damped base uses the repr of the SAME
+    Python double the operator bakes in (``1.0 - damping`` is
+    0.15000000000000002, not the nearest double to 0.15)."""
+    n_sql = "(SELECT n FROM nn)"
+    base = f"{1.0 - _PR_DAMPING!r}e0 / {n_sql}"
+    ctes = [
+        """e0 AS (
+      SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    nodes AS (SELECT DISTINCT src AS node FROM e),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+    g AS (SELECT e.src, e.dst, od.outdeg FROM e JOIN od USING (src)),
+    r0 AS (
+      SELECT node,
+             floor(1e0 / """ + n_sql + """ * 1e9 + 0.5e0) / 1e9 AS rank
+      FROM nodes)"""
+    ]
+    for k in range(1, _PR_ITERS + 1):
+        ctes.append(f"""r{k} AS (
+      SELECT nodes.node,
+             floor(({base} + {_PR_DAMPING!r}e0
+                    * (COALESCE(CAST(t.s AS DOUBLE), 0e0) / 1e9))
+                   * 1e9 + 0.5e0) / 1e9 AS rank
+      FROM nodes LEFT JOIN (
+        SELECT g.dst AS node,
+               SUM(CAST(floor(r.rank / g.outdeg * 1e9 + 0.5e0)
+                        AS BIGINT)) AS s
+        FROM g JOIN r{k - 1} r ON g.src = r.node
+        GROUP BY g.dst) t ON nodes.node = t.node)""")
+    return (
+        "\n    WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT node, rank FROM r{_PR_ITERS}\n    "
+    )
+
+
+@query("graph_pagerank_trade", memoize=False, oracle=_pagerank_oracle())
+def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (operators/graph.py) over the
+    undirected customer↔supplier trade graph (distinct
+    orders⋈lineitem pairs, both directions): entity-importance
+    ranking, the iterative-algorithm family's second member next to
+    pointer-jumping components. Integer nano-rank accumulation and
+    floor-stable rounding make every iteration bit-identical across
+    engines, so the 5-step loop unrolls into a hash-checked oracle.
+    memoize=False: localCheckpoint materializes eagerly."""
+    from capital.operators.graph import pagerank
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    e0 = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank(edges, iterations=_PR_ITERS, damping=_PR_DAMPING)
