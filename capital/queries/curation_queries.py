@@ -435,3 +435,57 @@ def sk_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(
         sketch, probes, depth=_CMS_DEPTH, width=_CMS_WIDTH, seed=_CMS_SEED
     )
+
+
+# --- ordered funnel conversion ------------------------------------------
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def _funnel_oracle() -> str:
+    steps = _FUNNEL_STEPS
+    ctes = [
+        f"""t1 AS (
+      SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t1
+      FROM events WHERE event_type = '{steps[0]}' GROUP BY user_id)"""
+    ]
+    for i, step in enumerate(steps[1:], start=2):
+        ctes.append(f"""t{i} AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t{i}
+      FROM events e JOIN t{i - 1} USING (user_id)
+      WHERE e.event_type = '{step}'
+        AND CAST(e.ts AS TIMESTAMP) >= t{i - 1}.t{i - 1}
+      GROUP BY e.user_id)""")
+    ctes.append(
+        "c AS (SELECT "
+        + ", ".join(
+            f"(SELECT COUNT(*) FROM t{i}) AS n{i}"
+            for i in range(1, len(steps) + 1)
+        )
+        + ")"
+    )
+    selects = []
+    for i, step in enumerate(steps, start=1):
+        prev = max(i - 1, 1)
+        selects.append(f"""SELECT CAST({i} AS INTEGER) AS step_idx,
+           '{step}' AS step, n{i} AS n_users,
+           round(n{i} / n1, 6) AS conv_from_first,
+           round(n{i} / n{prev}, 6) AS conv_from_prev
+    FROM c""")
+    return (
+        "\n    WITH " + ",\n    ".join(ctes) + "\n    "
+        + "\n    UNION ALL\n    ".join(selects) + "\n    "
+    )
+
+
+@query("st_funnel_conversion", oracle=_funnel_oracle())
+def st_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel (operators/funnel.py): per
+    step, users whose EARLIEST qualifying event respects the order,
+    plus drop-off rates — K filtered aggregations and user-sized
+    joins, no raw-stream windows. The product-analytics staple the
+    two-step attribution join doesn't cover."""
+    from capital.operators.funnel import funnel_conversion
+
+    e = load_table(spark, sf_dir, "events")
+    return funnel_conversion(e, _FUNNEL_STEPS)
