@@ -54,3 +54,17 @@ def test_pagerank_deterministic_across_runs_and_layouts(spark):
         for r in pagerank(_edges(spark, pairs).repartition(7)).collect()
     )
     assert a == b
+
+
+def test_pagerank_broadcast_and_shuffle_paths_identical(spark):
+    """broadcast_state=False (billion-node escape hatch) must produce
+    the exact same ranks as the broadcast default."""
+    pairs = [(f"n{i}", f"n{(i * 7) % 23}") for i in range(100)]
+    a = sorted(tuple(r) for r in pagerank(_edges(spark, pairs)).collect())
+    b = sorted(
+        tuple(r)
+        for r in pagerank(
+            _edges(spark, pairs), broadcast_state=False
+        ).collect()
+    )
+    assert a == b
