@@ -107,6 +107,10 @@ def headline_names(all_names) -> list[str]:
         # material on a 50ms-task-floor engine) ---
         "dedup_cdc_stats",
         "cur_perplexity_gate",
+        # prefix-filtered exact set-similarity join: anchor = the
+        # naive all-pairs oracle (505.7 s at sf0.1 — the fuzzy
+        # fullrecall precedent: the anchor IS the reference method)
+        "dedup_jaccard_fullrecall",
     ]
     return [n for n in preferred if n in all_names] or sorted(all_names)[:8]
 

@@ -37,7 +37,7 @@ from __future__ import annotations
 
 from typing import TYPE_CHECKING
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from capital.llm.text import normalized, tokens
@@ -686,4 +686,95 @@ def span_dedup_stats(
         "n_spans",
         F.coalesce("n_kept_spans", F.lit(0)).alias("n_kept_spans"),
         F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_md5"),
+    )
+
+
+def jaccard_fullrecall_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    scope: CacheScope | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard ≥ threshold over the FULL corpus with
+    ZERO false negatives and no all-pairs join — prefix filtering
+    (Chaudhuri et al. 2006; Xiao et al., PPJoin, 2008), the
+    set-similarity member of the engine's full-recall tier next to
+    FastSS deletion neighborhoods (edit distance) and pigeonhole
+    segments (hamming).
+
+    Principle: order every shingle by a GLOBAL total order
+    (document-frequency ascending, then lexicographic — rare-first
+    minimizes candidates); if ``J(A,B) ≥ τ`` then
+    ``|A∩B| ≥ ⌈τ·max(|A|,|B|)⌉``, and two sets with overlap ≥ α must
+    share an element within their first ``|s|−α+1`` elements — so
+    every qualifying pair collides on at least one token of both
+    prefixes of length ``pₛ = |s| − ⌈τ·|s|⌉ + 1``. Candidates =
+    prefix-token collisions (skew-bounded via ``chunked_pair_join``
+    — a boilerplate-shared shingle cannot blow up one task), then the
+    exact Jaccard verify; output ≡ :func:`jaccard_pairs` on the same
+    input, minus its quadratic join.
+
+    The prefix length uses EXACT integer arithmetic
+    (``⌈τ|s|⌉ = (num·|s| + den − 1) div den`` with τ as a fraction):
+    a float ceil that lands one too high would silently shorten the
+    prefix and break the zero-false-negative guarantee.
+
+    Shuffle account: shingle explode (narrow) → 1 small groupBy on
+    shingles (doc frequencies) → 1 window on doc id (prefix rank) →
+    the chunked candidate join on prefix tokens → 2 id joins for the
+    verify. Candidate volume is the prefix-collision count — for
+    rare-first ordering, orders of magnitude under n²/2.
+    """
+    from fractions import Fraction
+
+    from capital.io import parallelize_narrow
+    from capital.operators.caching import scoped_persist
+    from capital.operators.skew import chunked_pair_join
+
+    fr = Fraction(threshold).limit_denominator(1_000_000)
+    num, den = fr.numerator, fr.denominator
+
+    sh = df.select(
+        F.col(id_col), shingles(F.col(text_col), shingle_k).alias("sh")
+    )
+    sh = scoped_persist(parallelize_narrow(sh), scope)
+
+    tok = sh.select(
+        F.col(id_col),
+        F.explode("sh").alias("__s"),
+        F.size("sh").alias("__sz"),
+    )
+    dfreq = tok.groupBy("__s").agg(F.count(F.lit(1)).alias("__dfc"))
+    w = Window.partitionBy(id_col).orderBy("__dfc", "__s")
+    # exact ceil(τ·sz) in integers; prefix p = sz − ceil + 1
+    ceil_tau_sz = F.floor(
+        (F.lit(num) * F.col("__sz") + F.lit(den - 1)) / F.lit(den)
+    )
+    prefix = (
+        tok.join(dfreq, "__s")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.col("__sz") - ceil_tau_sz + 1)
+        .select(F.col(id_col), "__s")
+    )
+    # Persist before the chunked join's eager skew probe (its first
+    # pass would otherwise re-run the explode+freq-join+window).
+    prefix = scoped_persist(prefix, scope)
+    cand = (
+        chunked_pair_join(prefix, ["__s"], id_col)
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("__sha"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("__shb"))
+    inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
+    union = F.size("__sha") + F.size("__shb") - inter
+    jac = inter / F.greatest(union, F.lit(1))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )

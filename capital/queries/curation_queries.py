@@ -489,3 +489,49 @@ def st_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     return funnel_conversion(e, _FUNNEL_STEPS)
+
+
+# --- full-recall set-similarity join (prefix filtering) -----------------
+
+_PFX_K = 3
+_PFX_THRESHOLD = 0.5
+_PFX_NTOKS = (
+    r"string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', "
+    r"'g')), '\s+')"
+)
+
+
+@query(
+    "dedup_jaccard_fullrecall",
+    memoize=False,
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+{_PFX_K - 1}], ' ')
+                            FOR i IN range(1, greatest(len(t) - {_PFX_K - 1},
+                                                       1) + 1)]) AS s
+      FROM (SELECT doc_id, {_PFX_NTOKS} AS t FROM documents))
+    SELECT * FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(len(list_intersect(a.s, b.s))
+                   / greatest(len(a.s) + len(b.s)
+                              - len(list_intersect(a.s, b.s)), 1), 6)
+               AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    WHERE jaccard >= {_PFX_THRESHOLD}
+    """,
+)
+def dedup_jaccard_fullrecall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard join over the FULL corpus
+    (llm/dedup.jaccard_fullrecall_pairs): the oracle is the naive
+    all-pairs join, so the hash match IS the zero-false-negative
+    proof — the engine only ever enumerates prefix-token collisions
+    (rare-first global order, skew-bounded), never n²/2 pairs. The
+    set-similarity member of the full-recall tier (FastSS: edit
+    distance; pigeonhole: hamming)."""
+    from capital.llm.dedup import jaccard_fullrecall_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return jaccard_fullrecall_pairs(
+        d, shingle_k=_PFX_K, threshold=_PFX_THRESHOLD
+    )

@@ -242,3 +242,42 @@ def test_streaming_incremental_cdc_against_stored_index(spark, tmp_path):
     assert flags[11].n_known_chunks == 0
     # The index grew: a day-3 batch would see day 2's digests too.
     assert spark.read.parquet(index_dir).select("doc_id").distinct().count() == 3
+
+
+def test_jaccard_fullrecall_equals_all_pairs(spark, sf_dir):
+    """Prefix filtering must reproduce the naive all-pairs join
+    EXACTLY (zero false negatives/positives) on the full corpus."""
+    from capital.llm.dedup import jaccard_fullrecall_pairs, jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    fast = sorted(
+        tuple(r)
+        for r in jaccard_fullrecall_pairs(
+            d, shingle_k=3, threshold=0.5
+        ).collect()
+    )
+    brute = sorted(
+        tuple(r)
+        for r in jaccard_pairs(d, shingle_k=3, threshold=0.5).collect()
+    )
+    assert fast == brute and len(fast) > 0
+
+
+def test_jaccard_fullrecall_exact_prefix_arithmetic(spark):
+    """A threshold whose float product rounds the wrong way (0.6·5 =
+    3.0000000000000004 in doubles) must still keep the full prefix:
+    near-identical 5-shingle docs at exactly J=0.6 survive."""
+    from capital.llm.dedup import jaccard_fullrecall_pairs
+
+    # 7 tokens -> 5 distinct 3-shingles; change the last token only:
+    # intersect=3 of the 5-shingle sets... build until J >= 0.6.
+    a = "t1 t2 t3 t4 t5 t6 t7"
+    b = "t1 t2 t3 t4 t5 t6 zz"
+    docs = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string"
+    )
+    out = jaccard_fullrecall_pairs(
+        docs, shingle_k=3, threshold=0.6
+    ).collect()
+    # shingles: a has 5, b has 5, shared 4 -> J = 4/6 = 0.666... >= 0.6
+    assert len(out) == 1 and out[0].jaccard >= 0.6
