@@ -49,12 +49,12 @@ for _m in _MODULES:
 #: of this ordering.
 #:
 #: Round-7 rotation, derived from the recorded evidence rounds
-#: (CORRECTNESS_r01–r06): the 10 new round-7 queries and the 4 queries
+#: (CORRECTNESS_r01–r06): the 11 new round-7 queries and the 4 queries
 #: whose code paths round 7 touched come first (changed/new code
 #: re-evidences before unchanged code rotates), then the r3 date
-#: cohort and 33 of the 40 r4-evidence queries — after this round no
+#: cohort and 32 of the 40 r4-evidence queries — after this round no
 #: query's latest hash-green driver row is older than r4 except the
-#: seven continuously-benched/sibling-covered staples noted below (they lead round 8).
+#: eight continuously-benched/sibling-covered staples noted below (they lead round 8).
 #: The three declared rows-only queries (dedup_ml_minhash,
 #: sim_ivf_topk, sim_pq_topk) are deliberately OUTSIDE the 50-slot
 #: window: they'd spend a gate slot reporting `err: no_oracle` while
@@ -73,6 +73,7 @@ _DRIVER_PRIORITY = [
     "sk_cms_token_counts",
     "graph_pagerank_trade",
     "st_funnel_conversion",
+    "dedup_jaccard_fullrecall",
     # --- latest evidence r3 (the date-function cohort; round-6
     # verdict ask #2) ---
     "f1_date_extract",
@@ -86,10 +87,11 @@ _DRIVER_PRIORITY = [
     "j8_scd2_asof_lookup",
     "sim_ivfpq_stored_fullprobe",
     "sim_ivf_stored_fullprobe",
-    # --- latest evidence r4 (33 of 40; the six continuously-benched/
+    # --- latest evidence r4 (32 of 40; the six continuously-benched/
     # sibling-covered staples q1/q3/q6/st_stream_join_attribution/
-    # dedup_simhash_pairs/text_df_boilerplate/approx_distinct_parts
-    # wait one round — q1 is additionally the
+    # dedup_simhash_pairs/text_df_boilerplate/approx_distinct_parts/
+    # w1b_previous_open_day_merged (w1+cal_holiday_merged cover the
+    # path) wait one round — q1 is additionally the
     # entry() smoke every round) ---
     "a1_scalar_max_pred",
     "a4_first_wins_dedup",
@@ -123,7 +125,6 @@ _DRIVER_PRIORITY = [
     "text_unigram_logprob",
     "text_vocab_coverage",
     "u3_except_custkeys",
-    "w1b_previous_open_day_merged",
     # --- 50-slot boundary ---
 ]
 
