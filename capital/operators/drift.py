@@ -56,6 +56,14 @@ def psi_drift(
             ).alias("n_cur"),
         )
     )
+    return psi_terms(counts)
+
+
+def psi_terms(counts: DataFrame) -> DataFrame:
+    """PSI arithmetic over a pre-built ``(bin, n_ref, n_cur)`` counts
+    frame — the shared tail of the batch (:func:`psi_drift`) and
+    stored-baseline (:func:`psi_against_baseline`) entry points, so the
+    two paths are term-for-term identical by construction."""
     # Dimension-sized from here (K bins): unpartitioned totals are
     # over the aggregate, never the corpus.
     from pyspark.sql import Window
@@ -80,3 +88,54 @@ def psi_drift(
             6,
         ).alias("psi_term"),
     )
+
+
+def baseline_histogram(df: DataFrame, bin_col: str | Column) -> DataFrame:
+    """The stored-baseline half of the monitoring posture: a reference
+    period's bin histogram ``(bin, n_ref)``, computed ONCE and persisted
+    (parquet / warehouse table). Monitoring a 100 TB lake then never
+    re-scans the reference period — the growing-lake pattern of the
+    stored CDC/LSH indexes (llm/cdc.py): state is dimension-sized
+    (K bins), the history corpus is cold."""
+    b = F.col(bin_col) if isinstance(bin_col, str) else bin_col
+    return (
+        df.select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_ref"))
+    )
+
+
+def psi_against_baseline(
+    cur: DataFrame, bin_col: str | Column, baseline: DataFrame
+) -> DataFrame:
+    """Per-bin PSI terms of a current batch against a STORED baseline
+    histogram (``(bin, n_ref)``, from :func:`baseline_histogram`).
+
+    Full-outer join on bin (absence in either side IS signal — the
+    Laplace smoothing keeps its log defined), zero-filled, then the
+    shared :func:`psi_terms` arithmetic: output is row-identical to
+    ``psi_drift`` over the concatenated periods. Both sides of the
+    join are K-bin dimension frames; the only corpus-sized work is the
+    current batch's map-side-combined count."""
+    b = F.col(bin_col) if isinstance(bin_col, str) else bin_col
+    cur_counts = (
+        cur.select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_cur"))
+    )
+    return psi_counts_against_baseline(cur_counts, baseline)
+
+
+def psi_counts_against_baseline(
+    cur_counts: DataFrame, baseline: DataFrame
+) -> DataFrame:
+    """Same as :func:`psi_against_baseline` but from a pre-aggregated
+    ``(bin, n_cur)`` frame — the entry point for the incremental
+    streaming monitor, whose per-batch partial counts are already
+    bin histograms (``streaming/incremental.py::incremental_psi_run``)."""
+    joined = baseline.join(cur_counts, "bin", "full_outer").select(
+        "bin",
+        F.coalesce(F.col("n_ref"), F.lit(0)).alias("n_ref"),
+        F.coalesce(F.col("n_cur"), F.lit(0)).alias("n_cur"),
+    )
+    return psi_terms(joined)

@@ -48,13 +48,18 @@ for _m in _MODULES:
 #: (tests/test_oracle_parity.py) always checks ALL queries regardless
 #: of this ordering.
 #:
-#: Round-7 rotation, derived from the recorded evidence rounds
-#: (CORRECTNESS_r01–r06): the 11 new round-7 queries and the 4 queries
-#: whose code paths round 7 touched come first (changed/new code
-#: re-evidences before unchanged code rotates), then the r3 date
-#: cohort and 32 of the 40 r4-evidence queries — after this round no
-#: query's latest hash-green driver row is older than r4 except the
-#: eight continuously-benched/sibling-covered staples noted below (they lead round 8).
+#: Round-9 rotation, derived from the recorded evidence rounds
+#: (CORRECTNESS_r01–r08: 8 queries @r4, 48 @r5, 45 @r6, 50 @r8).
+#: Order: (1) queries whose code paths round 9 touches (PPJoin length
+#: filter, PageRank dangling/checkpoint, clusters checkpoint_dir) +
+#: new round-9 queries — changed/new code re-evidences first; (2) the
+#: eight r4-evidence staples the round-7/8 verdicts flagged as stuck;
+#: (3) the r5 cohort, deferring nine continuously-benched members
+#: (q5/q8/q18/w3/w4/a2/st_session_30m/dedup_minhash_lsh/
+#: dedup_simhash_fullrecall — every one measured by bench.py each
+#: round, so a one-round wait carries live evidence) to round 10 with
+#: the r6 cohort. ``tests/test_driver_shape.py::test_rotation_freshness``
+#: enforces this schedule mechanically from the CORRECTNESS records.
 #: The three declared rows-only queries (dedup_ml_minhash,
 #: sim_ivf_topk, sim_pq_topk) are deliberately OUTSIDE the 50-slot
 #: window: they'd spend a gate slot reporting `err: no_oracle` while
@@ -62,70 +67,62 @@ for _m in _MODULES:
 #: sim_ivf_topk_fullprobe, sim_pq_topk_pinned) carry the evidence
 #: (round-6 verdict ask #8).
 _DRIVER_PRIORITY = [
-    # --- never driver-checked: the round-7 queries ---
-    "sim_pq_topk_pinned",
-    "cur_perplexity_gate",
-    "cur_capped_sources",
-    "dedup_cdc_stats",
-    "dedup_cdc_incremental",
-    "drift_event_type_psi",
-    "drift_value_psi",
-    "sk_cms_token_counts",
-    "graph_pagerank_trade",
-    "st_funnel_conversion",
+    # --- round-9-TOUCHED code paths ---
     "dedup_jaccard_fullrecall",
-    # --- latest evidence r3 (the date-function cohort; round-6
-    # verdict ask #2) ---
-    "f1_date_extract",
-    "f2_date_format",
-    "f4_date_arith",
-    # --- round-7-TOUCHED code paths: SCD2 delta refactor + split
-    # storage; PQ sequential-accumulation kernels + static index
-    # overwrite — changed code re-evidences before unchanged code
-    # rotates ---
-    "scd2_part_history",
-    "j8_scd2_asof_lookup",
-    "sim_ivfpq_stored_fullprobe",
-    "sim_ivf_stored_fullprobe",
-    # --- latest evidence r4 (32 of 40; the six continuously-benched/
-    # sibling-covered staples q1/q3/q6/st_stream_join_attribution/
-    # dedup_simhash_pairs/text_df_boilerplate/approx_distinct_parts/
-    # w1b_previous_open_day_merged (w1+cal_holiday_merged cover the
-    # path) wait one round — q1 is additionally the
-    # entry() smoke every round) ---
-    "a1_scalar_max_pred",
-    "a4_first_wins_dedup",
-    "a5_rollup_priority_status",
-    "a6_cube_flags",
-    "a9_exact_quantiles",
-    "asm_leakage_safe_split",
-    "asm_pack_chunks",
-    "asm_quality_budget",
-    "asm_temperature_mix",
-    "cal_holiday_merged",
-    "f11_map_literal_suffix",
-    "f12_json_access",
-    "f13_array_transform",
-    "f2b_bok_interval_formats",
-    "f5_epoch_millis",
-    "j3_anti_join_missing",
-    "j4_dim_fanout_revenue",
-    "j7_range_join_shipments",
-    "mm_decode_stub",
-    "mm_frame_features",
-    "o1_top1_latest_order",
-    "o2_topk_orders",
-    "p12_partition_prunable_eq",
-    "p1_project_cast",
-    "p3_unpivot_measures",
-    "sim_ivf_topk_fullprobe",
-    "sim_quantized_topk",
-    "st_dedup_keys",
-    "text_chunk_documents",
-    "text_unigram_logprob",
-    "text_vocab_coverage",
-    "u3_except_custkeys",
-    # --- 50-slot boundary ---
+    "graph_pagerank_trade",
+    "dedup_clusters",
+    # --- new round-9 queries ---
+    "drift_incremental_psi",
+    # --- the eight r4-evidence staples (round-7/8 verdict ask #2) ---
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "st_stream_join_attribution",
+    "dedup_simhash_pairs",
+    "text_df_boilerplate",
+    "approx_distinct_parts",
+    "w1b_previous_open_day_merged",
+    # --- latest evidence r5 (38 of 48; the nine continuously-benched
+    # members wait one round and lead round 10) ---
+    "a7_distinct_agg",
+    "cal_dim_calendar",
+    "dedup_exact_spans",
+    "dedup_fuzzy_fullrecall",
+    "dedup_fuzzy_keys",
+    "dedup_incremental_probe",
+    "dedup_minhash_verified",
+    "f14_zero_fill_left_join",
+    "j5_registry_lookup",
+    "p3b_pivot_wide",
+    "p4_literal_rename_project",
+    "p9_notnull_filter",
+    "pipe_clean_corpus",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_priority_lines",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    "q20_excess_stock_suppliers",
+    "q21_returns_sole_blame",
+    "q22_global_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "text_bigram_logprob",
+    "text_tfidf_stats",
+    "u1_union_distinct_nations",
+    "u2_union_all_pages",
+    "u4_intersect_nations",
+    "ud3_group_apply_rank",
+    "w1_previous_working_day",
+    "w5_lag_delta",
+    "w6_trailing_7day_sum",
+    # --- 50-slot boundary (3 touched + 1 new + 8 staples + 38 r5) ---
 ]
 
 

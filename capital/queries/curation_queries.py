@@ -535,3 +535,81 @@ def dedup_jaccard_fullrecall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_fullrecall_pairs(
         d, shingle_k=_PFX_K, threshold=_PFX_THRESHOLD
     )
+
+
+# --- incremental drift monitor (stored baseline + batch fold) -----------
+
+
+@query(
+    "drift_incremental_psi",
+    memoize=False,
+    oracle=f"""
+    WITH counts AS (
+      SELECT CAST(hour(CAST(ts AS TIMESTAMP)) AS VARCHAR) AS bin,
+             CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP)
+                                < TIMESTAMP '{_PSI_SPLIT}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+             CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP)
+                                >= TIMESTAMP '{_PSI_SPLIT}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+      FROM events GROUP BY 1),
+    t AS (
+      SELECT bin, n_ref, n_cur,
+             SUM(n_ref) OVER () AS tr, SUM(n_cur) OVER () AS tc,
+             COUNT(*) OVER () AS k
+      FROM counts)
+    SELECT bin, n_ref, n_cur,
+           round((n_ref + 0.5) / (tr + 0.5 * k), 6) AS p_ref,
+           round((n_cur + 0.5) / (tc + 0.5 * k), 6) AS p_cur,
+           round((round((n_cur + 0.5) / (tc + 0.5 * k), 6)
+                  - round((n_ref + 0.5) / (tr + 0.5 * k), 6))
+                 * ln(round((n_cur + 0.5) / (tc + 0.5 * k), 6)
+                      / round((n_ref + 0.5) / (tr + 0.5 * k), 6)), 6)
+             AS psi_term
+    FROM t
+    """,
+)
+def drift_incremental_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental PSI drift (round-9 streaming member of the drift
+    family): hour-of-day histogram of the reference period persisted
+    ONCE as a stored baseline (operators/drift.baseline_histogram —
+    the stored-index posture of llm/cdc.py), then the current period
+    folded as per-day micro-batch partial histograms exactly the way
+    ``streaming/incremental.psi_state_terms`` folds the streaming
+    state, and scored against the stored baseline. Real micro-batch
+    execution (foreachBatch, batch_id-partitioned convergent state,
+    replay idempotence) runs in tests/test_streaming.py; per-bin
+    terms are identical to batch psi_drift by the shared psi_terms
+    tail. The corpus is scanned once per period; everything after the
+    map-side-combined counts is K≈24 dimension rows."""
+    import os
+    import tempfile
+
+    from capital.operators.drift import (
+        baseline_histogram,
+        psi_counts_against_baseline,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    hour_bin = F.hour("ts").cast("string")
+    split = F.lit(_PSI_SPLIT).cast("timestamp")
+    # Stored baseline: fixed per-sf path + overwrite (the
+    # sim_ivf_stored_fullprobe convention — reruns reuse one dir).
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"capital_psi_baseline_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    baseline_histogram(e.filter(F.col("ts") < split), hour_bin).write.mode(
+        "overwrite"
+    ).parquet(path)
+    baseline = spark.read.parquet(path)
+    # Current period as per-day micro-batch partials, folded like the
+    # streaming state table (groupBy bin over per-batch histograms).
+    partials = (
+        e.filter(F.col("ts") >= split)
+        .select(hour_bin.alias("bin"), F.dayofmonth("ts").alias("batch_id"))
+        .groupBy("batch_id", "bin")
+        .agg(F.count(F.lit(1)).alias("n_cur"))
+    )
+    cur_counts = partials.groupBy("bin").agg(F.sum("n_cur").alias("n_cur"))
+    return psi_counts_against_baseline(cur_counts, baseline)

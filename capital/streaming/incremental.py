@@ -351,3 +351,75 @@ def stream_static_enrich(
     brz_kr_etf_daily.py:21-33).
     """
     return stream.join(F.broadcast(dim), on, how)
+
+
+def incremental_psi_run(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    bin_col,
+    state_dir: str,
+    checkpoint_dir: str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Incremental PSI drift monitor, state-update half: each
+    micro-batch's bin histogram lands in a ``batch_id=``-partitioned
+    state table; :func:`psi_state_terms` reads the accumulated state
+    against the STORED baseline (``operators/drift.baseline_histogram``,
+    persisted once — the growing-lake posture of the stored CDC/LSH
+    indexes in ``llm/cdc.py``: history is never re-scanned).
+
+    Exactly-once effect without a transactional sink: the per-batch
+    partial is written with dynamic partition OVERWRITE keyed on
+    ``batch_id`` (the ``incremental_partition_overwrite`` pattern), so
+    a replayed batch (crash between sink write and checkpoint commit)
+    rewrites its own partition to the same bytes instead of
+    double-counting — the counts stay convergent.
+
+    Scale: per-batch state is K bins (dimension-sized); the corpus is
+    scanned once per batch by the map-side-combined count. Reading the
+    whole state at query time touches batches × K tiny rows — at one
+    batch/hour for a decade that is still < 10⁶ rows.
+    """
+    b = F.col(bin_col) if isinstance(bin_col, str) else bin_col
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        counts = (
+            batch_df.select(b.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n_cur"))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        counts.write.mode("overwrite").partitionBy("batch_id").parquet(
+            state_dir
+        )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return (
+        reader.format(fmt)
+        .load(source_dir)
+        .writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def psi_state_terms(
+    spark: SparkSession, state_dir: str, baseline: DataFrame
+) -> DataFrame:
+    """Read half of the incremental PSI monitor: fold the
+    ``batch_id``-partitioned state histograms into one current-period
+    histogram and score it against the stored baseline. Identical
+    per-bin terms to batch ``psi_drift`` over the same rows — the
+    stream-vs-batch equality test pins that."""
+    from capital.operators.drift import psi_counts_against_baseline
+
+    state = spark.read.parquet(state_dir)
+    cur_counts = state.groupBy("bin").agg(
+        F.sum("n_cur").alias("n_cur")
+    )
+    return psi_counts_against_baseline(cur_counts, baseline)

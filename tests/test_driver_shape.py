@@ -18,13 +18,20 @@ and every oracle only signed-≤64-bit / non-HUGEINT DuckDB types.
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+import re
+
 import pytest
 from pyspark.sql import types as T
 
-from capital.queries import all_oracles, all_queries
+from capital.queries import _DRIVER_PRIORITY, all_oracles, all_queries
 
 _ORACLES = all_oracles()
 _QUERIES = all_queries()
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _BAD_DUCK_TYPES = {"HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT"}
 
@@ -46,6 +53,71 @@ def _is_bad_duck_type(t: object) -> bool:
             return True
         return precision > 18
     return False
+
+
+#: A query's driver evidence may be at most this many rounds old
+#: before the rotation MUST put it in the next gate's 50-slot window.
+#: 154 registered queries / 50 slots per round means a full rotation
+#: takes ~3 rounds; 4 leaves one round of scheduling slack.
+_MAX_EVIDENCE_AGE = 4
+_GATE_SLOTS = 50
+
+
+def _latest_green_rounds() -> tuple[int, dict[str, int]]:
+    """Latest hash-green driver round per query, from CORRECTNESS_r*.json."""
+    latest: dict[str, int] = {}
+    top = 0
+    for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        top = max(top, rnd)
+        with open(path) as fh:
+            try:
+                records = json.load(fh)
+            except ValueError:
+                continue
+        for name, rec in records.items():
+            if not isinstance(rec, dict):
+                continue
+            if rec.get("hash_match"):
+                latest[name] = max(latest.get(name, 0), rnd)
+    return top, latest
+
+
+def test_rotation_freshness():
+    """The round-8 stall: `_DRIVER_PRIORITY` wasn't rewritten, so the
+    gate re-verified 50 already-green queries while eight others aged
+    past four rounds unchecked. This pins the rotation contract: every
+    oracle-bearing query whose latest hash-green driver evidence is
+    `_MAX_EVIDENCE_AGE`-or-more rounds behind the newest CORRECTNESS
+    record (including never-checked new queries) must sit inside the
+    next gate's 50-slot window."""
+    top, latest = _latest_green_rounds()
+    if top == 0:
+        pytest.skip("no CORRECTNESS_r*.json records yet")
+    window = set(_DRIVER_PRIORITY[:_GATE_SLOTS])
+    # The window must be well-formed before it can be trusted.
+    assert len(_DRIVER_PRIORITY) == len(set(_DRIVER_PRIORITY)), (
+        "duplicate names in _DRIVER_PRIORITY waste gate slots"
+    )
+    unknown = [n for n in _DRIVER_PRIORITY if n not in _QUERIES]
+    assert not unknown, f"_DRIVER_PRIORITY names not registered: {unknown}"
+    stale = sorted(
+        name
+        for name in _ORACLES
+        # Upcoming gate is round top+1; a query left out of its window
+        # would reach evidence age (top + 1 - latest) — beyond the cap
+        # exactly when latest <= top - _MAX_EVIDENCE_AGE.
+        if latest.get(name, 0) <= top - _MAX_EVIDENCE_AGE
+        and name not in window
+    )
+    assert not stale, (
+        f"queries with driver evidence older than {_MAX_EVIDENCE_AGE} "
+        f"rounds are outside the next gate's {_GATE_SLOTS}-slot window: "
+        f"{stale} — rewrite _DRIVER_PRIORITY"
+    )
 
 
 @pytest.mark.parametrize("name", sorted(_ORACLES))
