@@ -139,6 +139,28 @@ def clear_engine_cache(spark: SparkSession) -> None:
     spark.catalog.clearCache()
 
 
+def plan_checkpointer(spark: SparkSession, checkpoint_dir: str | None):
+    """Plan-truncation strategy for iterative operators (connected
+    components, PageRank): returns a ``df -> df`` function.
+
+    ``checkpoint_dir=None`` → ``localCheckpoint`` (executor-local
+    blocks: fastest, but an executor loss mid-job loses the truncated
+    lineage AND the data — on a 1000-executor cluster a multi-hour
+    iteration dies with one machine). A reliable-storage directory
+    (HDFS/S3 path) → ``setCheckpointDir`` + ``checkpoint``: each
+    round's state survives executor churn, the reference's
+    Glue-bookmark restartability posture
+    (glue_job_scripts/industry_code_glue_job.py:26-31) applied to
+    iteration state. Output is bit-identical either way (tested);
+    only failure recovery differs. Checkpoint files accumulate per
+    round — point it at a job-scoped temp path and clean up after.
+    """
+    if checkpoint_dir is None:
+        return lambda df: df.localCheckpoint(eager=True)
+    spark.sparkContext.setCheckpointDir(checkpoint_dir)
+    return lambda df: df.checkpoint(eager=True)
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

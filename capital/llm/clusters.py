@@ -22,11 +22,12 @@ driver-side union-find over ``collect()``):
   contraction (Kiveris et al., "Connected Components in MapReduce and
   Beyond", SoCC 2014) bounds rounds at O(log² n); the per-round
   dataflow below is unchanged, only the message rule differs.
-- ``localCheckpoint`` truncates the plan each round: without it the
+- Checkpointing truncates the plan each round: without it the
   lineage doubles per iteration and Catalyst re-optimizes an
-  exponentially growing tree. On a real cluster use
-  ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` for
-  fault-tolerant truncation.
+  exponentially growing tree. Default is ``localCheckpoint``
+  (single-node fast path); pass ``checkpoint_dir=`` (HDFS/S3) for
+  reliable-storage truncation that survives executor loss
+  (``io.plan_checkpointer``).
 - Convergence is detected from ``sum(label)``: labels only ever
   decrease, so the sum is strictly monotone until fixpoint and one
   cheap scalar aggregate per round replaces a full old-vs-new diff.
@@ -49,13 +50,24 @@ def connected_components(
     vertices: DataFrame,
     id_col: str = "doc_id",
     max_rounds: int = MAX_ROUNDS,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Components of the undirected pair graph over all ``vertices``.
 
     ``pairs`` carries columns ``id_a``/``id_b``; ``vertices`` carries
     ``id_col`` (isolated vertices become singleton components). Returns
     ``(id_col, component_id)`` with ``component_id`` = min member id.
+
+    ``checkpoint_dir``: reliable-storage checkpoint path for the
+    per-round label state (``io.plan_checkpointer``) — on a real
+    cluster, pass an HDFS/S3 job dir so an executor loss mid-closure
+    resumes from the last round instead of killing the job; the
+    default ``localCheckpoint`` is the single-node fast path. Labels
+    are identical either way.
     """
+    from capital.io import plan_checkpointer
+
+    ckpt = plan_checkpointer(pairs.sparkSession, checkpoint_dir)
     fwd = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
@@ -70,11 +82,10 @@ def connected_components(
     # corpus-sized labels per iteration. Blocked near-dup graphs touch
     # a small fraction of the corpus; the loop below is pair-graph-sized
     # end to end, and the corpus is joined exactly once afterwards.
-    labels = (
+    labels = ckpt(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id").cast("long"))
-        .localCheckpoint(eager=True)
     )
 
     prev_sig = None
@@ -116,7 +127,7 @@ def connected_components(
                     F.col("label"), F.coalesce("__plabel", "label")
                 ).alias("label"),
             )
-        labels = hooked.localCheckpoint(eager=True)
+        labels = ckpt(hooked)
         sig = labels.agg(F.sum("label")).first()[0]
         if sig == prev_sig:
             converged = True

@@ -27,9 +27,12 @@ distributed PageRank step. ``localCheckpoint`` truncates the lineage
 per iteration (the connected-components lesson: an unrolled 5-join
 plan re-analyzes and re-optimizes the whole chain each action).
 
-Dangling nodes (no out-edges) leak their damped mass — the classic
-simplification; documented rather than redistributed, identical on
-both engines. Pass edges in BOTH directions for an undirected walk.
+Dangling nodes (no out-edges) leak their damped mass by default —
+identical on both engines, which keeps the unrolled SQL oracle
+simple; ``redistribute_dangling=True`` applies the canonical
+random-surfer fix in-plan (single-row pooled-mass broadcast, no
+per-iteration driver action). Pass edges in BOTH directions for an
+undirected walk.
 """
 
 from __future__ import annotations
@@ -44,6 +47,27 @@ def _round9_stable(col: Column) -> Column:
     return F.floor(col * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
 
 
+def _bytes_conf(spark, key: str, default: int) -> int:
+    """Parse a Spark size conf ('10MB', '10485760', '10485760b')."""
+    raw = str(spark.conf.get(key, str(default))).strip().lower()
+    units = {"k": 2**10, "m": 2**20, "g": 2**30, "t": 2**40}
+    if raw.endswith("b"):
+        raw = raw[:-1]
+    mult = 1
+    if raw and raw[-1] in units:
+        mult = units[raw[-1]]
+        raw = raw[:-1]
+    try:
+        return int(float(raw) * mult)
+    except ValueError:
+        return default
+
+
+#: Approximate bytes per rank-state row (long node id + double rank +
+#: row overhead) for the auto broadcast decision.
+_STATE_ROW_BYTES = 24
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 5,
@@ -51,7 +75,9 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     checkpoint: bool = True,
-    broadcast_state: bool = True,
+    broadcast_state: bool | None = None,
+    checkpoint_dir: str | None = None,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an edge list; returns
     ``(node, rank)`` with ranks rounded to 9 decimals.
@@ -61,25 +87,73 @@ def pagerank(
     fixed ``iterations`` (not a convergence test) keeps the operator
     a pure function of its input — reproducible and SQL-unrollable.
 
-    ``broadcast_state=True`` (default) broadcasts the node-sized rank
-    frame into each iteration's edge join, eliminating the edge-side
-    shuffle — measured 6.8 → 5.6 s at sf0.1, and at scale it is the
-    difference between shuffling the EDGE list K times and only
-    shuffling node-sized contributions. Rank state is 2 columns ×
-    nodes (a few GB even at 10⁸ nodes); set ``False`` for
-    billion-node graphs where it outgrows executor memory — the plan
-    degrades to a sort-merge join, output identical (tested)."""
+    ``broadcast_state`` picks the per-iteration join strategy; ranks
+    are identical either way (tested), only the plan differs:
+
+    - ``True``: broadcast the node-sized rank frame into each
+      iteration's edge join — the edge list NEVER shuffles. Wins when
+      state is broadcast-small: 6.8 → 5.6 s on the 16k-node sf0.1
+      trade graph (round 7).
+    - ``False``: shuffled join — the edge list shuffles K times. Wins
+      when state outgrows broadcast economics: 10.3 vs 17.4 s on a
+      1M-node / 4M-edge fixture (round 9, tools/pagerank_scale.py) —
+      shipping a 1M-row state to every task twice per iteration costs
+      more than the edge shuffle it saves at a 4:1 edge/node ratio.
+    - ``None`` (default): auto — broadcast iff estimated state bytes
+      (nodes × 24) fit ``spark.sql.autoBroadcastJoinThreshold``, the
+      same policy Catalyst applies to join sides; the node count the
+      algorithm needs anyway prices the decision, no extra job.
+
+    ``checkpoint_dir``: reliable-storage checkpoint path for the
+    per-iteration rank state (``io.plan_checkpointer``) — survives
+    executor loss on a real cluster; default ``localCheckpoint`` is
+    the single-node fast path. Ranks identical either way (tested).
+
+    ``redistribute_dangling=True`` closes the classic dangling-mass
+    leak: each iteration adds the dangling nodes' pooled damped mass
+    back uniformly, ``p_{k+1}(v) += d·(Σ_dangling p_k(u))/N`` — the
+    canonical random-surfer fix (Page et al. 1999 §2.6). Kept
+    in-plan: the pooled mass is a single-row aggregate cross-joined
+    onto the node-sized update (broadcast nested-loop on one row, the
+    engine's scalar-attach pattern), so no per-iteration driver
+    action and no edge-sized work. Stays integer-exact in nano-rank
+    units; the per-node share floors, so total mass is conserved to
+    < N nano-units per iteration (property-tested). Default ``False``
+    preserves the documented leak semantics the unrolled SQL oracle
+    pins."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    nodes = (
+    from capital.io import plan_checkpointer
+
+    ckpt = (
+        plan_checkpointer(edges.sparkSession, checkpoint_dir)
+        if checkpoint
+        else (lambda df: df)
+    )
+    nodes = ckpt(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    nodes = nodes.localCheckpoint(eager=True) if checkpoint else nodes
     n = nodes.count()
+    if broadcast_state is None:
+        threshold = _bytes_conf(
+            edges.sparkSession,
+            "spark.sql.autoBroadcastJoinThreshold",
+            10 * 2**20,
+        )
+        broadcast_state = threshold > 0 and n * _STATE_ROW_BYTES <= threshold
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    graph = e.join(outdeg, "src")
-    graph = graph.localCheckpoint(eager=True) if checkpoint else graph
+    graph = ckpt(e.join(outdeg, "src"))
+    dangling = None
+    if redistribute_dangling:
+        # Iteration-invariant dangling-node set (no out-edges).
+        dangling = ckpt(
+            nodes.join(
+                e.select(F.col("src").alias("node")).distinct(),
+                "node",
+                "left_anti",
+            )
+        )
 
     base = float(1.0 - damping) / n
     ranks = nodes.withColumn(
@@ -97,17 +171,33 @@ def pagerank(
         summed = contribs.groupBy("node").agg(F.sum("__c").alias("__s"))
         if broadcast_state:
             summed = F.broadcast(summed)
-        ranks = nodes.join(summed, "node", "left").select(
+        updated = nodes.join(summed, "node", "left")
+        recv_nano = F.coalesce(F.col("__s"), F.lit(0))
+        if redistribute_dangling:
+            # Pooled dangling mass this iteration, nano-exact: a
+            # single-row aggregate attached by broadcast cross join
+            # (Cross BroadcastNestedLoopJoin on one build row — the
+            # plan shape the engine's scalar-count attaches pin).
+            pool = ranks.join(dangling, "node", "left_semi").agg(
+                F.coalesce(
+                    F.sum(
+                        F.floor(F.col("rank") * F.lit(1e9) + F.lit(0.5))
+                    ),
+                    F.lit(0),
+                ).alias("__dang")
+            )
+            updated = updated.crossJoin(F.broadcast(pool))
+            recv_nano = recv_nano + F.floor(
+                F.col("__dang") / F.lit(float(n))
+            )
+        ranks = updated.select(
             "node",
             _round9_stable(
                 F.lit(base)
                 + F.lit(float(damping))
-                * (
-                    F.coalesce(F.col("__s"), F.lit(0)).cast("double")
-                    / F.lit(1e9)
-                )
+                * (recv_nano.cast("double") / F.lit(1e9))
             ).alias("rank"),
         )
         if checkpoint:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ckpt(ranks)
     return ranks

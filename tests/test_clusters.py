@@ -119,3 +119,27 @@ def test_nonconvergence_raises_not_silent(spark):
         # depth 63 needs ~log2(63)+1 ≈ 7 doubling rounds; 2 is too few
         # (1 round can't converge and round 2 can't detect fixpoint).
         connected_components(pairs, vertices, max_rounds=2)
+
+
+def test_connected_components_reliable_checkpoint_matches_local(
+    spark, tmp_path
+):
+    """checkpoint_dir= (reliable-storage truncation) must produce the
+    same labels as the localCheckpoint default."""
+    from capital.llm.clusters import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)] + [(1, 3), (5, 9), (20, 30)],
+        "id_a long, id_b long",
+    )
+    verts = spark.range(45).withColumnRenamed("id", "doc_id")
+    a = sorted(
+        tuple(r) for r in connected_components(pairs, verts).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in connected_components(
+            pairs, verts, checkpoint_dir=str(tmp_path / "cc_ckpt")
+        ).collect()
+    )
+    assert a == b

@@ -68,3 +68,79 @@ def test_pagerank_broadcast_and_shuffle_paths_identical(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_pagerank_reliable_checkpoint_matches_local(spark, tmp_path):
+    """checkpoint_dir= (reliable-storage truncation, the cluster
+    fault-tolerance mode) must produce bit-identical ranks to the
+    localCheckpoint default."""
+    pairs = [(f"n{i}", f"n{(i * 7) % 23}") for i in range(100)]
+    a = sorted(tuple(r) for r in pagerank(_edges(spark, pairs)).collect())
+    b = sorted(
+        tuple(r)
+        for r in pagerank(
+            _edges(spark, pairs), checkpoint_dir=str(tmp_path / "ckpt")
+        ).collect()
+    )
+    assert a == b
+
+
+def test_pagerank_dangling_redistribution_conserves_mass(spark):
+    """redistribute_dangling=True: total rank stays ~1 on a graph with
+    a directed sink (the leak the default mode documents), ordering
+    unchanged, and the redistribution is uniform — every node gains
+    the same share."""
+    pairs = [("a", "sink"), ("b", "sink"), ("a", "b"), ("b", "a")]
+    leaky = {
+        r.node: r.rank for r in pagerank(_edges(spark, pairs)).collect()
+    }
+    fixed = {
+        r.node: r.rank
+        for r in pagerank(
+            _edges(spark, pairs), redistribute_dangling=True
+        ).collect()
+    }
+    assert sum(leaky.values()) < 0.95  # the documented leak
+    # Conservation: nano-floor loses < N nano-units per iteration.
+    assert abs(sum(fixed.values()) - 1.0) < 1e-5
+    # Importance ordering preserved; every rank strictly gained.
+    assert fixed["sink"] > fixed["a"] == fixed["b"]
+    assert all(fixed[k] > leaky[k] for k in leaky)
+
+
+def test_pagerank_no_dangling_redistribution_is_noop(spark):
+    """On a graph with no dangling nodes the redistribution term is
+    exactly zero — both modes bit-identical."""
+    pairs = [("a", "b"), ("b", "c"), ("c", "a")]
+    a = sorted(tuple(r) for r in pagerank(_edges(spark, pairs)).collect())
+    b = sorted(
+        tuple(r)
+        for r in pagerank(
+            _edges(spark, pairs), redistribute_dangling=True
+        ).collect()
+    )
+    assert a == b
+
+
+def test_pagerank_auto_state_mode_follows_broadcast_threshold(spark):
+    """broadcast_state=None (default) prices the decision like
+    Catalyst: small state → broadcast join in the iteration plan;
+    with the broadcast threshold squeezed below the state size the
+    auto mode must fall back to the shuffled join."""
+    pairs = [(f"n{i}", f"n{(i * 7) % 23}") for i in range(100)]
+    e = _edges(spark, pairs)
+
+    def _plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    assert "BroadcastHashJoin" in _plan(
+        pagerank(e, iterations=1, checkpoint=False)
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64")
+        assert "BroadcastHashJoin" not in _plan(
+            pagerank(e, iterations=1, checkpoint=False)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
