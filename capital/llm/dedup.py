@@ -725,7 +725,9 @@ def jaccard_fullrecall_pairs(
     shingles (doc frequencies) → 1 window on doc id (prefix rank) →
     the chunked candidate join on prefix tokens → 2 id joins for the
     verify. Candidate volume is the prefix-collision count — for
-    rare-first ordering, orders of magnitude under n²/2.
+    rare-first ordering, orders of magnitude under n²/2 — further cut
+    by the PPJoin length filter (τ·max(|A|,|B|) ≤ min(|A|,|B|),
+    exact integers) before the dedup shuffle and verify joins.
     """
     from fractions import Fraction
 
@@ -756,13 +758,26 @@ def jaccard_fullrecall_pairs(
         tok.join(dfreq, "__s")
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= F.col("__sz") - ceil_tau_sz + 1)
-        .select(F.col(id_col), "__s")
+        .select(F.col(id_col), "__s", "__sz")
     )
     # Persist before the chunked join's eager skew probe (its first
     # pass would otherwise re-run the explode+freq-join+window).
     prefix = scoped_persist(prefix, scope)
+    # PPJoin length filter (round 9): J(A,B) ≥ τ forces
+    # τ·max(|A|,|B|) ≤ min(|A|,|B|) — J ≤ min/max always — so a
+    # size-mismatched prefix collision can be dropped BEFORE the
+    # candidate dedup shuffle and the shingle-array verify joins.
+    # Exact integer form (den·min ≥ num·max): no float ceil to erode
+    # the zero-false-negative guarantee. __sz rides the chunked join
+    # as a 1-int payload per side — unlike the round-5/6 negative
+    # payload-carry results this does not REPLACE the ids-only dedup,
+    # it shrinks the dedup's input.
     cand = (
-        chunked_pair_join(prefix, ["__s"], id_col)
+        chunked_pair_join(prefix, ["__s"], id_col, payload_cols=["__sz"])
+        .filter(
+            F.lit(den) * F.least("__sz_a", "__sz_b")
+            >= F.lit(num) * F.greatest("__sz_a", "__sz_b")
+        )
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
