@@ -188,39 +188,73 @@ def lsh_bucket_topk(
     vec_col: str = "embedding",
     n_planes: int = 8,
     dim: int = 64,
+    n_tables: int = 1,
+    seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: compare only within sign-LSH buckets.
 
     With 8 planes the corpus splits into ≤256 buckets → ~256× fewer
     comparisons at equal recall for clustered data. Queries hash with
     the same plane family, then join on the bucket key.
-    """
+
+    ``n_tables`` > 1 turns on OR-amplification (the Indyk–Motwani
+    multi-table construction): L independent plane families, a
+    candidate collides if it shares a bucket in ANY table —
+    ``P(hit) = 1 − (1 − p^b)^L`` with ``p = 1 − θ/π`` per plane, so
+    recall climbs toward 1 while per-table comparison savings stay.
+    Corpus and queries each explode to L ``(table, bucket)`` rows
+    (the corpus is hashed L times in one narrow pass — no extra
+    scans); candidates dedup on the id pair BEFORE scoring so a
+    multi-table collision scores exactly once. Recall-vs-bruteforce
+    at realistic settings is pinned by tests/test_lsh_recall.py
+    against the analytic expectation."""
     from capital.io import parallelize_narrow
 
-    planes = hyperplanes(dim, n_planes)
     corpus = parallelize_narrow(corpus)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        _norm(F.col(vec_col)).alias("c_norm"),
-        sign_lsh_key(vec_col, planes).alias("bucket"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        _norm(F.col(vec_col)).alias("q_norm"),
-        sign_lsh_key(vec_col, planes).alias("bucket"),
-    )
-    scored = (
-        c.join(F.broadcast(q), "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine_sim",
-            cosine_with_norms(
-                F.col("q_vec"), F.col("c_vec"),
-                F.col("q_norm"), F.col("c_norm"),
-            ),
+    families = [
+        hyperplanes(dim, n_planes, seed=seed + 7919 * t)
+        for t in range(n_tables)
+    ]
+
+    def _keyed(df: DataFrame, idc: str, side: str) -> DataFrame:
+        base = df.select(
+            F.col(id_col).alias(idc),
+            F.col(vec_col).alias(f"{side}_vec"),
+            _norm(F.col(vec_col)).alias(f"{side}_norm"),
+            *[
+                sign_lsh_key(vec_col, fam).alias(f"__b{t}")
+                for t, fam in enumerate(families)
+            ],
         )
+        if n_tables == 1:
+            return base.withColumnRenamed("__b0", "bucket").withColumn(
+                "table_id", F.lit(0)
+            )
+        return base.select(
+            idc,
+            f"{side}_vec",
+            f"{side}_norm",
+            F.posexplode(
+                F.array(*[F.col(f"__b{t}") for t in range(n_tables)])
+            ).alias("table_id", "bucket"),
+        )
+
+    c = _keyed(corpus, "neighbor_id", "c")
+    q = _keyed(queries, "query_id", "q")
+    cand = c.join(F.broadcast(q), ["table_id", "bucket"]).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    if n_tables > 1:
+        # A pair colliding in several tables scores once: payloads
+        # are functionally dependent on the ids, so keep-any is
+        # deterministic.
+        cand = cand.dropDuplicates(["query_id", "neighbor_id"])
+    scored = cand.withColumn(
+        "cosine_sim",
+        cosine_with_norms(
+            F.col("q_vec"), F.col("c_vec"),
+            F.col("q_norm"), F.col("c_norm"),
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
