@@ -49,6 +49,10 @@ ENGINE_CONF: dict[str, str] = {
     # --- python boundary ---
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Engine-driven filter pushdown into Python DataSources (Spark
+    # 4.1 pushFilters — the page_json source prunes page partitions
+    # from query predicates). Off by default upstream; runtime-safe.
+    "spark.sql.python.filterPushdown.enabled": "true",
     # --- noise reduction ---
     "spark.ui.showConsoleProgress": "false",
 }
@@ -155,6 +159,7 @@ def tune_existing(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.enabled",
         "spark.sql.execution.arrow.pyspark.enabled",
         "spark.sql.legacy.parquet.nanosAsLong",
+        "spark.sql.python.filterPushdown.enabled",
     ):
         spark.conf.set(key, ENGINE_CONF[key])
     return spark

@@ -214,26 +214,124 @@ try:  # Python DataSource API (Spark >= 4); gate for older runtimes.
     @dataclass
     class _PagePartition(InputPartition):
         path: str
+        page: int
 
     class _PageJsonReader(DataSourceReader):
+        """One page file → one partition, with ENGINE-DRIVEN filter
+        pushdown on the ``page`` column (Spark 4.1
+        ``DataSourceReader.pushFilters``): a query filter like
+        ``page BETWEEN 3 AND 7`` or ``page IN (2, 5)`` prunes the
+        partition list itself, so unneeded pages are never fetched —
+        the reference's ranged chart URLs
+        (dags/brz_bonds_daily/extractors.py:32), driven by the
+        OPTIMIZER instead of a source option. ALL filters —
+        including the pruning ones — are returned for Spark to
+        re-evaluate post-scan, so pruning is never a correctness
+        dependency within a planned scan.
+
+        Known upstream lifecycle hazard (pinned by
+        ``test_page_json_datasource_filter_pushdown_prunes_pages``):
+        Spark 4.1 caches one plan-read info per loaded relation and
+        only regenerates it when a scan carries pushable filters — a
+        FILTERLESS scan of a DataFrame whose previous scan was
+        filtered silently reuses the pruned partition list (and the
+        cached plan has no filter node to compensate). Filtered
+        scans always re-plan and are always correct. Until fixed
+        upstream, re-``load()`` per logical query when mixing
+        filtered and unfiltered scans (the
+        :func:`read_page_json` helper does exactly that)."""
+
         def __init__(self, options: dict) -> None:
             self.dir = options["path"]
             self.n_pages = int(options.get("pages", "1"))
+            self._lo = 0
+            self._hi = self.n_pages - 1
+            self._members: set[int] | None = None
+
+        def pushFilters(self, filters):  # noqa: ANN001 - Spark contract
+            from pyspark.sql.datasource import (
+                EqualTo,
+                GreaterThan,
+                GreaterThanOrEqual,
+                In,
+                LessThan,
+                LessThanOrEqual,
+            )
+
+            # Lifecycle defense (found by the garbage-page negative
+            # control): Spark keeps ONE live reader per loaded
+            # DataFrame and only calls pushFilters when a scan HAS
+            # pushable filters — a later filterless scan would
+            # silently inherit this scan's narrowed state. Two
+            # rules make that impossible to turn into wrong rows:
+            # (1) EVERY filter is yielded back, so Spark re-applies
+            # page predicates post-scan and pruning stays a pure
+            # optimization; (2) partitions() resets the narrowing
+            # after use, so a scan that skipped pushFilters reads
+            # the full range. The worst stale-state outcome is
+            # reading extra pages whose rows Spark then filters out.
+            self._reset()
+            for f in filters:
+                attr = getattr(f, "attribute", None)
+                val = getattr(f, "value", None)
+                if attr == ("page",) and not isinstance(val, bool):
+                    if isinstance(f, EqualTo) and isinstance(val, int):
+                        self._lo = max(self._lo, val)
+                        self._hi = min(self._hi, val)
+                    elif isinstance(f, GreaterThan) and isinstance(val, int):
+                        self._lo = max(self._lo, val + 1)
+                    elif isinstance(f, GreaterThanOrEqual) and isinstance(
+                        val, int
+                    ):
+                        self._lo = max(self._lo, val)
+                    elif isinstance(f, LessThan) and isinstance(val, int):
+                        self._hi = min(self._hi, val - 1)
+                    elif isinstance(f, LessThanOrEqual) and isinstance(
+                        val, int
+                    ):
+                        self._hi = min(self._hi, val)
+                    elif isinstance(f, In) and all(
+                        isinstance(v, int) and not isinstance(v, bool)
+                        for v in val
+                    ):
+                        members = set(val)
+                        self._members = (
+                            members
+                            if self._members is None
+                            else self._members & members
+                        )
+                yield f
+
+        def _reset(self) -> None:
+            self._lo = 0
+            self._hi = self.n_pages - 1
+            self._members = None
 
         def partitions(self) -> Sequence[InputPartition]:
-            # One page file → one partition: executors fetch pages in
-            # parallel, the planner prunes pages if options narrow the
-            # range (predicate pushdown hook for ranged URLs).
+            pages = [
+                i
+                for i in range(
+                    max(self._lo, 0), min(self._hi, self.n_pages - 1) + 1
+                )
+                if self._members is None or i in self._members
+            ]
+            self._reset()
             return [
-                _PagePartition(f"{self.dir}/page_{i}.json")
-                for i in range(self.n_pages)
+                _PagePartition(f"{self.dir}/page_{i}.json", i)
+                for i in pages
             ]
 
         def read(self, partition: _PagePartition) -> Iterator[tuple]:
             with open(partition.path, encoding="utf-8") as f:
                 payload = json.load(f)
             for rec in payload.get("items", []):
-                yield tuple(rec.get(name) for name in self._field_names)
+                # 'page' is partition metadata, not payload: populate
+                # it from the partition so pushed predicates and the
+                # column agree.
+                yield tuple(
+                    partition.page if name == "page" else rec.get(name)
+                    for name in self._field_names
+                )
 
         # populated by PageJsonDataSource.reader()
         _field_names: list[str] = []
@@ -257,7 +355,26 @@ try:  # Python DataSource API (Spark >= 4); gate for older runtimes.
             r._field_names = [f.name for f in schema.fields]
             return r
 
+    def read_page_json(
+        spark: SparkSession,
+        path: str,
+        pages: int,
+        schema_ddl: str = "item_code string, item_name string, page int",
+    ) -> DataFrame:
+        """Fresh ``page_json`` relation per call — the safe entry
+        point while the upstream filterless-scan cache reuse stands
+        (see ``_PageJsonReader``). Register ``PageJsonDataSource``
+        once per session before calling."""
+        return (
+            spark.read.format("page_json")
+            .option("path", path)
+            .option("pages", str(pages))
+            .option("schemaDDL", schema_ddl)
+            .load()
+        )
+
     HAS_PYTHON_DATASOURCE = True
 except ImportError:  # pragma: no cover - Spark < 4 fallback
     HAS_PYTHON_DATASOURCE = False
     PageJsonDataSource = None  # type: ignore[assignment]
+    read_page_json = None  # type: ignore[assignment]

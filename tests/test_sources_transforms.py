@@ -136,6 +136,70 @@ def test_page_json_datasource(spark, tmp_path):
     assert df.rdd.getNumPartitions() == 3
 
 
+@pytest.mark.skipif(not HAS_PYTHON_DATASOURCE, reason="Spark<4")
+def test_page_json_datasource_filter_pushdown_prunes_pages(
+    spark, tmp_path
+):
+    """Engine-driven pushdown (Spark 4.1 pushFilters): a page-range
+    predicate must prune the PARTITION LIST, not just filter rows —
+    proven by making the pruned pages unreadable garbage: if the
+    scan touched them, json.load would throw."""
+    for i in (2, 3):
+        (tmp_path / f"page_{i}.json").write_text(
+            json.dumps({"items": [
+                {"item_code": f"{i}{j}", "item_name": f"n{i}{j}"}
+                for j in range(4)
+            ]}),
+            encoding="utf-8",
+        )
+    for i in (0, 1, 4):
+        (tmp_path / f"page_{i}.json").write_text("NOT JSON {{{")
+    spark.dataSource.register(PageJsonDataSource)
+    df = (
+        spark.read.format("page_json")
+        .option("path", str(tmp_path))
+        .option("pages", "5")
+        .option(
+            "schemaDDL", "item_code string, item_name string, page int"
+        )
+        .load()
+    )
+    from pyspark.sql import functions as F
+
+    ranged = df.filter((F.col("page") >= 2) & (F.col("page") < 4))
+    rows = ranged.collect()
+    assert len(rows) == 8
+    assert {r.page for r in rows} == {2, 3}
+    assert ranged.rdd.getNumPartitions() == 2  # pruned, not filtered
+
+    # IN-list pruning + residual filters stay with Spark post-scan.
+    picked = df.filter(
+        F.col("page").isin(2, 3) & (F.col("item_code") == "23")
+    )
+    assert [r.item_code for r in picked.collect()] == ["23"]
+
+    # Unfiltered read of a FRESH relation must fail on the garbage
+    # pages — the proof that the pruned plans above never opened
+    # them (and that pruning state never leaks into a new load).
+    from capital.sources.rest import read_page_json
+
+    fresh = read_page_json(
+        spark, str(tmp_path), 5,
+        "item_code string, item_name string, page int",
+    )
+    with pytest.raises(Exception):
+        fresh.count()
+
+    # KNOWN UPSTREAM ISSUE (documented in _PageJsonReader): a
+    # filterless re-scan of the SAME loaded relation reuses the last
+    # filtered scan's cached read info instead of re-planning — it
+    # sees only the previously pruned pages (which is also why it
+    # does not raise on the garbage). Pinned so an upstream fix
+    # (this count() raising / returning all pages) flips the test
+    # and the workaround docs can be retired.
+    assert df.count() == 8
+
+
 def test_html_table_source_first_wins(spark):
     html = """
     <html><body><table>
