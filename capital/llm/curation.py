@@ -156,3 +156,85 @@ def capped_per_source(
         .filter(F.col("cap_rank") <= cap)
         .select(source_col, id_col, "cap_rank")
     )
+
+
+#: Gopher document-quality rules (Rae et al. 2021, Appendix A1.1),
+#: scoped to document granularity (the synthetic corpus has no line
+#: structure, so the two line-level rules — bullet starts, ellipsis
+#: ends — are out of scope here). Constants are shared verbatim with
+#: the oracle SQL.
+GOPHER_RULES = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_ratio": 0.1,   # '#' or '...' per word
+    "min_alpha_word_ratio": 0.8,
+    "min_required_stopwords": 2,
+}
+
+#: The paper's required-stopword set.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    rules: dict | None = None,
+) -> DataFrame:
+    """Per-document Gopher rule signals + the composed ``keep`` gate.
+
+    All five signals are narrow single-pass column expressions over
+    the raw text — no explode, no shuffle; the only higher-order op
+    is a linear per-token filter (interpreted but O(tokens), the
+    allowed regime). ``sum(len(token))`` uses the closed form
+    ``len(text minus whitespace)``, which equals the token-length sum
+    exactly under the engine's whitespace split (and keeps the
+    empty-text ``[""]`` convention consistent on both engines).
+
+    At 100 TB this is the cheapest gate in the funnel: fuse it into
+    the scan ahead of the dedup/LSH tiers so the quadratic stages
+    never see documents the rules reject.
+    """
+    from capital.llm.text import round6_stable, tokens
+
+    r = dict(GOPHER_RULES)
+    if rules:
+        r.update(rules)
+    text = F.col(text_col)
+    toks = tokens(text)
+    n_words = F.size(toks)
+    char_sum = F.length(F.regexp_replace(text, r"\s+", ""))
+    mean_wl = char_sum / F.greatest(n_words, F.lit(1))
+    n_symbols = F.size(
+        F.split(text, r"#", -1)
+    ) - 1 + F.size(F.split(text, r"\.\.\.", -1)) - 1
+    symbol_ratio = n_symbols / F.greatest(n_words, F.lit(1))
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    alpha_ratio = n_alpha / F.greatest(n_words, F.lit(1))
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+    keep = (
+        (n_words >= r["min_words"])
+        & (n_words <= r["max_words"])
+        & (mean_wl >= r["min_mean_word_len"])
+        & (mean_wl <= r["max_mean_word_len"])
+        & (symbol_ratio <= r["max_symbol_ratio"])
+        & (alpha_ratio >= r["min_alpha_word_ratio"])
+        & (n_stop >= r["min_required_stopwords"])
+    )
+    # round6_stable, not round(): the ratios are exact-integer
+    # divisions, bit-identical across engines, so a half-way decimal
+    # boundary would expose the engines' round() disagreement.
+    return (
+        df.withColumn("n_words", n_words)
+        .withColumn("mean_word_len", round6_stable(mean_wl))
+        .withColumn("symbol_ratio", round6_stable(symbol_ratio))
+        .withColumn("alpha_word_ratio", round6_stable(alpha_ratio))
+        .withColumn("n_required_stopwords", n_stop)
+        .withColumn("gopher_keep", keep)
+    )

@@ -73,6 +73,7 @@ _DRIVER_PRIORITY = [
     "dedup_clusters",
     # --- new round-9 queries ---
     "drift_incremental_psi",
+    "cur_gopher_rules",
     # --- the eight r4-evidence staples (round-7/8 verdict ask #2) ---
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -82,8 +83,9 @@ _DRIVER_PRIORITY = [
     "text_df_boilerplate",
     "approx_distinct_parts",
     "w1b_previous_open_day_merged",
-    # --- latest evidence r5 (38 of 48; the nine continuously-benched
-    # members wait one round and lead round 10) ---
+    # --- latest evidence r5 (37 of 48; the ten continuously-benched
+    # members — incl. text_bigram_logprob, displaced for the second
+    # new round-9 query — wait one round and lead round 10) ---
     "a7_distinct_agg",
     "cal_dim_calendar",
     "dedup_exact_spans",
@@ -113,7 +115,6 @@ _DRIVER_PRIORITY = [
     "q4_order_priority",
     "q7_volume_shipping",
     "q9_product_profit",
-    "text_bigram_logprob",
     "text_tfidf_stats",
     "u1_union_distinct_nations",
     "u2_union_all_pages",
@@ -122,7 +123,7 @@ _DRIVER_PRIORITY = [
     "w1_previous_working_day",
     "w5_lag_delta",
     "w6_trailing_7day_sum",
-    # --- 50-slot boundary (3 touched + 1 new + 8 staples + 38 r5) ---
+    # --- 50-slot boundary (3 touched + 2 new + 8 staples + 37 r5) ---
 ]
 
 

@@ -613,3 +613,85 @@ def drift_incremental_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cur_counts = partials.groupBy("bin").agg(F.sum("n_cur").alias("n_cur"))
     return psi_counts_against_baseline(cur_counts, baseline)
+
+
+# --- Gopher document-quality rules (Rae et al. 2021, A1.1) --------------
+
+
+#: Corpus-calibrated overrides (the production posture: rule
+#: constants are calibrated per corpus once, then applied as
+#: constants). The paper defaults reject 100% of the synthetic
+#: corpus (docs run 10–99 words and its vocabulary contains only
+#: 'the' from the required-stopword set) — a vacuous gate pins no
+#: real branch coverage, so the QUERY gates at the calibrated
+#: values while the operator keeps the paper defaults.
+_GOPHER_OVERRIDES = {"min_words": 30, "min_required_stopwords": 1}
+
+
+def _gopher_oracle() -> str:
+    from capital.llm.curation import GOPHER_RULES
+    from capital.llm.curation import GOPHER_STOPWORDS
+
+    R = dict(GOPHER_RULES)
+    R.update(_GOPHER_OVERRIDES)
+    stoplist = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    return rf"""
+    WITH base AS (
+      SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS toks,
+             length(regexp_replace(text, '\s+', '', 'g')) AS char_sum,
+             len(string_split(text, '#')) - 1
+               + len(string_split_regex(text, '\.\.\.')) - 1 AS n_symbols,
+             text
+      FROM documents),
+    sig AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             char_sum / greatest(len(toks), 1) AS mean_wl,
+             n_symbols / greatest(len(toks), 1) AS symbol_ratio,
+             len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]')))
+               / greatest(len(toks), 1) AS alpha_ratio,
+             len(list_filter([{stoplist}],
+                             w -> list_contains(toks, w))) AS n_stop
+      FROM base)
+    SELECT doc_id,
+           CAST(n_words AS INTEGER) AS n_words,
+           floor(mean_wl * 1000000.0 + 0.5) / 1000000.0
+             AS mean_word_len,
+           floor(symbol_ratio * 1000000.0 + 0.5) / 1000000.0
+             AS symbol_ratio,
+           floor(alpha_ratio * 1000000.0 + 0.5) / 1000000.0
+             AS alpha_word_ratio,
+           CAST(n_stop AS INTEGER) AS n_required_stopwords,
+           (n_words >= {R["min_words"]} AND n_words <= {R["max_words"]}
+            AND mean_wl >= {R["min_mean_word_len"]!r}
+            AND mean_wl <= {R["max_mean_word_len"]!r}
+            AND symbol_ratio <= {R["max_symbol_ratio"]!r}
+            AND alpha_ratio >= {R["min_alpha_word_ratio"]!r}
+            AND n_stop >= {R["min_required_stopwords"]}) AS gopher_keep
+    FROM sig
+    """
+
+
+@query("cur_gopher_rules", oracle=_gopher_oracle())
+def cur_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021, A1.1) as one
+    narrow single-pass gate (llm/curation.gopher_quality_flags):
+    word-count bounds, mean-word-length bounds, symbol-to-word ratio,
+    alphabetic-word ratio, required-stopword presence, and the
+    composed keep flag. The cheapest funnel stage — fuse ahead of
+    the dedup tiers so quadratic stages never see rejected docs."""
+    from capital.llm.curation import gopher_quality_flags
+
+    d = load_table(spark, sf_dir, "documents")
+    return gopher_quality_flags(d, rules=_GOPHER_OVERRIDES).select(
+        "doc_id",
+        F.col("n_words").cast("int").alias("n_words"),
+        "mean_word_len",
+        "symbol_ratio",
+        "alpha_word_ratio",
+        F.col("n_required_stopwords").cast("int").alias(
+            "n_required_stopwords"
+        ),
+        "gopher_keep",
+    )

@@ -281,3 +281,41 @@ def test_jaccard_fullrecall_exact_prefix_arithmetic(spark):
     ).collect()
     # shingles: a has 5, b has 5, shared 4 -> J = 4/6 = 0.666... >= 0.6
     assert len(out) == 1 and out[0].jaccard >= 0.6
+
+
+def test_gopher_rules_paper_defaults_and_overrides(spark):
+    """Paper-default rules vs corpus-calibrated overrides; signal
+    arithmetic on hand-built docs, including the closed-form
+    token-length sum under multi-space text and the empty-text
+    [''] convention."""
+    from capital.llm.curation import gopher_quality_flags
+
+    good = "the " + " ".join(f"word{i:02d}" for i in range(60))
+    df = spark.createDataFrame(
+        [
+            (1, good),                      # 61 words, has 'the'
+            (2, "short  text   here"),      # 3 words, multi-space
+            (3, ""),                        # empty -> [''] one token
+            (4, "### ... " + good),         # symbols
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gopher_quality_flags(df).collect()}
+    assert out[1].n_words == 61
+    assert out[1].n_required_stopwords == 1
+    # closed form: len('the')+60*len('wordNN') over 61 words
+    assert out[1].mean_word_len == round((3 + 60 * 6) / 61, 6)
+    assert out[2].n_words == 3
+    assert not out[2].gopher_keep  # under min_words
+    assert out[3].n_words == 1 and out[3].mean_word_len == 0.0
+    assert out[4].symbol_ratio > 0
+    # paper default needs >= 2 required stopwords: doc 1 fails on
+    # that alone; the calibrated override keeps it.
+    assert not out[1].gopher_keep
+    relaxed = {
+        r.doc_id: r
+        for r in gopher_quality_flags(
+            df, rules={"min_required_stopwords": 1}
+        ).collect()
+    }
+    assert relaxed[1].gopher_keep
