@@ -826,3 +826,110 @@ def jaccard_fullrecall_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def substring_dup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """MAXIMAL duplicated token spans per document — the rolling
+    (stride-1) member of the exact-substring dedup family (Lee et
+    al., ACL 2022: suffix arrays find maximal repeats; a duplicated
+    substring of ≥ ``window_tokens`` tokens appears as a RUN of
+    consecutive duplicated windows, so merging adjacent duplicated
+    positions reconstructs the maximal spans at window resolution).
+    Complements :func:`span_dedup_stats` (tiled windows, which miss
+    repeats straddling tile boundaries) and the CDC chunk tier
+    (shift-robust, but chunk-granular).
+
+    Returns one row per document:
+    ``(id, n_tokens, n_dup_windows, n_dup_spans, dup_tokens,
+    dup_frac)`` where ``dup_tokens`` is the union length of the
+    merged spans and ``dup_frac`` its share of the document — the
+    gate signal (Lee et al. drop or trim docs past a threshold).
+
+    Shape at scale: stride-1 window explode (n rows per doc — the
+    same order as every shingle pipeline here) → ONE corpus-wide
+    count aggregate (map-side combined, boilerplate windows collapse
+    per partition before the exchange) → join back filtered to
+    duplicated windows only (hot windows never fan out: the filter
+    precedes the join) → per-doc sort-free island merge (one window
+    function partitioned by doc, bounded by doc length). Positions
+    whose gap exceeds ``window_tokens`` start a new island; a gap
+    ≤ ``window_tokens`` keeps coverage contiguous, so island length
+    is exactly ``max_pos − min_pos + window_tokens``.
+    """
+    from capital.io import parallelize_narrow
+    from capital.llm.text import round6_stable
+
+    L = window_tokens
+    toks = tokens(normalized(F.col(text_col)))
+    n = F.size(toks)
+    width = F.greatest(n - F.lit(L - 1), F.lit(0))
+    z = F.arrays_zip(
+        *[F.slice(toks, i + 1, width).alias(f"t{i}") for i in range(L)]
+    )
+    base = parallelize_narrow(df).select(
+        F.col(id_col), n.alias("__n"), z.alias("__z")
+    )
+    wins = base.select(
+        F.col(id_col),
+        "__n",
+        F.posexplode("__z").alias("__pos0", "__s"),
+    ).select(
+        F.col(id_col),
+        "__n",
+        (F.col("__pos0") + 1).alias("__pos"),
+        F.concat_ws(
+            " ", *[F.col(f"__s.t{i}") for i in range(L)]
+        ).alias("__gram"),
+    )
+    counts = wins.groupBy("__gram").agg(F.count(F.lit(1)).alias("__cnt"))
+    dup_pos = wins.join(
+        counts.filter(F.col("__cnt") >= min_occurrences), "__gram"
+    ).select(F.col(id_col), "__pos")
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    islands = (
+        dup_pos.withColumn(
+            "__new",
+            F.when(
+                F.col("__pos") - F.lag("__pos").over(w) > L, 1
+            ).otherwise(F.when(F.lag("__pos").over(w).isNull(), 1).otherwise(0)),
+        )
+        .withColumn(
+            "__island",
+            F.sum("__new").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy(id_col, "__island")
+        .agg(
+            F.count(F.lit(1)).alias("__wins"),
+            (
+                F.max("__pos") - F.min("__pos") + F.lit(L)
+            ).alias("__span_len"),
+        )
+    )
+    per_doc = islands.groupBy(id_col).agg(
+        F.sum("__wins").alias("n_dup_windows"),
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum("__span_len").alias("dup_tokens"),
+    )
+    return (
+        df.select(F.col(id_col), n.alias("n_tokens"))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            round6_stable(
+                F.coalesce("dup_tokens", F.lit(0))
+                / F.greatest("n_tokens", F.lit(1))
+            ).alias("dup_frac"),
+        )
+    )

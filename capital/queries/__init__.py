@@ -74,6 +74,7 @@ _DRIVER_PRIORITY = [
     # --- new round-9 queries ---
     "drift_incremental_psi",
     "cur_gopher_rules",
+    "dedup_substring_spans",
     # --- the eight r4-evidence staples (round-7/8 verdict ask #2) ---
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -83,13 +84,13 @@ _DRIVER_PRIORITY = [
     "text_df_boilerplate",
     "approx_distinct_parts",
     "w1b_previous_open_day_merged",
-    # --- latest evidence r5 (37 of 48; the ten continuously-benched
-    # members — incl. text_bigram_logprob, displaced for the second
-    # new round-9 query — wait one round and lead round 10) ---
+    # --- latest evidence r5 (36 of 48; the twelve continuously-
+    # benched members — incl. text_bigram_logprob and
+    # dedup_fuzzy_fullrecall, displaced for the new round-9 queries —
+    # wait one round and lead round 10) ---
     "a7_distinct_agg",
     "cal_dim_calendar",
     "dedup_exact_spans",
-    "dedup_fuzzy_fullrecall",
     "dedup_fuzzy_keys",
     "dedup_incremental_probe",
     "dedup_minhash_verified",
@@ -123,7 +124,7 @@ _DRIVER_PRIORITY = [
     "w1_previous_working_day",
     "w5_lag_delta",
     "w6_trailing_7day_sum",
-    # --- 50-slot boundary (3 touched + 2 new + 8 staples + 37 r5) ---
+    # --- 50-slot boundary (3 touched + 3 new + 8 staples + 36 r5) ---
 ]
 
 

@@ -1700,3 +1700,72 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(
         d, chunk_tokens=_CHUNK_TOKENS, overlap=_CHUNK_OVERLAP
     )
+
+
+# --- maximal duplicated substring spans (Lee et al. 2022) ---------------
+
+_SUBSTR_L = 8       # rolling window length (tokens)
+_SUBSTR_MIN = 2     # corpus-wide occurrences to count as duplicated
+
+
+def _substring_spans_oracle() -> str:
+    L, M = _SUBSTR_L, _SUBSTR_MIN
+    return rf"""
+    WITH base AS (
+      SELECT doc_id,
+             string_split_regex(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+               '\s+') AS toks
+      FROM documents),
+    g AS (
+      SELECT doc_id, i AS pos,
+             list_aggr(toks[i:i+{L}-1], 'string_agg', ' ') AS gram
+      FROM base,
+           unnest(range(1, greatest(len(toks)-{L}+1, 0)+1)) AS t(i)),
+    c AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= {M}),
+    dp AS (SELECT doc_id, pos FROM g JOIN c USING (gram)),
+    marked AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL
+                    OR pos - lag(pos) OVER w > {L} THEN 1 ELSE 0 END
+               AS new_island
+      FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    numbered AS (
+      SELECT doc_id, pos,
+             SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS island
+      FROM marked),
+    spans AS (
+      SELECT doc_id, island, COUNT(*) AS wins,
+             MAX(pos) - MIN(pos) + {L} AS span_len
+      FROM numbered GROUP BY doc_id, island),
+    per_doc AS (
+      SELECT doc_id, SUM(wins) AS ndw, COUNT(*) AS nds,
+             SUM(span_len) AS dt
+      FROM spans GROUP BY doc_id)
+    SELECT b.doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(COALESCE(ndw, 0) AS BIGINT) AS n_dup_windows,
+           CAST(COALESCE(nds, 0) AS BIGINT) AS n_dup_spans,
+           CAST(COALESCE(dt, 0) AS BIGINT) AS dup_tokens,
+           floor((COALESCE(dt, 0) / greatest(len(toks), 1))
+                 * 1000000.0 + 0.5) / 1000000.0 AS dup_frac
+    FROM base b LEFT JOIN per_doc USING (doc_id)
+    """
+
+
+@query("dedup_substring_spans", oracle=_substring_spans_oracle())
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated substring spans (llm/dedup.
+    substring_dup_spans): rolling stride-1 windows → corpus-wide
+    duplicate windows → per-doc island merge reconstructs the
+    MAXIMAL duplicated regions at window resolution (Lee et al.
+    2022's suffix-array result as pure DataFrame ops). The
+    per-document duplicated-token fraction is the trim/drop gate
+    signal the tiled span and CDC tiers cannot provide."""
+    from capital.llm.dedup import substring_dup_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    return substring_dup_spans(
+        d, window_tokens=_SUBSTR_L, min_occurrences=_SUBSTR_MIN
+    )

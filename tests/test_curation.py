@@ -319,3 +319,47 @@ def test_gopher_rules_paper_defaults_and_overrides(spark):
         ).collect()
     }
     assert relaxed[1].gopher_keep
+
+
+def test_substring_dup_spans_recovers_maximal_planted_span(spark):
+    """A 12-token substring planted in two docs must come back as ONE
+    maximal span of exactly 12 tokens in each (not 12-8+1 separate
+    windows); unique docs and sub-window docs report zeros."""
+    from capital.llm.dedup import substring_dup_spans
+
+    shared = " ".join(f"dup{i}" for i in range(12))
+    mk = lambda pre, post: f"{pre} {shared} {post}"
+    df = spark.createDataFrame(
+        [
+            (1, mk("alpha beta gamma", "delta epsilon")),
+            (2, mk("one two three four", "five six")),
+            (3, "totally unique words " + " ".join(
+                f"u{i}" for i in range(20))),
+            (4, "tiny doc"),  # shorter than the window
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in substring_dup_spans(df, window_tokens=8).collect()
+    }
+    for d in (1, 2):
+        assert out[d].n_dup_spans == 1
+        assert out[d].dup_tokens == 12
+        assert out[d].n_dup_windows == 12 - 8 + 1
+    assert out[3].n_dup_spans == 0 and out[3].dup_tokens == 0
+    assert out[4].n_dup_windows == 0 and out[4].n_tokens == 2
+
+
+def test_substring_dup_spans_counts_within_doc_repeats(spark):
+    """A doc repeating its own 8-gram twice is self-duplicated
+    (min_occurrences counts occurrences, not documents) — two
+    disjoint islands when the copies sit far apart."""
+    from capital.llm.dedup import substring_dup_spans
+
+    block = " ".join(f"w{i}" for i in range(8))
+    text = f"{block} aa bb cc dd ee ff gg hh ii jj {block}"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = substring_dup_spans(df, window_tokens=8).collect()[0]
+    assert r.n_dup_spans == 2
+    assert r.dup_tokens == 16
