@@ -115,6 +115,10 @@ def headline_names(all_names) -> list[str]:
         # naive all-pairs oracle (505.7 s at sf0.1 — the fuzzy
         # fullrecall precedent: the anchor IS the reference method)
         "dedup_jaccard_fullrecall",
+        # --- added round 9 (anchor 0.363 s; the round's other two
+        # new queries are 0.01–0.11 s DuckDB floors — not headline
+        # material per the round-7 convention) ---
+        "dedup_substring_spans",
     ]
     return [n for n in preferred if n in all_names] or sorted(all_names)[:8]
 
