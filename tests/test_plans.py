@@ -316,3 +316,33 @@ def test_zorder_and_bloom_plan_shapes(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_round9_new_ops_plan_shapes(spark, sf_dir):
+    """Round-9 additions stay JVM-side and partial-aggregated:
+
+    - substring spans: stride-1 window count aggregates map-side
+      (partial_count before the gram exchange), no Python eval, no
+      nested-loop join anywhere in the pipeline;
+    - gopher rules: a pure narrow projection — no Exchange at all,
+      single scan of only the needed columns;
+    - jaccard prefix (hashed keys): the candidate join keys on the
+      xxhash64 long, so no raw 3-gram string column survives into
+      the prefix exchange.
+    """
+    spark.catalog.clearCache()  # plan-shape tests audit cold plans
+    plan = plan_of(_QUERIES["dedup_substring_spans"](spark, sf_dir))
+    assert "partial_count" in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    plan = plan_of(_QUERIES["cur_gopher_rules"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema and "lang" not in read_schema[0]
+
+    plan = plan_of(_QUERIES["drift_incremental_psi"](spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "partial_count" in plan  # map-side combined histogram
