@@ -423,3 +423,82 @@ def psi_state_terms(
         F.sum("n_cur").alias("n_cur")
     )
     return psi_counts_against_baseline(cur_counts, baseline)
+
+
+def incremental_funnel_run(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    steps: list[str],
+    state_dir: str,
+    checkpoint_dir: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Incremental ordered-funnel monitor, state-update half (the
+    foreachBatch member next to :func:`incremental_psi_run`).
+
+    Why the state is per-(user, step) DISTINCT timestamps and not a
+    smaller rollup: the funnel's step-i threshold ``tᵢ₋₁`` is
+    MONOTONE-DECREASING as data arrives (new step-1 events can only
+    move t₁ earlier), so a step-i event discarded because it predates
+    today's threshold may become the winner under tomorrow's — any
+    state that prunes below the current threshold, or keeps only
+    per-step minima, is wrong under late/out-of-order arrivals. The
+    distinct-ts multiset is the minimal EXACT state; everything not a
+    funnel step is dropped at ingest, so state grows with funnel
+    events only.
+
+    Idempotency: per-batch compacted events land in a ``batch_id=``
+    partition via dynamic overwrite — a replayed batch rewrites its
+    own partition (the established exactly-once-effect pattern);
+    cross-batch duplicates are removed at fold time.
+    """
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        compact = (
+            batch_df.filter(F.col(type_col).isin(steps))
+            .select(user_col, type_col, ts_col)
+            .dropDuplicates([user_col, type_col, ts_col])
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        compact.write.mode("overwrite").partitionBy("batch_id").parquet(
+            state_dir
+        )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return (
+        reader.format(fmt)
+        .load(source_dir)
+        .writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def funnel_state_conversion(
+    spark: SparkSession,
+    state_dir: str,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Read half of the incremental funnel: fold the batch-partitioned
+    state (cross-batch event dedup) and run the exact batch funnel
+    over it — identical rollup to ``operators/funnel.
+    funnel_conversion`` on the raw stream (equality-tested), but the
+    fold only ever scans funnel-step events."""
+    from capital.operators.funnel import funnel_conversion
+
+    state = spark.read.parquet(state_dir).dropDuplicates(
+        [user_col, type_col, ts_col]
+    )
+    return funnel_conversion(
+        state, steps, user_col=user_col, type_col=type_col, ts_col=ts_col
+    )

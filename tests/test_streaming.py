@@ -419,3 +419,44 @@ def test_incremental_psi_stream_matches_batch(spark, sf_dir, tmp_path):
     replayed = psi_state_terms(spark, state, baseline)
     assert replayed.subtract(batch).count() == 0
     assert replayed.count() == batch.count()
+
+
+def test_incremental_funnel_stream_matches_batch(spark, sf_dir, tmp_path):
+    """foreachBatch funnel member: the folded per-(user, step)
+    distinct-ts state must reproduce the batch funnel rollup exactly
+    — including the late-arrival case the state design exists for
+    (step-1 events arriving AFTER step-2 events, moving thresholds
+    earlier), which the event_id split below produces naturally."""
+    from capital.operators.funnel import funnel_conversion
+    from capital.streaming.incremental import (
+        funnel_state_conversion,
+        incremental_funnel_run,
+    )
+
+    steps = ["view", "click", "purchase"]
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    ev = load_table(spark, sf_dir, "events")
+    # Two arrival batches split on event_id — each contains a mix of
+    # all stages, so batch 2 delivers step-1 events predating batch
+    # 1's step-2 events for many users.
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = incremental_funnel_run(
+        spark, src, EVENTS, steps, state, ckpt, max_files_per_trigger=1
+    )
+    q.awaitTermination(120)
+
+    streamed = funnel_state_conversion(spark, state, steps)
+    batch = funnel_conversion(ev, steps)
+    assert streamed.subtract(batch).count() == 0
+    assert batch.subtract(streamed).count() == 0
+    assert streamed.count() == len(steps)
+    # State stores only funnel-step events, deduped.
+    st = spark.read.parquet(state)
+    assert st.filter(~F.col("event_type").isin(steps)).count() == 0
