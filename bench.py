@@ -119,6 +119,10 @@ def headline_names(all_names) -> list[str]:
         # new queries are 0.01–0.11 s DuckDB floors — not headline
         # material per the round-7 convention) ---
         "dedup_substring_spans",
+        # --- added round 9b (anchors 0.154 / 0.189 s in BASELINE.md:
+        # BM25 lexical retrieval + DSIR importance resampling) ---
+        "ret_bm25_topk",
+        "cur_dsir_resample",
     ]
     return [n for n in preferred if n in all_names] or sorted(all_names)[:8]
 

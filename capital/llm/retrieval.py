@@ -1,0 +1,162 @@
+"""Lexical retrieval over the document corpus: Okapi BM25 top-k.
+
+The classic sparse-retrieval scorer (Robertson & Zaragoza 2009,
+"The Probabilistic Relevance Framework: BM25 and Beyond") — the
+standard first-stage retriever next to the engine's dense ANN family
+(:mod:`capital.llm.similarity`, :mod:`capital.llm.ivf`). Reference
+parity note: the reference repo has no retrieval tier; this extends
+the engine's LLM-pipeline surface (training-data curation needs
+lexical retrieval for decontamination audits and hard-negative
+mining).
+
+Shape (all Catalyst, no Python in the hot path):
+
+1. token explode → per-(doc, term) ``tf`` counts (map-side-combined
+   partial aggregation — the only corpus-sized shuffle);
+2. the query term set (tiny) is **broadcast** against ``tf``, so the
+   corpus-sized relation is pruned to query-term rows map-side before
+   any further exchange;
+3. document frequencies ``df`` aggregate over the *pruned* relation
+   (only query terms — correct because df counts docs per term, and
+   pruning drops whole terms, never docs within a kept term);
+4. doc lengths reuse the tf aggregate (groupBy on a key subset — no
+   extra exchange); ``N``/``avgdl`` are a broadcast scalar;
+5. per-term partial scores sum per (query, doc) as DECIMAL(28,6)
+   (order-independent float parity — the repo's never-SUM-raw-doubles
+   discipline), then a per-query top-k window.
+
+At 100 TB: the per-query candidate set after the broadcast prune is
+docs-containing-a-query-term, and the final window partitions on
+``query_id`` (low cardinality). For huge candidate sets, pre-reduce
+with a per-partition top-k before the window (the
+``TakeOrderedAndProject`` pattern) — at that point the bounded-error
+WAND/impact-ordered pruning of real search engines applies; this
+operator is the exact scorer those systems approximate.
+
+Float parity: ``idf`` and the tf-saturation term are evaluated with
+the IDENTICAL expression tree on both engines (natural ``ln``, same
+literal placement, left-associative arithmetic), so the pre-decimal
+per-term double is bit-identical; DuckDB literals are emitted in
+scientific notation from the same Python constants
+(CLAUDE.md: bare decimal literals type as DECIMAL in DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: BM25 hyperparameters (the canonical defaults).
+K1 = 1.2
+B = 0.75
+
+#: The benchmark query workload: fixed literal queries over the
+#: synthetic corpus vocabulary. A constant so the DuckDB oracle is
+#: generated from the same source of truth.
+BM25_QUERIES: list[tuple[int, str]] = [
+    (1, "spark window agg"),
+    (2, "hash join table"),
+    (3, "batch merge order"),
+    (4, "slow scan filter"),
+    (5, "customer query value"),
+    (6, "big small fast row"),
+    (7, "column data line part"),
+    (8, "key row scan merge"),
+]
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, str]] | None = None,
+    *,
+    k1: float = K1,
+    b: float = B,
+    topk: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``topk`` documents per query under Okapi BM25.
+
+    ``score(q,d) = Σ_{t∈q} ln(1 + (N - df + 0.5)/(df + 0.5))
+    · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))``
+
+    Query term multiplicity weights a term's contribution (qtf
+    weighting): queries are tokenized with the corpus tokenizer and
+    duplicates are kept.
+
+    Returns ``(query_id, doc_id, bm25, rank)`` with a deterministic
+    tie-break (score desc, doc_id asc).
+    """
+    # Local imports: capital.queries.__init__ imports the module that
+    # imports this one (registry import at module scope would cycle).
+    from capital.io import parallelize_narrow
+    from capital.llm.text import normalized, tokens
+    from capital.queries.registry import decimal_sum
+
+    if queries is None:
+        queries = BM25_QUERIES
+    spark = docs.sparkSession
+
+    toks = parallelize_narrow(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(normalized(F.col(text_col)))).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+
+    # Doc lengths + corpus scalars from the tf aggregate (subset-key
+    # groupBy — no extra exchange vs re-scanning the corpus).
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    scalars = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+
+    qdf = spark.createDataFrame(queries, ["query_id", "qtext"])
+    qterms = qdf.select(
+        "query_id",
+        F.explode(tokens(normalized(F.col("qtext")))).alias("token"),
+    )
+    # Distinct token set for the corpus-side prune + df counting; the
+    # (query_id, token) multiset re-attaches afterwards so duplicate
+    # query terms weight the score without corrupting df.
+    qtok = qterms.select("token").distinct()
+
+    tfq = tf.join(F.broadcast(qtok), "token")
+    dfreq = tfq.groupBy("token").agg(F.count(F.lit(1)).alias("dfc"))
+
+    scored = (
+        tfq.join(F.broadcast(dfreq), "token")
+        .join(F.broadcast(qterms), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(scalars))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("dfc") + F.lit(0.5))
+        / (F.col("dfc") + F.lit(0.5))
+    )
+    tf_sat = (
+        F.col("tf")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    per_term = scored.select(
+        "query_id",
+        "doc_id",
+        (idf * tf_sat).alias("__s"),
+    )
+    totals = per_term.groupBy("query_id", "doc_id").agg(
+        decimal_sum(F.col("__s"), "bm25")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    )
+    return (
+        totals.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "doc_id", "bm25", "rank")
+    )

@@ -29,6 +29,7 @@ _MODULES = [
     "capital.queries.streaming_queries",
     "capital.queries.extras",
     "capital.queries.curation_queries",
+    "capital.queries.retrieval_queries",
 ]
 
 for _m in _MODULES:
@@ -75,6 +76,8 @@ _DRIVER_PRIORITY = [
     "drift_incremental_psi",
     "cur_gopher_rules",
     "dedup_substring_spans",
+    "ret_bm25_topk",
+    "cur_dsir_resample",
     # --- the eight r4-evidence staples (round-7/8 verdict ask #2) ---
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -122,9 +125,10 @@ _DRIVER_PRIORITY = [
     "u4_intersect_nations",
     "ud3_group_apply_rank",
     "w1_previous_working_day",
-    "w5_lag_delta",
-    "w6_trailing_7day_sum",
-    # --- 50-slot boundary (3 touched + 3 new + 8 staples + 36 r5) ---
+    # --- 50-slot boundary (3 touched + 5 new + 8 staples + 34 r5;
+    # w5_lag_delta / w6_trailing_7day_sum — r5 evidence, both benched
+    # every round — wait for round 10 to make room for the two new
+    # round-9 retrieval/DSIR queries) ---
 ]
 
 

@@ -1,0 +1,170 @@
+"""Retrieval + data-selection queries: BM25 lexical top-k and DSIR
+importance resampling over the ``documents`` table.
+
+Oracle strategy: both operators are deterministic by construction
+(md5 hashing, fixed literal query workload), so each carries a full
+hash oracle. All float literals in the SQL twins are emitted in
+scientific notation from the SAME Python constants as the Spark code
+(CLAUDE.md: bare decimal-point literals type as DECIMAL in DuckDB and
+run decimal-scale arithmetic, silently 1-ulp off the double op).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from capital.io import load_table
+from capital.llm.dsir import GUMBEL_SEED, N_BUCKETS, SEED, dsir_resample
+from capital.llm.retrieval import B, BM25_QUERIES, K1, bm25_topk
+from capital.queries.llm_queries import _NTOKS
+from capital.queries.registry import query
+
+
+def _d(x: float) -> str:
+    """A Python double as a DuckDB DOUBLE literal (scientific
+    notation; repr already carries an exponent for tiny values)."""
+    s = repr(float(x))
+    return s if "e" in s or "E" in s else s + "e0"
+
+
+_RET_TOPK = 10
+
+_QVALUES = ", ".join(f"({i}, '{t}')" for i, t in BM25_QUERIES)
+_QTOKS = (
+    r"string_split_regex(trim(regexp_replace(lower(qtext), '\s+', ' ', 'g')),"
+    r" '\s+')"
+)
+
+
+@query(
+    "ret_bm25_topk",
+    oracle=f"""
+    WITH q(query_id, qtext) AS (VALUES {_QVALUES}),
+    qterms AS (
+      SELECT CAST(query_id AS BIGINT) AS query_id,
+             unnest({_QTOKS}) AS token
+      FROM q),
+    qtok AS (SELECT DISTINCT token FROM qterms),
+    tok AS (SELECT doc_id, unnest({_NTOKS}) AS token FROM documents),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf
+           FROM tok GROUP BY doc_id, token),
+    dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+    sc AS (SELECT COUNT(*) AS n_docs,
+                  CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+           FROM dl),
+    tfq AS (SELECT tf.* FROM tf JOIN qtok USING (token)),
+    dfq AS (SELECT token, COUNT(*) AS dfc FROM tfq GROUP BY token),
+    per AS (
+      SELECT qt.query_id, tfq.doc_id,
+             (ln({_d(1.0)} + (sc.n_docs - dfq.dfc + {_d(0.5)})
+                             / (dfq.dfc + {_d(0.5)})))
+             * (tfq.tf * {_d(K1 + 1.0)}
+                / (tfq.tf + {_d(K1)}
+                   * ({_d(1.0)} - {_d(B)}
+                      + {_d(B)} * dl.dl / sc.avgdl))) AS s
+      FROM tfq
+      JOIN dfq USING (token)
+      JOIN qterms qt USING (token)
+      JOIN dl ON dl.doc_id = tfq.doc_id
+      CROSS JOIN sc),
+    tot AS (
+      SELECT query_id, doc_id,
+             CAST(SUM(CAST(s AS DECIMAL(28,6))) AS DOUBLE) AS bm25
+      FROM per GROUP BY query_id, doc_id),
+    ranked AS (
+      SELECT query_id, doc_id, bm25,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY bm25 DESC, doc_id) AS rn
+      FROM tot)
+    SELECT query_id, doc_id, bm25, CAST(rn AS INTEGER) AS rank
+    FROM ranked WHERE rn <= {_RET_TOPK}
+    """,
+)
+def ret_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 per query over the fixed literal query
+    workload — the lexical first-stage retriever next to the dense
+    ANN family. See capital/llm/retrieval.py for the plan shape
+    (broadcast query-term prune before any non-corpus shuffle)."""
+    d = load_table(spark, sf_dir, "documents")
+    return bm25_topk(d, topk=_RET_TOPK)
+
+
+_DSIR_QUOTA = 100
+_HS = 4294967296.0
+
+
+def _bucket_sql(seed: str, n: int) -> str:
+    """DuckDB twin of dsir._bucket (md5 on the raw token text)."""
+    return (
+        f"CAST(('0x' || substr(md5('{seed}:' || token), 1, 8))"
+        f"::UBIGINT % {n} AS BIGINT)"
+    )
+
+
+def _gumbel_sql(seed: str, key: str = "doc_id") -> str:
+    """DuckDB twin of dsir._gumbel: −ln(−ln((h32 + 0.5)/2³²))."""
+    u = (
+        f"(('0x' || substr(md5('{seed}:' || CAST({key} AS VARCHAR)), 1, 8))"
+        f"::UBIGINT + {_d(0.5)}) / {_d(_HS)}"
+    )
+    return f"-ln(-ln({u}))"
+
+
+def _round6(expr: str) -> str:
+    """SQL twin of capital.llm.text.round6_stable."""
+    return f"floor(({expr}) * {_d(1000000.0)} + {_d(0.5)}) / {_d(1000000.0)}"
+
+
+_RATIO = (
+    f"ln((ct + {_d(1.0)}) / (tt + {_d(float(N_BUCKETS))}))"
+    f" - ln((cr + {_d(1.0)}) / (tr + {_d(float(N_BUCKETS))}))"
+)
+
+
+@query(
+    "cur_dsir_resample",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, (lang = 'en') AS is_t, unnest({_NTOKS}) AS token
+      FROM documents),
+    bk AS (
+      SELECT doc_id, is_t, {_bucket_sql(SEED, N_BUCKETS)} AS bucket
+      FROM base),
+    dc AS (SELECT doc_id, bucket, COUNT(*) AS c
+           FROM bk GROUP BY doc_id, bucket),
+    pb AS (SELECT bucket,
+                  SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+                  COUNT(*) AS cr
+           FROM bk GROUP BY bucket),
+    grid AS (SELECT unnest(range(0, {N_BUCKETS})) AS bucket),
+    dense AS (
+      SELECT grid.bucket, COALESCE(ct, 0) AS ct, COALESCE(cr, 0) AS cr
+      FROM grid LEFT JOIN pb USING (bucket)),
+    tots AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM dense),
+    ratios AS (
+      SELECT bucket,
+             CAST({_round6(_RATIO)} AS DECIMAL(28,6)) AS ratio
+      FROM dense CROSS JOIN tots),
+    w AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(dc.c * ratios.ratio AS DECIMAL(28,6)))
+                  AS DOUBLE) AS log_w
+      FROM dc JOIN ratios USING (bucket) GROUP BY doc_id),
+    keyed AS (
+      SELECT doc_id, log_w,
+             {_round6(f"log_w + {_gumbel_sql(GUMBEL_SEED)}")} AS sel_key
+      FROM w)
+    SELECT doc_id, log_w, sel_key
+    FROM keyed
+    ORDER BY sel_key DESC, doc_id
+    LIMIT {_DSIR_QUOTA}
+    """,
+)
+def cur_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): Gumbel-top-k
+    selection of the pool documents whose hashed-unigram profile most
+    resembles the ``lang='en'`` target subset. See
+    capital/llm/dsir.py for the fit/weigh/resample plan shape."""
+    d = load_table(spark, sf_dir, "documents")
+    return dsir_resample(d, F.col("lang") == "en", _DSIR_QUOTA)

@@ -1,0 +1,178 @@
+"""BM25 retrieval + DSIR importance-resampling operator tests:
+known-value scoring, selection semantics, determinism, and the plan
+properties that make both survive a 100× scale-up."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from capital.llm.dsir import (
+    N_BUCKETS,
+    dsir_log_ratios,
+    dsir_resample,
+    dsir_weights,
+)
+from capital.llm.retrieval import B, K1, bm25_topk
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+_DOCS = [
+    (1, "apple banana apple"),
+    (2, "banana cherry"),
+    (3, "apple cherry cherry date"),
+]
+
+
+def _bm25_expected(query_terms, corpus):
+    """Reference BM25 on plain Python floats (per-term rounding to 6
+    mirrors the engine's decimal accumulation)."""
+    toks = {d: t.split() for d, t in corpus}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = {}
+    for terms in toks.values():
+        for t in set(terms):
+            df[t] = df.get(t, 0) + 1
+    out = {}
+    for d, terms in toks.items():
+        s = 0.0
+        for q in query_terms:
+            tf = terms.count(q)
+            if not tf:
+                continue
+            idf = math.log(1.0 + (n - df[q] + 0.5) / (df[q] + 0.5))
+            sat = tf * (K1 + 1.0) / (
+                tf + K1 * (1.0 - B + B * len(terms) / avgdl)
+            )
+            s += round(idf * sat, 6)
+        if s:
+            out[d] = s
+    return out
+
+
+def test_bm25_known_values(spark):
+    docs = spark.createDataFrame(_DOCS, ["doc_id", "text"])
+    got = {
+        (r.query_id, r.doc_id): r.bm25
+        for r in bm25_topk(docs, [(1, "apple cherry")], topk=10).collect()
+    }
+    exp = _bm25_expected(["apple", "cherry"], _DOCS)
+    assert set(got) == {(1, d) for d in exp}
+    for d, s in exp.items():
+        assert got[(1, d)] == pytest.approx(s, abs=2e-6)
+
+
+def test_bm25_qtf_weighting_doubles_duplicate_terms(spark):
+    docs = spark.createDataFrame(_DOCS, ["doc_id", "text"])
+    single = {
+        r.doc_id: r.bm25
+        for r in bm25_topk(docs, [(1, "apple")], topk=10).collect()
+    }
+    doubled = {
+        r.doc_id: r.bm25
+        for r in bm25_topk(docs, [(1, "apple apple")], topk=10).collect()
+    }
+    assert set(single) == set(doubled)
+    for d in single:
+        assert doubled[d] == pytest.approx(2 * single[d], abs=2e-6)
+
+
+def test_bm25_rank_contiguous_and_bounded(spark, sf_dir):
+    from capital.io import load_table
+
+    out = bm25_topk(load_table(spark, sf_dir, "documents"), topk=5)
+    rows = out.collect()
+    per_q: dict[int, list[int]] = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+        assert len(ranks) <= 5
+
+
+def _toy_pool(spark, n_target=6, n_other=6):
+    rows = []
+    for i in range(n_target):
+        rows.append((i, "t", "alpha beta gamma alpha beta"))
+    for i in range(n_other):
+        rows.append((100 + i, "o", "delta epsilon zeta delta zeta"))
+    # Probe docs: one target-like, one other-like, same length.
+    rows.append((900, "o", "alpha beta gamma beta alpha"))
+    rows.append((901, "o", "delta epsilon zeta epsilon delta"))
+    return spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    pool = _toy_pool(spark)
+    w = {
+        r.doc_id: r.log_w
+        for r in dsir_weights(pool, F.col("lang") == "t").collect()
+    }
+    # Every doc in the pool gets a weight; the target-vocab probe
+    # scores strictly above the other-vocab probe. (No sign assertion:
+    # with 256 buckets and a ~30-token target corpus the add-1
+    # smoothing mass dominates both LMs, shifting absolute weights —
+    # only the ordering is scale-free.)
+    assert len(w) == 14
+    assert w[900] > w[901]
+    assert w[900] > max(w[d] for d in w if 100 <= d < 200)
+
+
+def test_dsir_ratio_table_is_dense_and_tiny(spark):
+    pool = _toy_pool(spark)
+    _, ratios = dsir_log_ratios(pool, F.col("lang") == "t")
+    rows = ratios.collect()
+    assert len(rows) == N_BUCKETS
+    assert all(r.ratio is not None for r in rows)
+
+
+def test_dsir_resample_quota_and_determinism(spark):
+    pool = _toy_pool(spark, n_target=8, n_other=8)
+    a = dsir_resample(pool, F.col("lang") == "t", 10).collect()
+    b = dsir_resample(pool, F.col("lang") == "t", 10).collect()
+    assert len(a) == 10
+    assert [r.doc_id for r in a] == [r.doc_id for r in b]
+    # Selection keys arrive in the deterministic selection order.
+    keys = [r.sel_key for r in a]
+    assert keys == sorted(keys, reverse=True) or len(set(keys)) < len(keys)
+
+
+def test_bm25_plan_broadcasts_query_side(spark, sf_dir):
+    from capital.io import load_table
+
+    spark.catalog.clearCache()
+    plan = _plan(bm25_topk(load_table(spark, sf_dir, "documents")))
+    # The tiny query-term relations broadcast; the corpus-sized tf
+    # aggregate never feeds a cartesian or nested-loop join. (The
+    # single-row scalar attach plans as a Cross BNLJ by design —
+    # CLAUDE.md — so only CartesianProduct is banned.)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_plan_broadcast_ratios_and_distributed_topk(spark, sf_dir):
+    from capital.io import load_table
+
+    spark.catalog.clearCache()
+    plan = _plan(
+        dsir_resample(
+            load_table(spark, sf_dir, "documents"), F.col("lang") == "en", 100
+        )
+    )
+    # The n_buckets-row ratio table broadcasts into the corpus-side
+    # dot product, and the quota selection is a distributed partial
+    # top-k, not a global sort.
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
