@@ -78,6 +78,7 @@ _DRIVER_PRIORITY = [
     "dedup_substring_spans",
     "ret_bm25_topk",
     "cur_dsir_resample",
+    "cur_prototype_prune",
     # --- the eight r4-evidence staples (round-7/8 verdict ask #2) ---
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -102,7 +103,6 @@ _DRIVER_PRIORITY = [
     "p3b_pivot_wide",
     "p4_literal_rename_project",
     "p9_notnull_filter",
-    "pipe_clean_corpus",
     "q10_returned_items",
     "q11_important_stock",
     "q12_priority_lines",
@@ -125,10 +125,11 @@ _DRIVER_PRIORITY = [
     "u4_intersect_nations",
     "ud3_group_apply_rank",
     "w1_previous_working_day",
-    # --- 50-slot boundary (3 touched + 5 new + 8 staples + 34 r5;
-    # w5_lag_delta / w6_trailing_7day_sum — r5 evidence, both benched
-    # every round — wait for round 10 to make room for the two new
-    # round-9 retrieval/DSIR queries) ---
+    # --- 50-slot boundary (3 touched + 6 new + 8 staples + 33 r5;
+    # w5_lag_delta / w6_trailing_7day_sum / pipe_clean_corpus — r5
+    # evidence, all three benched every round (live evidence) — wait
+    # for round 10 to make room for the three new round-9b queries:
+    # ret_bm25_topk, cur_dsir_resample, cur_prototype_prune) ---
 ]
 
 

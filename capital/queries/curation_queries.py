@@ -695,3 +695,60 @@ def cur_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "gopher_keep",
     )
+
+
+# --- prototype-distance pruning (Sorscher et al. 2022) ------------------
+
+_PROTO_DIM = 64
+_PROTO_K = 5
+
+
+def _proto_cos_sql(qv: str, cv: str) -> str:
+    """Cosine of a FLOAT[] row vector against a DOUBLE[] centroid —
+    the sim-family `_COS` fragment shape (sequential list_sum, CAST
+    placement mirroring the Spark fold's per-element double casts)."""
+    rng = f"range(1, {_PROTO_DIM} + 1)"
+    return (
+        f"list_sum([CAST({qv}[i] AS DOUBLE) * CAST({cv}[i] AS DOUBLE)"
+        f" FOR i IN {rng}])"
+        f" / (sqrt(list_sum([CAST({qv}[i] AS DOUBLE) * CAST({qv}[i] AS DOUBLE)"
+        f" FOR i IN {rng}]))"
+        f" * sqrt(list_sum([CAST({cv}[i] AS DOUBLE) * CAST({cv}[i] AS DOUBLE)"
+        f" FOR i IN {rng}])))"
+    )
+
+
+@query(
+    "cur_prototype_prune",
+    oracle=f"""
+    WITH comp AS (
+      SELECT label, i AS pos,
+             CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,6)))
+                  AS DOUBLE)
+               / COUNT(CAST(embedding[i] AS DOUBLE)) AS c
+      FROM embeddings, unnest(range(1, {_PROTO_DIM} + 1)) AS t(i)
+      GROUP BY label, i),
+    cen AS (SELECT label, list(c ORDER BY pos) AS cv FROM comp GROUP BY label),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             round({_proto_cos_sql('e.embedding', 'cen.cv')}, 6) AS proto_cos
+      FROM embeddings e JOIN cen USING (label)),
+    ranked AS (
+      SELECT label, vec_id, proto_cos,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY proto_cos, vec_id) AS rn
+      FROM scored)
+    SELECT label, vec_id, proto_cos, CAST(rn AS INTEGER) AS rank
+    FROM ranked WHERE rn <= {_PROTO_K}
+    """,
+)
+def cur_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototype-distance prune candidates (Sorscher et al. 2022):
+    the bottom-5 most-atypical embeddings per label by cosine to the
+    exact per-label centroid. See capital/llm/centroids.py — centroid
+    fit is a labels×dim partial aggregate, scoring is a broadcast
+    join + narrow fold, zero corpus-sized shuffles."""
+    from capital.llm.centroids import prototype_prune
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return prototype_prune(emb, _PROTO_K)
