@@ -317,6 +317,118 @@ def select_within_budget(
     )
 
 
+def unimax_allocation(
+    per_source: DataFrame,
+    budget_fraction: float | None = None,
+    budget_tokens: float | None = None,
+    epoch_cap: float = 4.0,
+    source_col: str = "source",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """UniMax token-budget allocation across sources (Chung et al.
+    2023): spread a total training budget as uniformly as possible,
+    subject to a per-source epoch cap — the closed-form water-filling
+    answer to "how many tokens do I take from each domain/language".
+
+    Input is the per-source rollup ``(source, n_tokens)`` (exact
+    integer token counts; build it with one map-side-combined
+    aggregate over the corpus). Each source's capacity is
+    ``epoch_cap · n_tokens``; the budget is either absolute
+    (``budget_tokens``) or a fraction of total capacity
+    (``budget_fraction``). Water-filling: every source receives
+    ``min(capacity, L)`` where the water level ``L`` solves
+    ``Σ min(capacityₛ, L) = budget``; sources below the level are
+    saturated (fully repeated ``epoch_cap`` times), the rest are cut
+    at the common level — maximal uniformity under the cap.
+
+    Closed form via one pass over the capacity-ascending order: with
+    exclusive prefix token sums ``P_i`` and remaining-source counts
+    ``r_i``, the candidate level ``L_i = (B − e·P_i)/r_i`` is valid at
+    the FIRST row where ``L_i ≤ capacity_i``; rows before it are
+    saturated (property-tested against bisection). Determinism: all
+    window sums run over exact integer tokens (a windowed DOUBLE sum
+    may reduce pairwise — segment trees — and diverge across engines);
+    every float enters once, as a scalar expression of exact integers
+    with literal constants, so Spark and the SQL twin compute
+    bit-identical doubles.
+
+    Scale: the corpus is touched only by the caller's rollup; this
+    operator runs windows over the S-row source table in ONE unsorted
+    partition (S ≈ languages/domains — hundreds to low millions — the
+    paper's regime; an S-row frame after a corpus-sized
+    map-side-combined aggregate is driver-trivial at any corpus
+    size).
+
+    Returns one row per source: ``n_tokens``, ``capacity``,
+    ``alloc_tokens`` (stable-rounded), ``epochs_alloc`` =
+    alloc / n_tokens, and ``saturated``.
+    """
+    if (budget_fraction is None) == (budget_tokens is None):
+        raise ValueError(
+            "unimax_allocation: pass exactly one of budget_fraction /"
+            " budget_tokens"
+        )
+    from capital.llm.text import round6_stable
+
+    e = float(epoch_cap)
+    t = F.col(token_col).cast("long")
+    order = Window.orderBy(F.asc("capacity"), F.asc(source_col))
+    full = order.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    src = per_source.select(
+        F.col(source_col).alias("source"),
+        t.alias("n_tokens"),
+        (F.lit(e) * t).alias("capacity"),
+    )
+    total_t = F.sum("n_tokens").over(full)
+    budget = (
+        F.lit(float(budget_tokens))
+        if budget_tokens is not None
+        else F.lit(float(budget_fraction)) * (F.lit(e) * total_t)
+    )
+    prefix_t = F.coalesce(
+        F.sum("n_tokens").over(order.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    rn = F.row_number().over(order)
+    n_src = F.count(F.lit(1)).over(full)
+    remaining = (n_src - rn + F.lit(1)).cast("double")
+    cand = (budget - F.lit(e) * prefix_t) / remaining
+    staged = src.select(
+        "source",
+        "n_tokens",
+        "capacity",
+        rn.alias("__rn"),
+        cand.alias("__cand"),
+        F.min(
+            F.when(cand <= F.col("capacity"), rn)
+        ).over(full).alias("__pivot"),
+    )
+    refull = Window.orderBy(F.asc("__rn")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    level = F.max(
+        F.when(F.col("__rn") == F.col("__pivot"), F.col("__cand"))
+    ).over(refull)
+    capped = F.col("__pivot").isNull() | (
+        F.col("__rn") < F.col("__pivot")
+    )
+    alloc = F.when(capped, F.col("capacity")).otherwise(level)
+    # "saturated" = received its full capacity — includes the pivot
+    # row when the level lands exactly on its cap (budget == total
+    # capacity is the common exact case).
+    saturated = alloc >= F.col("capacity")
+    return staged.select(
+        "source",
+        "n_tokens",
+        round6_stable(F.col("capacity")).alias("capacity"),
+        round6_stable(alloc).alias("alloc_tokens"),
+        round6_stable(alloc / F.col("n_tokens")).alias("epochs_alloc"),
+        saturated.alias("saturated"),
+    )
+
+
 def with_shard(
     df: DataFrame,
     n_shards: int,

@@ -1,11 +1,15 @@
-"""Iterative graph analytics on DataFrames: fixed-iteration PageRank.
+"""Graph analytics on DataFrames: fixed-iteration PageRank and
+degree-ordered triangle counting.
 
 Companion to the pointer-jumping connected components
 (``llm/clusters.py``): where components answer "which nodes belong
 together", PageRank answers "which nodes matter" (Page et al. 1999) —
 entity-importance ranking over a relationship graph (here the
 customer↔supplier trade graph; in a data-pipeline setting, domain
-link graphs for crawl prioritization).
+link graphs for crawl prioritization) — and triangles/clustering
+coefficients answer "how cohesive is each node's neighborhood"
+(community structure in similarity graphs; spam/link-farm signals in
+crawl graphs).
 
 Determinism discipline (the engine's float-parity rules, applied to
 an iterative algorithm):
@@ -201,3 +205,118 @@ def pagerank(
         if checkpoint:
             ranks = ckpt(ranks)
     return ranks
+
+
+#: Rank packing stride: rank = degree · 2³² + node. Keeps the
+#: (degree, node) lexicographic order as a single BIGINT comparison,
+#: so the orientation and the wedge-pair ordering are plain long
+#: equi-join/filter columns (codegen) instead of struct compares.
+_RANK_STRIDE = 2**32
+
+
+def triangles(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    chunk_target: int = 1024,
+    probe: bool = True,
+    total_rows_hint: int | None = None,
+) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over an
+    undirected graph, via degree-ordered orientation (the
+    node-iterator of Schank & Wagner 2005; MapReduce form in Cohen
+    2009 / Suri & Vassilvitskii 2011).
+
+    Input edges may carry either or both directions and duplicates;
+    they are canonicalized to one row per undirected edge (self-loops
+    dropped). Node ids must be non-negative integers < 2³¹ (the
+    packing contract below). Returns ``(node, degree, triangles,
+    clustering_coeff)`` over every node incident to an edge, with
+    ``clustering_coeff = 2·T / (d·(d−1))`` for ``d ≥ 2`` else 0,
+    passed through the cross-engine-stable ``floor(x·10⁶ + 0.5)/10⁶``
+    (exact-integer inputs, so engine ``round()`` half-way
+    disagreements would otherwise bite).
+
+    Scale shape: each undirected edge is oriented from its
+    lower-(degree, node) endpoint to the higher — every triangle then
+    materializes as exactly ONE wedge (two out-edges of its
+    lowest-rank corner) closed by one oriented edge. Orientation
+    bounds each pivot's oriented out-degree by O(√m), so total wedge
+    output is O(m^{3/2}) regardless of hub skew (a raw hub of degree
+    h would otherwise enumerate h²/2 wedges). The wedge enumeration
+    is a quadratic-output block self-join, so it routes through
+    :func:`capital.operators.skew.chunked_pair_join` (engine
+    convention: AQE bounds join *input*, never a block's pair
+    *output*); the closing-edge probe is a plain two-column long
+    equi-join of wedges against the oriented edge list. Degrees are
+    one map-side-combined count; the (degree, node) order is packed
+    into one BIGINT (``degree·2³² + node``) so ranks never compare as
+    structs inside the join.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = (
+        e.select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    ranked = deg.withColumn(
+        "rank",
+        F.col("degree") * F.lit(_RANK_STRIDE) + F.col("node"),
+    )
+    ra = ranked.select(F.col("node").alias("a"), F.col("rank").alias("__ra"))
+    rb = ranked.select(F.col("node").alias("b"), F.col("rank").alias("__rb"))
+    oriented = (
+        und.join(ra, "a")
+        .join(rb, "b")
+        .select(
+            F.least("__ra", "__rb").alias("ru"),
+            F.greatest("__ra", "__rb").alias("rv"),
+        )
+    )
+    from capital.operators.skew import chunked_pair_join
+
+    wedges = chunked_pair_join(
+        oriented,
+        block_cols=["ru"],
+        id_col="rv",
+        chunk_target=chunk_target,
+        probe=probe,
+        total_rows_hint=total_rows_hint,
+    )
+    closed = wedges.join(
+        oriented.select(
+            F.col("ru").alias("id_a"), F.col("rv").alias("id_b")
+        ),
+        ["id_a", "id_b"],
+    )
+    corners = (
+        closed.select(F.col("ru").alias("rank"))
+        .unionByName(closed.select(F.col("id_a").alias("rank")))
+        .unionByName(closed.select(F.col("id_b").alias("rank")))
+    )
+    tri = corners.groupBy("rank").agg(F.count(F.lit(1)).alias("__t"))
+    d = F.col("degree")
+    coeff = F.when(
+        d >= 2,
+        F.lit(2.0) * F.col("triangles") / (d * (d - F.lit(1))),
+    ).otherwise(F.lit(0.0))
+    return (
+        ranked.join(tri, "rank", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("__t"), F.lit(0)).alias("triangles"),
+        )
+        .withColumn(
+            "clustering_coeff",
+            F.floor(coeff * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6),
+        )
+    )

@@ -79,6 +79,8 @@ _DRIVER_PRIORITY = [
     "ret_bm25_topk",
     "cur_dsir_resample",
     "cur_prototype_prune",
+    "graph_triangles_trade",
+    "asm_unimax_budget",
     # --- the eight r4-evidence staples (round-7/8 verdict ask #2) ---
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -94,9 +96,7 @@ _DRIVER_PRIORITY = [
     # wait one round and lead round 10) ---
     "a7_distinct_agg",
     "cal_dim_calendar",
-    "dedup_exact_spans",
     "dedup_fuzzy_keys",
-    "dedup_incremental_probe",
     "dedup_minhash_verified",
     "f14_zero_fill_left_join",
     "j5_registry_lookup",
@@ -125,11 +125,13 @@ _DRIVER_PRIORITY = [
     "u4_intersect_nations",
     "ud3_group_apply_rank",
     "w1_previous_working_day",
-    # --- 50-slot boundary (3 touched + 6 new + 8 staples + 33 r5;
-    # w5_lag_delta / w6_trailing_7day_sum / pipe_clean_corpus — r5
-    # evidence, all three benched every round (live evidence) — wait
-    # for round 10 to make room for the three new round-9b queries:
-    # ret_bm25_topk, cur_dsir_resample, cur_prototype_prune) ---
+    # --- 50-slot boundary (3 touched + 8 new + 8 staples + 31 r5;
+    # w5_lag_delta / w6_trailing_7day_sum / pipe_clean_corpus /
+    # dedup_exact_spans / dedup_incremental_probe — r5 evidence, all
+    # five benched every round (live evidence) — wait for round 10 to
+    # make room for the five new round-9 queries added after the
+    # original rotation: ret_bm25_topk, cur_dsir_resample,
+    # cur_prototype_prune, graph_triangles_trade, asm_unimax_budget)
 ]
 
 

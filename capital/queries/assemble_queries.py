@@ -337,3 +337,88 @@ def asm_quality_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return select_within_budget(
         with_quality_score(d), budget=_SEL_BUDGET
     ).select("source", "doc_id", "n_tokens", "quality_score", "budget_used")
+
+
+# --- UniMax water-filling token-budget allocation ------------------------
+
+#: Budget as a fraction of total capacity (scale-adaptive: exercises
+#: both the saturated and level branches at every sf, since the
+#: synthetic sources' token totals spread ~±15% around the mean) and
+#: the per-source epoch cap — shared verbatim with the oracle SQL.
+_UNIMAX_FRACTION = 0.9
+_UNIMAX_EPOCHS = 4.0
+
+
+def _unimax_oracle() -> str:
+    e = f"{_UNIMAX_EPOCHS!r}e0"
+    f_ = f"{_UNIMAX_FRACTION!r}e0"
+    return rf"""
+    WITH per_src AS (
+      SELECT source,
+             SUM(len(string_split_regex(trim(text), '\s+'))) AS n_tokens
+      FROM documents GROUP BY source),
+    st AS (
+      SELECT source, n_tokens,
+             {e} * n_tokens AS capacity,
+             row_number() OVER w AS rn,
+             COALESCE(SUM(n_tokens) OVER (
+               w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS prefix_t,
+             COUNT(*) OVER () AS n_src,
+             SUM(n_tokens) OVER () AS total_t
+      FROM per_src
+      WINDOW w AS (ORDER BY {e} * n_tokens ASC, source ASC)),
+    cand_t AS (
+      SELECT *,
+             ({f_} * ({e} * total_t) - {e} * prefix_t)
+               / CAST(n_src - rn + 1 AS DOUBLE) AS cand
+      FROM st),
+    pv AS (
+      SELECT *, MIN(CASE WHEN cand <= capacity THEN rn END) OVER ()
+                  AS pivot_rn
+      FROM cand_t),
+    lv AS (
+      SELECT *,
+             CASE WHEN pivot_rn IS NULL OR rn < pivot_rn
+                  THEN capacity
+                  ELSE MAX(CASE WHEN rn = pivot_rn THEN cand END)
+                       OVER () END AS alloc
+      FROM pv)
+    SELECT source,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           floor(capacity * 1e6 + 0.5e0) / 1e6 AS capacity,
+           floor(alloc * 1e6 + 0.5e0) / 1e6 AS alloc_tokens,
+           floor(alloc / n_tokens * 1e6 + 0.5e0) / 1e6 AS epochs_alloc,
+           alloc >= capacity AS saturated
+    FROM lv
+    """
+
+
+@query("asm_unimax_budget", oracle=_unimax_oracle())
+def asm_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax water-filling budget allocation (Chung et al. 2023):
+    spread 90% of the corpus's 4-epoch token capacity as uniformly as
+    possible across sources, saturating small sources at the epoch
+    cap and cutting the rest at the common water level
+    (assemble.unimax_allocation — closed-form over the S-row
+    per-source rollup, exact-integer window sums)."""
+    from capital.llm.assemble import unimax_allocation
+    from capital.llm.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.sum(F.size(tokens(F.col("text")))).alias("n_tokens")
+    )
+    out = unimax_allocation(
+        per_src,
+        budget_fraction=_UNIMAX_FRACTION,
+        epoch_cap=_UNIMAX_EPOCHS,
+    )
+    return out.select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "capacity",
+        "alloc_tokens",
+        "epochs_alloc",
+        "saturated",
+    )

@@ -277,3 +277,116 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     return pagerank(edges, iterations=_PR_ITERS, damping=_PR_DAMPING)
+
+
+# --- triangle counting on the thresholded co-purchase graph -------------
+
+
+def _triangles_oracle() -> str:
+    return """
+    WITH cs AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    pairs AS (
+      SELECT x.s AS s1, y.s AS s2, count(*) AS w
+      FROM cs x JOIN cs y ON x.c = y.c AND x.s < y.s
+      GROUP BY x.s, y.s),
+    st AS (SELECT count(*) AS n, SUM(w) AS sw, SUM(w * w) AS sww
+           FROM pairs),
+    thr AS (
+      SELECT CAST(sw AS DOUBLE) / CAST(n AS DOUBLE)
+             + 2e0 * sqrt(CAST(sww AS DOUBLE) / CAST(n AS DOUBLE)
+                          - (CAST(sw AS DOUBLE) / CAST(n AS DOUBLE))
+                            * (CAST(sw AS DOUBLE) / CAST(n AS DOUBLE)))
+               AS t
+      FROM st),
+    e AS (SELECT s1, s2 FROM pairs, thr
+          WHERE CAST(w AS DOUBLE) > t),
+    deg AS (
+      SELECT nd, count(*) AS degree
+      FROM (SELECT s1 AS nd FROM e UNION ALL SELECT s2 AS nd FROM e)
+      GROUP BY nd),
+    rk AS (SELECT nd, degree,
+                  degree * 4294967296 + nd AS rank_key
+           FROM deg),
+    ori AS (
+      SELECT least(ra.rank_key, rb.rank_key) AS ru,
+             greatest(ra.rank_key, rb.rank_key) AS rv
+      FROM e JOIN rk ra ON e.s1 = ra.nd JOIN rk rb ON e.s2 = rb.nd),
+    tri AS (
+      SELECT o1.ru AS r1, o1.rv AS r2, o2.rv AS r3
+      FROM ori o1
+      JOIN ori o2 ON o1.ru = o2.ru AND o1.rv < o2.rv
+      JOIN ori o3 ON o3.ru = o1.rv AND o3.rv = o2.rv),
+    tcnt AS (
+      SELECT rank_key, count(*) AS tc
+      FROM (SELECT r1 AS rank_key FROM tri
+            UNION ALL SELECT r2 FROM tri
+            UNION ALL SELECT r3 FROM tri)
+      GROUP BY rank_key)
+    SELECT rk.nd AS node,
+           CAST(rk.degree AS BIGINT) AS degree,
+           CAST(COALESCE(tc, 0) AS BIGINT) AS triangles,
+           floor(CASE WHEN rk.degree >= 2
+                      THEN 2e0 * COALESCE(tc, 0)
+                           / (rk.degree * (rk.degree - 1))
+                      ELSE 0e0 END * 1e6 + 0.5e0) / 1e6
+             AS clustering_coeff
+    FROM rk LEFT JOIN tcnt ON rk.rank_key = tcnt.rank_key
+    """
+
+
+@query("graph_triangles_trade", memoize=False, oracle=_triangles_oracle())
+def graph_triangles_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier triangle counts + clustering coefficient
+    (operators/graph.triangles — degree-ordered node-iterator,
+    wedges through the skew-chunked pair join) over the co-purchase
+    graph: suppliers joined when their distinct-customer overlap
+    count exceeds mean + 2·stddev of all pair weights. The synthetic
+    trade data makes every co-occurrence projection complete, so the
+    scale-adaptive threshold (exact-integer moments → bit-identical
+    scalar both engines) sparsifies to the statistically-heavy edges
+    (sf0.01: 155 edges / 85 triangles; sf0.1: 12k / 5.7k). Pair
+    weights come from the chunked per-customer pair enumeration —
+    no all-pairs join at any stage. memoize=False: persists the edge
+    list (the probe + wedge stages would otherwise recompute the
+    pair aggregation)."""
+    from capital.operators.graph import triangles
+    from capital.operators.skew import chunked_pair_join
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    cs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    ).persist()
+    pairs = (
+        chunked_pair_join(cs, block_cols=["c"], id_col="s")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    stats = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("w").alias("sw"),
+        F.sum(F.col("w") * F.col("w")).alias("sww"),
+    )
+    mu = F.col("sw").cast("double") / F.col("n").cast("double")
+    thr = mu + F.lit(2.0) * F.sqrt(
+        F.col("sww").cast("double") / F.col("n").cast("double") - mu * mu
+    )
+    edges = (
+        pairs.crossJoin(F.broadcast(stats))
+        .filter(F.col("w").cast("double") > thr)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    ).persist()
+    out = triangles(edges)
+    cs.unpersist()
+    return out.select(
+        "node",
+        F.col("degree").cast("long").alias("degree"),
+        F.col("triangles").cast("long").alias("triangles"),
+        "clustering_coeff",
+    )

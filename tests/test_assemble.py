@@ -225,3 +225,83 @@ def test_temperature_mixture_flattens_and_upsamples(spark):
     # Deterministic: same seed, same output.
     again = temperature_mixture(docs, alpha=0.5, target_docs=200)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+# --- UniMax water-filling budget allocation -----------------------------
+
+
+def _unimax_brute(caps, budget):
+    """Bisection solve of sum(min(c, L)) = budget — the definitional
+    answer the closed form must match."""
+    total = sum(caps.values())
+    if budget >= total:
+        return dict(caps)
+    lo, hi = 0.0, max(caps.values())
+    for _ in range(200):
+        mid = (lo + hi) / 2
+        if sum(min(c, mid) for c in caps.values()) < budget:
+            lo = mid
+        else:
+            hi = mid
+    return {s: min(c, hi) for s, c in caps.items()}
+
+
+def _unimax_rows(spark, toks, **kw):
+    from capital.llm.assemble import unimax_allocation
+
+    df = spark.createDataFrame(
+        [(s, t) for s, t in toks.items()], "source string, n_tokens long"
+    )
+    return {r.source: r for r in unimax_allocation(df, **kw).collect()}
+
+
+def test_unimax_matches_bisection_on_skewed_sources(spark):
+    toks = {"web": 1_000_000, "books": 50_000, "code": 300_000,
+            "wiki": 10_000, "news": 140_000}
+    e = 4.0
+    rows = _unimax_rows(spark, toks, budget_fraction=0.5, epoch_cap=e)
+    caps = {s: e * t for s, t in toks.items()}
+    budget = 0.5 * e * sum(toks.values())
+    want = _unimax_brute(caps, budget)
+    for s in toks:
+        assert abs(rows[s].alloc_tokens - want[s]) < 1e-3, s
+    # small sources saturate at the cap, the giant is cut at the level
+    assert rows["wiki"].saturated and rows["books"].saturated
+    assert not rows["web"].saturated
+    assert abs(rows["wiki"].epochs_alloc - e) < 1e-6
+    # budget exactly spent (exact-int construction, rounding only)
+    assert abs(sum(r.alloc_tokens for r in rows.values()) - budget) < 1e-2
+
+
+def test_unimax_budget_covers_everything(spark):
+    toks = {"a": 100, "b": 900}
+    rows = _unimax_rows(spark, toks, budget_fraction=1.0, epoch_cap=2.0)
+    for s, t in toks.items():
+        assert rows[s].saturated
+        assert rows[s].alloc_tokens == 2.0 * t
+        assert rows[s].epochs_alloc == 2.0
+
+
+def test_unimax_uniform_sources_share_level(spark):
+    toks = {f"s{i}": 1000 for i in range(8)}
+    rows = _unimax_rows(spark, toks, budget_fraction=0.25, epoch_cap=4.0)
+    allocs = {r.alloc_tokens for r in rows.values()}
+    assert allocs == {1000.0}  # 0.25 · 4 epochs = exactly 1 epoch each
+    assert all(not r.saturated for r in rows.values())
+
+
+def test_unimax_absolute_budget_and_arg_validation(spark):
+    import pytest
+
+    toks = {"a": 1000, "b": 3000}
+    rows = _unimax_rows(spark, toks, budget_tokens=5000.0, epoch_cap=4.0)
+    want = _unimax_brute({"a": 4000.0, "b": 12000.0}, 5000.0)
+    for s in toks:
+        assert abs(rows[s].alloc_tokens - want[s]) < 1e-3
+    from capital.llm.assemble import unimax_allocation
+
+    df = next(iter([None]))  # placeholder, never touched before raise
+    with pytest.raises(ValueError):
+        unimax_allocation(df)
+    with pytest.raises(ValueError):
+        unimax_allocation(df, budget_fraction=0.5, budget_tokens=1.0)

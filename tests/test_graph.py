@@ -144,3 +144,94 @@ def test_pagerank_auto_state_mode_follows_broadcast_threshold(spark):
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+# --- triangles (degree-ordered node-iterator) ---------------------------
+
+
+from capital.operators.graph import triangles  # noqa: E402
+
+
+def _int_edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src int, dst int")
+
+
+def _brute_triangles(pairs):
+    """Per-node triangle counts by direct enumeration."""
+    from itertools import combinations
+
+    und = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    nodes = sorted({n for e in und for n in e})
+    tri = {n: 0 for n in nodes}
+    for a, b, c in combinations(nodes, 3):
+        if {(a, b), (a, c), (b, c)} <= und:
+            tri[a] += 1
+            tri[b] += 1
+            tri[c] += 1
+    deg = {n: sum(n in e for e in und) for n in nodes}
+    return und, deg, tri
+
+
+def test_triangles_complete_k4(spark):
+    """K4: every node has degree 3, sits in 3 triangles, coeff 1."""
+    pairs = [(a, b) for a in range(4) for b in range(4) if a < b]
+    rows = triangles(_int_edges(spark, pairs)).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert (r.degree, r.triangles, r.clustering_coeff) == (3, 3, 1.0)
+
+
+def test_triangles_star_and_path_have_none(spark):
+    """Stars and paths are triangle-free; coeff 0 everywhere
+    (including the degree-1 leaves, where the coeff is defined 0)."""
+    star = [(0, i) for i in range(1, 8)]
+    path = [(i, i + 1) for i in range(6)]
+    for pairs in (star, path):
+        out = triangles(_int_edges(spark, pairs)).collect()
+        assert all(r.triangles == 0 for r in out)
+        assert all(r.clustering_coeff == 0.0 for r in out)
+
+
+def test_triangles_matches_bruteforce_on_random_graph(spark):
+    """Deterministic pseudo-random graph vs direct enumeration —
+    counts, degrees, and coefficients all match."""
+    pairs = [((i * 7) % 29, (i * 13 + 5) % 29) for i in range(120)]
+    und, deg, tri = _brute_triangles(pairs)
+    rows = {r.node: r for r in triangles(_int_edges(spark, pairs)).collect()}
+    assert set(rows) == set(deg)
+    for n, r in rows.items():
+        assert r.degree == deg[n]
+        assert r.triangles == tri[n]
+        d = deg[n]
+        want = 0.0 if d < 2 else 2.0 * tri[n] / (d * (d - 1))
+        import math
+
+        assert math.isclose(
+            r.clustering_coeff, math.floor(want * 1e6 + 0.5) / 1e6
+        )
+
+
+def test_triangles_input_canonicalization(spark):
+    """Both directions, duplicates, and self-loops in the input edge
+    list collapse to the same undirected graph."""
+    base = [(0, 1), (1, 2), (0, 2)]
+    noisy = base + [(b, a) for a, b in base] + base + [(1, 1), (2, 2)]
+    a = sorted(map(tuple, triangles(_int_edges(spark, base)).collect()))
+    b = sorted(map(tuple, triangles(_int_edges(spark, noisy)).collect()))
+    assert a == b
+
+
+def test_triangles_chunked_path_identical_to_plain(spark):
+    """chunk_target=1 forces the skew-chunked wedge enumeration; the
+    output must be identical to the probe-chosen plain join (the
+    chunked_pair_join contract, re-pinned at the triangle level) —
+    exercised on a hub-heavy graph where one pivot owns most wedges."""
+    pairs = [(0, i) for i in range(1, 40)] + [
+        (i, i + 1) for i in range(1, 39)
+    ]
+    e = _int_edges(spark, pairs)
+    plain = sorted(map(tuple, triangles(e).collect()))
+    chunked = sorted(
+        map(tuple, triangles(e, chunk_target=1, probe=False).collect())
+    )
+    assert plain == chunked
