@@ -221,6 +221,7 @@ def triangles(
     chunk_target: int = 1024,
     probe: bool = True,
     total_rows_hint: int | None = None,
+    scope=None,
 ) -> DataFrame:
     """Per-node triangle counts + local clustering coefficient over an
     undirected graph, via degree-ordered orientation (the
@@ -252,37 +253,55 @@ def triangles(
     one map-side-combined count; the (degree, node) order is packed
     into one BIGINT (``degree·2³² + node``) so ranks never compare as
     structs inside the join.
+
+    Multi-consumer discipline: ``und``/``ranked``/``oriented`` are
+    each referenced 2–3 times downstream (rank joins, wedge
+    self-join, closing probe, final attach). Without materialization
+    the plan tree re-derives them per reference — multiplicatively
+    (each of the closing join's two oriented scans rebuilds both rank
+    joins…), measured 16 s vs 3 s on a 12k-edge graph. All three are
+    edge/node-sized (never corpus-sized), so they are persisted here;
+    pass a :class:`capital.operators.caching.CacheScope` to release
+    them deterministically (else session-cache eviction bounds them —
+    the library convention). The corner fan-out is one
+    ``explode(array)``, not a 3-way union that would re-evaluate the
+    triangle join three times.
     """
+    from capital.operators.caching import scoped_persist
+    from capital.operators.skew import chunked_pair_join
+
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    und = (
+    und = scoped_persist(
         e.select(
             F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
         )
         .filter(F.col("a") != F.col("b"))
-        .distinct()
+        .distinct(),
+        scope,
     )
     deg = (
-        und.select(F.col("a").alias("node"))
-        .unionByName(und.select(F.col("b").alias("node")))
+        und.select(F.explode(F.array("a", "b")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
-    ranked = deg.withColumn(
-        "rank",
-        F.col("degree") * F.lit(_RANK_STRIDE) + F.col("node"),
+    ranked = scoped_persist(
+        deg.withColumn(
+            "rank",
+            F.col("degree") * F.lit(_RANK_STRIDE) + F.col("node"),
+        ),
+        scope,
     )
     ra = ranked.select(F.col("node").alias("a"), F.col("rank").alias("__ra"))
     rb = ranked.select(F.col("node").alias("b"), F.col("rank").alias("__rb"))
-    oriented = (
+    oriented = scoped_persist(
         und.join(ra, "a")
         .join(rb, "b")
         .select(
             F.least("__ra", "__rb").alias("ru"),
             F.greatest("__ra", "__rb").alias("rv"),
-        )
+        ),
+        scope,
     )
-    from capital.operators.skew import chunked_pair_join
-
     wedges = chunked_pair_join(
         oriented,
         block_cols=["ru"],
@@ -297,10 +316,8 @@ def triangles(
         ),
         ["id_a", "id_b"],
     )
-    corners = (
-        closed.select(F.col("ru").alias("rank"))
-        .unionByName(closed.select(F.col("id_a").alias("rank")))
-        .unionByName(closed.select(F.col("id_b").alias("rank")))
+    corners = closed.select(
+        F.explode(F.array("ru", "id_a", "id_b")).alias("rank")
     )
     tri = corners.groupBy("rank").agg(F.count(F.lit(1)).alias("__t"))
     d = F.col("degree")

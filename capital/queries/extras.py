@@ -284,10 +284,10 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _triangles_oracle() -> str:
     return """
-    WITH cs AS (
+    WITH cs AS MATERIALIZED (
       SELECT DISTINCT o_custkey AS c, l_suppkey AS s
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT x.s AS s1, y.s AS s2, count(*) AS w
       FROM cs x JOIN cs y ON x.c = y.c AND x.s < y.s
       GROUP BY x.s, y.s),
@@ -300,20 +300,20 @@ def _triangles_oracle() -> str:
                             * (CAST(sw AS DOUBLE) / CAST(n AS DOUBLE)))
                AS t
       FROM st),
-    e AS (SELECT s1, s2 FROM pairs, thr
+    e AS MATERIALIZED (SELECT s1, s2 FROM pairs, thr
           WHERE CAST(w AS DOUBLE) > t),
-    deg AS (
+    deg AS MATERIALIZED (
       SELECT nd, count(*) AS degree
       FROM (SELECT s1 AS nd FROM e UNION ALL SELECT s2 AS nd FROM e)
       GROUP BY nd),
-    rk AS (SELECT nd, degree,
+    rk AS MATERIALIZED (SELECT nd, degree,
                   degree * 4294967296 + nd AS rank_key
            FROM deg),
-    ori AS (
+    ori AS MATERIALIZED (
       SELECT least(ra.rank_key, rb.rank_key) AS ru,
              greatest(ra.rank_key, rb.rank_key) AS rv
       FROM e JOIN rk ra ON e.s1 = ra.nd JOIN rk rb ON e.s2 = rb.nd),
-    tri AS (
+    tri AS MATERIALIZED (
       SELECT o1.ru AS r1, o1.rv AS r2, o2.rv AS r3
       FROM ori o1
       JOIN ori o2 ON o1.ru = o2.ru AND o1.rv < o2.rv
@@ -348,9 +348,10 @@ def graph_triangles_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar both engines) sparsifies to the statistically-heavy edges
     (sf0.01: 155 edges / 85 triangles; sf0.1: 12k / 5.7k). Pair
     weights come from the chunked per-customer pair enumeration —
-    no all-pairs join at any stage. memoize=False: persists the edge
-    list (the probe + wedge stages would otherwise recompute the
-    pair aggregation)."""
+    no all-pairs join at any stage. memoize=False: persists the
+    (c, s) relation and the pair weights (each consumed twice:
+    probe + enumeration, moments + filter); the operator persists
+    its own edge/node-sized intermediates."""
     from capital.operators.graph import triangles
     from capital.operators.skew import chunked_pair_join
 
@@ -363,11 +364,13 @@ def graph_triangles_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
     ).persist()
+    # pairs feeds BOTH the moment aggregate and the edge filter —
+    # persist it or the 10M-row per-customer enumeration runs twice.
     pairs = (
         chunked_pair_join(cs, block_cols=["c"], id_col="s")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("w"))
-    )
+    ).persist()
     stats = pairs.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("w").alias("sw"),
@@ -381,9 +384,8 @@ def graph_triangles_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.crossJoin(F.broadcast(stats))
         .filter(F.col("w").cast("double") > thr)
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    ).persist()
+    )
     out = triangles(edges)
-    cs.unpersist()
     return out.select(
         "node",
         F.col("degree").cast("long").alias("degree"),
