@@ -81,6 +81,8 @@ _DRIVER_PRIORITY = [
     "cur_prototype_prune",
     "graph_triangles_trade",
     "asm_unimax_budget",
+    "llm_bpe_merges",
+    "llm_bpe_doc_tokens",
     # --- the eight r4-evidence staples (round-7/8 verdict ask #2) ---
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -101,8 +103,6 @@ _DRIVER_PRIORITY = [
     "f14_zero_fill_left_join",
     "j5_registry_lookup",
     "p3b_pivot_wide",
-    "p4_literal_rename_project",
-    "p9_notnull_filter",
     "q10_returned_items",
     "q11_important_stock",
     "q12_priority_lines",
@@ -125,13 +125,14 @@ _DRIVER_PRIORITY = [
     "u4_intersect_nations",
     "ud3_group_apply_rank",
     "w1_previous_working_day",
-    # --- 50-slot boundary (3 touched + 8 new + 8 staples + 31 r5;
-    # w5_lag_delta / w6_trailing_7day_sum / pipe_clean_corpus /
-    # dedup_exact_spans / dedup_incremental_probe — r5 evidence, all
-    # five benched every round (live evidence) — wait for round 10 to
-    # make room for the five new round-9 queries added after the
-    # original rotation: ret_bm25_topk, cur_dsir_resample,
-    # cur_prototype_prune, graph_triangles_trade, asm_unimax_budget)
+    # --- 50-slot boundary (3 touched + 10 new + 8 staples + 29 r5).
+    # Waiting for round 10, all with r5 evidence (age 4 at the r9
+    # gate, so test_rotation_freshness FORCES them into the round-10
+    # window): w5_lag_delta / w6_trailing_7day_sum / pipe_clean_corpus
+    # / dedup_exact_spans / dedup_incremental_probe (all benched every
+    # round — live evidence meanwhile) and p4_literal_rename_project /
+    # p9_notnull_filter (displaced for the round-9c BPE pair; trivial
+    # projections, pattern re-covered by p1/p3/p12 this round).
 ]
 
 

@@ -1769,3 +1769,135 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dup_spans(
         d, window_tokens=_SUBSTR_L, min_occurrences=_SUBSTR_MIN
     )
+
+
+# --- BPE tokenizer training (Sennrich et al. 2016) -----------------------
+
+#: Merge-table size for the checkable queries (shared with the
+#: unrolled oracle chain).
+_BPE_K = 8
+
+
+def _bpe_cte_chain(k: int) -> str:
+    r"""The K-step unrolled BPE loop as DuckDB CTEs (the PageRank
+    pattern: fixed iterations make the loop plain SQL; each step's
+    winning pair enters the next step's ``replace`` as two scalar
+    subqueries). Every multi-referenced CTE is MATERIALIZED — default
+    inlining would re-evaluate the whole prefix chain per reference
+    (the round-9 multiplicative re-evaluation gotcha)."""
+    parts = [
+        r"""wc AS MATERIALIZED (
+      SELECT word, count(*) AS cnt FROM (
+        SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+        FROM documents)
+      WHERE NOT regexp_matches(word, '[|<>]')
+      GROUP BY word),
+    w0 AS MATERIALIZED (
+      SELECT word, cnt,
+             '||' || regexp_replace(word, '(.)', '\1||', 'g')
+                  || '</w>||' AS sym
+      FROM wc)"""
+    ]
+    for i in range(1, k + 1):
+        prev = f"w{i - 1}"
+        parts.append(f"""p{i} AS MATERIALIZED (
+      SELECT pr['l'] AS lhs, pr['r'] AS rhs, SUM(cnt) AS pair_count
+      FROM (
+        SELECT cnt,
+               unnest([struct_pack(l := syms[j], r := syms[j + 1])
+                       FOR j IN range(1, len(syms))]) AS pr
+        FROM (SELECT cnt,
+                     list_filter(string_split(sym, '|'), x -> x <> '')
+                       AS syms
+              FROM {prev}))
+      GROUP BY 1, 2),
+    t{i} AS MATERIALIZED (
+      SELECT lhs, rhs, pair_count FROM p{i}
+      ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+    w{i} AS MATERIALIZED (
+      SELECT word, cnt,
+             replace(sym,
+                     '|' || (SELECT lhs FROM t{i}) || '||'
+                         || (SELECT rhs FROM t{i}) || '|',
+                     '|' || (SELECT lhs FROM t{i})
+                         || (SELECT rhs FROM t{i}) || '|') AS sym
+      FROM {prev})""")
+    return ",\n    ".join(parts)
+
+
+def _bpe_merges_oracle() -> str:
+    steps = "\n      UNION ALL ".join(
+        f"SELECT {i} AS step, lhs, rhs, lhs || rhs AS merged, "
+        f"CAST(pair_count AS BIGINT) AS pair_count FROM t{i}"
+        for i in range(1, _BPE_K + 1)
+    )
+    return f"""
+    WITH {_bpe_cte_chain(_BPE_K)}
+    SELECT step, lhs, rhs, merged, pair_count FROM (
+      {steps})
+    """
+
+
+@query("llm_bpe_merges", memoize=False, oracle=_bpe_merges_oracle())
+def llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING (llm/bpe.bpe_train): the
+    corpus reduces once to its (word, count) vocabulary, then K=8
+    greedy merge rounds — exact weighted pair counts, (count desc,
+    pair lexicographic) tie-break, double-separator replace for the
+    greedy non-overlapping merge — emit the ordered merge table, the
+    trained tokenizer artifact. memoize=False: per-step 1-row winner
+    collects + localCheckpoint are eager."""
+    from capital.llm.bpe import bpe_train, word_counts
+
+    d = load_table(spark, sf_dir, "documents")
+    rules, _state = bpe_train(word_counts(d), merges=_BPE_K)
+    return spark.createDataFrame(
+        [
+            (r["step"], r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+            for r in rules
+        ],
+        "step int, lhs string, rhs string, merged string, pair_count long",
+    )
+
+
+def _bpe_doc_tokens_oracle() -> str:
+    return rf"""
+    WITH {_bpe_cte_chain(_BPE_K)},
+    ws AS MATERIALIZED (
+      SELECT word,
+             len(list_filter(string_split(sym, '|'), x -> x <> ''))
+               AS nsub
+      FROM w{_BPE_K}),
+    tk AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\s+')) AS word
+      FROM documents)
+    SELECT tk.doc_id AS doc_id,
+           CAST(SUM(ws.nsub) AS BIGINT) AS n_bpe_tokens
+    FROM tk JOIN ws ON tk.word = ws.word
+    GROUP BY tk.doc_id
+    """
+
+
+@query("llm_bpe_doc_tokens", memoize=False, oracle=_bpe_doc_tokens_oracle())
+def llm_bpe_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Applying the trained tokenizer = counting final-state symbols:
+    per-document BPE token count after the K=8 trained merges. The
+    vocabulary (not the corpus) carries the per-word subtoken count;
+    documents join it once (broadcast-sized here; a shuffle join at
+    web scale) — the 100 TB apply-pass costs one join, never a
+    per-document merge loop. memoize=False: trains in-call."""
+    from capital.llm.bpe import bpe_train, symbol_count, word_counts
+    from capital.llm.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    _rules, state = bpe_train(word_counts(d), merges=_BPE_K)
+    ws = state.select("word", symbol_count(F.col("sym")).alias("nsub"))
+    tk = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("word")
+    )
+    return (
+        tk.join(ws, "word")
+        .groupBy("doc_id")
+        .agg(F.sum("nsub").alias("n_bpe_tokens"))
+    )

@@ -1,0 +1,99 @@
+"""BPE tokenizer training (capital/llm/bpe.py): hand-computed merges
+on the canonical example, greedy overlap semantics, tie-breaks,
+separator contract, early stop, checkpoint-mode equivalence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from capital.llm.bpe import (
+    EOW,
+    bpe_train,
+    sym_init,
+    symbol_count,
+    word_counts,
+)
+
+
+def _vocab(spark, counts: dict[str, int]):
+    return spark.createDataFrame(
+        [(w, c) for w, c in counts.items()], "word string, cnt long"
+    )
+
+
+def test_bpe_matches_hand_computed_merges(spark):
+    """Sennrich-style vocabulary; merges verified by hand:
+    pair sums are weighted position counts, ties break on
+    (count desc, lhs asc, rhs asc)."""
+    vocab = {"low": 5, "lower": 2, "widest": 3, "newest": 6}
+    rules, state = bpe_train(_vocab(spark, vocab), merges=4)
+    got = [(r["lhs"], r["rhs"], r["pair_count"]) for r in rules]
+    assert got == [
+        ("e", "s", 9),     # ties with (s,t) and (t,</w>) — lhs asc
+        ("es", "t", 9),    # ties with (t,</w>) — lhs asc
+        ("est", EOW, 9),
+        ("l", "o", 7),     # ties with (o,w) — lhs asc
+    ]
+    assert [r["merged"] for r in rules] == ["es", "est", "est</w>", "lo"]
+    syms = {r.word: r.sym for r in state.collect()}
+    assert syms["newest"] == "||n||e||w||est</w>||"
+    assert syms["widest"] == "||w||i||d||est</w>||"
+    assert syms["low"] == "||lo||w||</w>||"
+
+
+def test_bpe_greedy_overlap_semantics(spark):
+    """'aaaa' + merge (a,a): pair_count counts every position pair
+    (3), but the merge is greedy left-to-right non-overlapping —
+    the state must become |aa|aa|</w>|, never |a|aa|a|…"""
+    rules, state = bpe_train(_vocab(spark, {"aaaa": 1}), merges=1)
+    assert rules == [
+        {"step": 1, "lhs": "a", "rhs": "a", "merged": "aa", "pair_count": 3}
+    ]
+    assert state.collect()[0].sym == "||aa||aa||</w>||"
+
+
+def test_bpe_early_stop_when_fully_fused(spark):
+    """A single one-char word fuses to one symbol in one merge; the
+    loop must stop early instead of erroring on an empty pair set."""
+    rules, state = bpe_train(_vocab(spark, {"a": 3}), merges=10)
+    assert [(r["lhs"], r["rhs"]) for r in rules] == [("a", EOW)]
+    assert state.collect()[0].sym == "||a</w>||"
+    assert symbol_count(F.lit("||a</w>||")) is not None  # expression builds
+
+
+def test_word_counts_drops_separator_words(spark):
+    docs = spark.createDataFrame(
+        [(1, "good good bad|pipe <tag> good")], "doc_id long, text string"
+    )
+    rows = {r.word: r.cnt for r in word_counts(docs).collect()}
+    assert rows == {"good": 3}
+
+
+def test_bpe_symbol_count_is_tokenizer_application(spark):
+    """Counting final-state symbols = applying the trained tokenizer
+    to the vocabulary: after the 4 canonical merges, 'newest' is 4
+    BPE tokens (n, e, w, est</w>)."""
+    vocab = {"low": 5, "lower": 2, "widest": 3, "newest": 6}
+    _, state = bpe_train(_vocab(spark, vocab), merges=4)
+    n = {
+        r.word: r.n
+        for r in state.select(
+            "word", symbol_count(F.col("sym")).alias("n")
+        ).collect()
+    }
+    assert n == {"low": 3, "lower": 5, "widest": 4, "newest": 4}
+
+
+def test_bpe_checkpoint_dir_mode_identical(spark, tmp_path):
+    vocab = {"low": 5, "lower": 2, "widest": 3, "newest": 6}
+    r1, s1 = bpe_train(_vocab(spark, vocab), merges=3)
+    r2, s2 = bpe_train(
+        _vocab(spark, vocab), merges=3, checkpoint_dir=str(tmp_path / "ck")
+    )
+    assert r1 == r2
+    assert sorted(map(tuple, s1.collect())) == sorted(map(tuple, s2.collect()))
+
+
+def test_sym_init_shape(spark):
+    row = spark.range(1).select(sym_init(F.lit("ab")).alias("s")).collect()
+    assert row[0].s == "||a||b||</w>||"
