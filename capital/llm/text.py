@@ -577,3 +577,81 @@ def bigram_logprob(
             ).alias("avg_neg_logprob2"),
         )
     )
+
+
+def kneser_ney_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-document interpolated Kneser–Ney bigram score: average
+    negative log2 of
+
+    ``P_KN(cur|prev) = (max(c(prev,cur) − D, 0)
+                        + D · N1+(prev,·) · (N1+(·,cur) / T)) / c(prev)``
+
+    — the absolute-discount/continuation smoothing (Kneser & Ney 1995;
+    Chen & Goodman 1999) behind KenLM-style quality filtering (CCNet,
+    Wenzek et al. 2020). Against the raw conditional
+    (:func:`bigram_logprob`) it (a) never assigns zero mass to an
+    unseen-but-plausible continuation and (b) scores a word by how
+    many CONTEXTS it follows (``N1+(·,cur)/T``), not how often it
+    occurs — the canonical "San Francisco" failure: raw counts make
+    bare "Francisco" likely anywhere, continuation counts do not.
+
+    Every model quantity is an exact integer aggregate over the SAME
+    (prev, cur) count frame (context totals, context fan-out
+    ``N1+(prev,·)``, continuation counts ``N1+(·,cur)``, type total
+    ``T`` — groupBys on key subsets, partitioning reused); the
+    probability is one fixed-shape float expression of those integers
+    (parenthesization shared with the SQL twin), per-bigram log2
+    rounds to 6 and accumulates as DECIMAL — the engine float-parity
+    discipline. Docs with fewer than two tokens drop (no bigrams).
+    """
+    toks = tokens(normalized(F.col(text_col)))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("prev"),
+            F.element_at(toks, i + F.lit(1)).alias("cur"),
+        ),
+    )
+    big = (
+        df.filter(F.size(toks) >= 2)
+        .select(F.col(id_col), F.explode(pairs).alias("bg"))
+        .select(F.col(id_col), F.col("bg.prev"), F.col("bg.cur"))
+    )
+    d = float(discount)
+    c2 = big.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("__n2"))
+    ctx = c2.groupBy("prev").agg(
+        F.sum("__n2").alias("__n1"),
+        F.count(F.lit(1)).alias("__fanout"),
+    )
+    cont = c2.groupBy("cur").agg(F.count(F.lit(1)).alias("__ncont"))
+    types = c2.agg(F.count(F.lit(1)).alias("__t"))
+    p = (
+        F.greatest(F.col("__n2") - F.lit(d), F.lit(0.0))
+        + (F.lit(d) * F.col("__fanout"))
+        * (F.col("__ncont") / F.col("__t"))
+    ) / F.col("__n1")
+    probs = (
+        c2.join(ctx, "prev")
+        .join(cont, "cur")
+        .crossJoin(F.broadcast(types))
+        .select(
+            "prev",
+            "cur",
+            F.round(F.log2(p), 6).cast("decimal(28,6)").alias("__logp"),
+        )
+    )
+    return (
+        big.join(probs, ["prev", "cur"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            round6_stable(
+                -F.sum("__logp").cast("double") / F.count(F.lit(1))
+            ).alias("avg_neg_logprob2_kn"),
+        )
+    )

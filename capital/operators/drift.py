@@ -1,4 +1,4 @@
-"""Distribution-drift monitoring between two data periods (PSI).
+"""Distribution-drift monitoring between two data periods (PSI, KS).
 
 A 100 TB ingestion pipeline needs a standing answer to "did this
 week's data change shape?" — the Population Stability Index is the
@@ -139,3 +139,101 @@ def psi_counts_against_baseline(
         F.coalesce(F.col("n_cur"), F.lit(0)).alias("n_cur"),
     )
     return psi_terms(joined)
+
+
+def ks_drift(
+    df: DataFrame,
+    bin_col: str | Column,
+    period_col: str | Column,
+    ref_period: str,
+    cur_period: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift between two periods, at bin
+    resolution: ``D = max_bins |ECDF_ref − ECDF_cur|``.
+
+    The drift family's second statistic next to PSI: PSI weights
+    per-bin probability RATIOS (sensitive to tail bins moving), KS
+    measures the largest CUMULATIVE displacement (sensitive to
+    location/scale shifts that spread over many bins, each too small
+    to trip a PSI term). ``bin_col`` must be ordinal (numeric bucket
+    or lexicographically meaningful label) — the ECDF walks bins in
+    ascending order, and for unordered categoricals KS is not defined
+    (use PSI there).
+
+    Same shape at scale as PSI: one map-side-combined ``(bin,
+    period)`` count over the corpus, then windows over the K-bin
+    aggregate. Exact integer cumulative counts; each CDF is one
+    integer→double division, so both engines compute bit-identical
+    doubles (no running float sums).
+
+    Returns one row per bin: ``(bin, n_ref, n_cur, cdf_ref, cdf_cur,
+    cdf_gap, ks_stat)`` — ``ks_stat`` (the max of the ROUNDED gaps,
+    constant across rows) is the headline number, the per-bin gaps
+    locate WHERE the distributions diverge."""
+    b = F.col(bin_col) if isinstance(bin_col, str) else bin_col
+    p = F.col(period_col) if isinstance(period_col, str) else period_col
+    counts = (
+        df.select(b.alias("bin"), p.alias("__period"))
+        .filter(F.col("__period").isin(ref_period, cur_period))
+        .groupBy("bin")
+        .agg(
+            F.sum(
+                F.when(F.col("__period") == ref_period, 1).otherwise(0)
+            ).alias("n_ref"),
+            F.sum(
+                F.when(F.col("__period") == cur_period, 1).otherwise(0)
+            ).alias("n_cur"),
+        )
+    )
+    return ks_terms(counts)
+
+
+def ks_counts_against_baseline(
+    cur_counts: DataFrame, baseline: DataFrame
+) -> DataFrame:
+    """KS against a STORED baseline histogram — the monitoring twin of
+    :func:`psi_counts_against_baseline` (same full-outer zero-filled
+    join, then the shared :func:`ks_terms` tail)."""
+    joined = baseline.join(cur_counts, "bin", "full_outer").select(
+        "bin",
+        F.coalesce(F.col("n_ref"), F.lit(0)).alias("n_ref"),
+        F.coalesce(F.col("n_cur"), F.lit(0)).alias("n_cur"),
+    )
+    return ks_terms(joined)
+
+
+def ks_terms(counts: DataFrame) -> DataFrame:
+    """KS arithmetic over a pre-built ``(bin, n_ref, n_cur)`` counts
+    frame (the shared tail — batch and stored-baseline paths are
+    term-for-term identical by construction).
+
+    Cumulative counts are exact integer window sums in bin order;
+    the two CDFs and their gap are scalar expressions of exact
+    integers (``floor(x·10⁶+0.5)/10⁶``-rounded — these are genuine
+    half-way-boundary candidates, both engines compute the same
+    four IEEE ops). K-bin frames only: the single-partition window
+    is over the aggregate, never the corpus."""
+    from pyspark.sql import Window
+
+    cum = Window.orderBy(F.asc("bin")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    full = Window.orderBy(F.asc("bin")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    stable6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    cdf_ref = F.sum("n_ref").over(cum).cast("double") / F.sum("n_ref").over(
+        full
+    ).cast("double")
+    cdf_cur = F.sum("n_cur").over(cum).cast("double") / F.sum("n_cur").over(
+        full
+    ).cast("double")
+    gapped = counts.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        stable6(cdf_ref).alias("cdf_ref"),
+        stable6(cdf_cur).alias("cdf_cur"),
+        stable6(F.abs(cdf_cur - cdf_ref)).alias("cdf_gap"),
+    )
+    return gapped.withColumn("ks_stat", F.max("cdf_gap").over(full))

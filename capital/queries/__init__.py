@@ -83,6 +83,8 @@ _DRIVER_PRIORITY = [
     "asm_unimax_budget",
     "llm_bpe_merges",
     "llm_bpe_doc_tokens",
+    "drift_value_ks",
+    "text_kneser_ney_logprob",
     # --- the eight r4-evidence staples (round-7/8 verdict ask #2) ---
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -97,7 +99,6 @@ _DRIVER_PRIORITY = [
     # dedup_fuzzy_fullrecall, displaced for the new round-9 queries —
     # wait one round and lead round 10) ---
     "a7_distinct_agg",
-    "cal_dim_calendar",
     "dedup_fuzzy_keys",
     "dedup_minhash_verified",
     "f14_zero_fill_left_join",
@@ -121,18 +122,22 @@ _DRIVER_PRIORITY = [
     "q9_product_profit",
     "text_tfidf_stats",
     "u1_union_distinct_nations",
-    "u2_union_all_pages",
     "u4_intersect_nations",
     "ud3_group_apply_rank",
     "w1_previous_working_day",
-    # --- 50-slot boundary (3 touched + 10 new + 8 staples + 29 r5).
+    # --- 50-slot boundary (3 touched + 12 new + 8 staples + 27 r5).
     # Waiting for round 10, all with r5 evidence (age 4 at the r9
     # gate, so test_rotation_freshness FORCES them into the round-10
     # window): w5_lag_delta / w6_trailing_7day_sum / pipe_clean_corpus
     # / dedup_exact_spans / dedup_incremental_probe (all benched every
     # round — live evidence meanwhile) and p4_literal_rename_project /
     # p9_notnull_filter (displaced for the round-9c BPE pair; trivial
-    # projections, pattern re-covered by p1/p3/p12 this round).
+    # projections, pattern re-covered by p1/p3/p12 this round) and
+    # u2_union_all_pages (displaced for drift_value_ks; the union-all
+    # path is re-covered by u1 and the evolving-union tests) and
+    # cal_dim_calendar (displaced for text_kneser_ney_logprob; the
+    # calendar-generation path carries r8 evidence via
+    # cal_holiday_merged plus the calendar unit tests).
 ]
 
 

@@ -364,6 +364,63 @@ def drift_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_drift(e, bin_expr, period, "ref", "cur")
 
 
+# --- Kolmogorov-Smirnov drift (the PSI family's second statistic) -------
+
+
+@query(
+    "drift_value_ks",
+    oracle=f"""
+    WITH counts AS (
+      SELECT {_value_bin_sql()} AS bin,
+             CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP)
+                                < TIMESTAMP '{_PSI_SPLIT}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+             CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP)
+                                >= TIMESTAMP '{_PSI_SPLIT}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+      FROM events GROUP BY 1),
+    t AS (
+      SELECT bin, n_ref, n_cur,
+             CAST(SUM(n_ref) OVER (ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE)
+               / CAST(SUM(n_ref) OVER () AS DOUBLE) AS cr,
+             CAST(SUM(n_cur) OVER (ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE)
+               / CAST(SUM(n_cur) OVER () AS DOUBLE) AS cc
+      FROM counts)
+    SELECT bin, n_ref, n_cur,
+           floor(cr * 1e6 + 0.5e0) / 1e6 AS cdf_ref,
+           floor(cc * 1e6 + 0.5e0) / 1e6 AS cdf_cur,
+           floor(abs(cc - cr) * 1e6 + 0.5e0) / 1e6 AS cdf_gap,
+           MAX(floor(abs(cc - cr) * 1e6 + 0.5e0) / 1e6) OVER ()
+             AS ks_stat
+    FROM t
+    """,
+)
+def drift_value_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift (operators/drift.ks_drift)
+    over the same fixed-edge value bins as drift_value_psi: the
+    largest CUMULATIVE displacement between the two periods' ECDFs.
+    Complements PSI - a location shift spread thinly over many bins
+    tripping no single PSI term still accumulates in the CDF gap.
+    Exact integer cumulative counts; one corpus scan, K-bin windows."""
+    from capital.operators.drift import ks_drift
+
+    e = load_table(spark, sf_dir, "events")
+    bin_expr = F.lit(None).cast("string")
+    for i, edge in reversed(list(enumerate(_PSI_VALUE_EDGES))):
+        bin_expr = F.when(F.col("value") < edge, f"b{i}").otherwise(
+            bin_expr if i < len(_PSI_VALUE_EDGES) - 1
+            else f"b{len(_PSI_VALUE_EDGES)}"
+        )
+    period = F.when(
+        F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp"), "ref"
+    ).otherwise("cur")
+    return ks_drift(e, bin_expr, period, "ref", "cur")
+
+
 # --- count-min sketch token-frequency estimation ------------------------
 
 _CMS_DEPTH = 4

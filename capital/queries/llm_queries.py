@@ -1901,3 +1901,53 @@ def llm_bpe_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("nsub").alias("n_bpe_tokens"))
     )
+
+
+# --- Kneser-Ney smoothed bigram LM ---------------------------------------
+
+#: Absolute discount shared with the oracle (exactly representable:
+#: 0.75 = 3/4, so n2 - D and D * fanout stay exact doubles).
+_KN_DISCOUNT = 0.75
+
+
+@query(
+    "text_kneser_ney_logprob",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_NTOKS} AS toks FROM documents),
+    big AS (
+      SELECT doc_id, toks[i] AS prev, toks[i+1] AS cur
+      FROM base, unnest(range(1, len(toks))) AS t(i)),
+    c2 AS (SELECT prev, cur, COUNT(*) AS n2 FROM big GROUP BY prev, cur),
+    ctx AS (SELECT prev, SUM(n2) AS n1, COUNT(*) AS fanout
+            FROM c2 GROUP BY prev),
+    cont AS (SELECT cur, COUNT(*) AS ncont FROM c2 GROUP BY cur),
+    ty AS (SELECT COUNT(*) AS t FROM c2),
+    probs AS (
+      SELECT c2.prev, c2.cur,
+             CAST(round(log2(
+               (greatest(n2 - {_KN_DISCOUNT!r}e0, 0e0)
+                + ({_KN_DISCOUNT!r}e0 * fanout)
+                  * (CAST(ncont AS DOUBLE) / CAST(t AS DOUBLE)))
+               / n1), 6) AS DECIMAL(28,6)) AS logp
+      FROM c2 JOIN ctx USING (prev) JOIN cont USING (cur), ty)
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           floor(-CAST(SUM(logp) AS DOUBLE) / COUNT(*)
+                 * 1e6 + 0.5e0) / 1e6
+             AS avg_neg_logprob2_kn
+    FROM big JOIN probs USING (prev, cur)
+    GROUP BY doc_id
+    """,
+)
+def text_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM score (llm/text.
+    kneser_ney_logprob): absolute-discount mass re-allocated by
+    CONTINUATION counts (how many contexts a word follows, not how
+    often it occurs) - the KenLM-style smoothing behind CCNet quality
+    filtering, next to the raw-conditional text_bigram_logprob. All
+    model quantities are exact integer aggregates over one (prev,
+    cur) count frame; the probability is a fixed-shape float
+    expression shared with this oracle."""
+    from capital.llm.text import kneser_ney_logprob
+
+    d = load_table(spark, sf_dir, "documents")
+    return kneser_ney_logprob(d, discount=_KN_DISCOUNT)

@@ -502,3 +502,111 @@ def funnel_state_conversion(
     return funnel_conversion(
         state, steps, user_col=user_col, type_col=type_col, ts_col=ts_col
     )
+
+
+def incremental_bloom_run(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    key_col: str,
+    state_dir: str,
+    flags_dir: str,
+    checkpoint_dir: str,
+    id_cols: tuple[str, ...] = ("doc_id",),
+    m_bits: int | None = None,
+    k: int | None = None,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Incremental membership monitor against a GROWING Bloom index —
+    the streaming member of the ``llm/bloom.py`` family (next to the
+    PSI and funnel monitors): each micro-batch's keys are flagged
+    ``seen_before`` against the filter accumulated over all PRIOR
+    batches, then the batch's own bits join the index.
+
+    Replay convergence without subtraction (a Bloom filter cannot
+    un-set bits): the index is stored as ``batch_id=``-partitioned
+    word-table PARTIALS, and batch N's flags are computed against the
+    merge of partitions with ``batch_id < N`` only — so a replayed
+    batch (crash between sink write and checkpoint commit) scores
+    against exactly the same prior state and dynamic-overwrites its
+    own partitions to the same bytes (``bit_or`` partials are
+    order-free; the PSI-monitor convergence argument). Merging
+    partials on read is bit-identical to a filter built at once
+    (``merge_bloom_words`` associativity, property-tested).
+
+    Within-batch duplicates are NOT flagged against each other (the
+    index advances at batch granularity); callers needing intra-batch
+    dedup compose ``dropDuplicates`` upstream. No false negatives
+    ever; false positives at the filter's designed rate — compose
+    with an exact verify join downstream (``bloom_prefilter``
+    contract).
+
+    Scale: per-batch state written is ≤ m_bits/64 rows; flags cost k
+    broadcast map-side joins over the batch (the probe relation never
+    shuffles); reading the accumulated index folds batches × m/64
+    tiny rows.
+    """
+    from capital.llm.bloom import (
+        DEFAULT_K,
+        DEFAULT_M_BITS,
+        bloom_might_contain,
+        bloom_words,
+    )
+
+    m = m_bits or DEFAULT_M_BITS
+    kk = k or DEFAULT_K
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            prior = (
+                spark.read.parquet(state_dir)
+                .filter(F.col("batch_id") < batch_id)
+                .groupBy("word_idx")
+                .agg(F.bit_or("word").alias("word"))
+            )
+        except Exception:  # noqa: BLE001 — first batch: no state yet
+            prior = spark.createDataFrame(
+                [], "word_idx bigint, word bigint"
+            )
+        flags = (
+            bloom_might_contain(
+                batch_df, prior, key_col, m, kk, "seen_before"
+            )
+            .select(*id_cols, key_col, "seen_before")
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        flags.write.mode("overwrite").partitionBy("batch_id").parquet(
+            flags_dir
+        )
+        own = bloom_words(
+            batch_df.select(F.col(key_col).alias("__k")), "__k", m, kk
+        ).withColumn("batch_id", F.lit(batch_id))
+        own.write.mode("overwrite").partitionBy("batch_id").parquet(
+            state_dir
+        )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return (
+        reader.format(fmt)
+        .load(source_dir)
+        .writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def bloom_state_words(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Read half: fold the ``batch_id=``-partitioned word-table
+    partials into the current filter — bit-identical to a filter
+    built over all batches at once (``bit_or`` associativity). Feed
+    it to ``bloom_might_contain``/``bloom_prefilter`` as the stored
+    index."""
+    return (
+        spark.read.parquet(state_dir)
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+    )

@@ -128,6 +128,82 @@ def test_psi_drift_smoothing_handles_absent_bins(spark):
     assert abs(s[0].psi_term) < 1e-9
 
 
+def test_ks_drift_hand_computed(spark):
+    """KS on a hand-computable shift: ref uniform over b0/b1, cur all
+    in b1 — CDFs diverge maximally at b0 (|0.5 − 0| = 0.5)."""
+    from capital.operators.drift import ks_drift
+
+    rows = (
+        [("b0", "ref")] * 10 + [("b1", "ref")] * 10 + [("b1", "cur")] * 8
+    )
+    df = spark.createDataFrame(rows, "bin string, period string")
+    out = {r.bin: r for r in ks_drift(df, "bin", "period", "ref", "cur").collect()}
+    assert out["b0"].cdf_ref == 0.5 and out["b0"].cdf_cur == 0.0
+    assert out["b0"].cdf_gap == 0.5
+    assert out["b1"].cdf_ref == 1.0 and out["b1"].cdf_cur == 1.0
+    assert out["b1"].cdf_gap == 0.0
+    assert all(r.ks_stat == 0.5 for r in out.values())
+
+
+def test_ks_drift_zero_on_identical_distributions(spark):
+    from capital.operators.drift import ks_drift
+
+    rows = [("b0", p) for p in ("ref", "cur") for _ in range(7)] + [
+        ("b1", p) for p in ("ref", "cur") for _ in range(3)
+    ]
+    df = spark.createDataFrame(rows, "bin string, period string")
+    out = ks_drift(df, "bin", "period", "ref", "cur").collect()
+    assert all(r.cdf_gap == 0.0 and r.ks_stat == 0.0 for r in out)
+
+
+def test_ks_catches_spread_shift_psi_underweights(spark):
+    """A +1-bin location shift spread over many bins: every per-bin
+    PSI term stays small while the cumulative gap is large — the
+    reason the family carries both statistics."""
+    from capital.operators.drift import ks_drift, psi_drift
+
+    cur_counts = [5, 6, 7, 8, 9, 11, 12, 13, 14, 15]  # linear tilt
+    ref = [(f"b{i}", "ref") for i in range(10) for _ in range(10)]
+    cur = [
+        (f"b{i}", "cur") for i, n in enumerate(cur_counts) for _ in range(n)
+    ]
+    df = spark.createDataFrame(ref + cur, "bin string, period string")
+    ks = ks_drift(df, "bin", "period", "ref", "cur").collect()[0].ks_stat
+    psi_terms = [
+        r.psi_term
+        for r in psi_drift(df, "bin", "period", "ref", "cur").collect()
+    ]
+    assert ks >= 0.14  # cumulative displacement of the whole tilt
+    assert max(abs(t) for t in psi_terms) < ks / 3  # per-bin terms small
+
+
+def test_ks_against_stored_baseline_matches_batch(spark):
+    """Stored-baseline path ≡ two-period batch path (the psi twin
+    contract), including bins absent from one side."""
+    from capital.operators.drift import (
+        baseline_histogram,
+        ks_counts_against_baseline,
+        ks_drift,
+    )
+    from pyspark.sql import functions as F
+
+    ref_rows = [("b0",)] * 5 + [("b1",)] * 5
+    cur_rows = [("b1",)] * 4 + [("b2",)] * 6
+    ref = spark.createDataFrame(ref_rows, "bin string")
+    cur = spark.createDataFrame(cur_rows, "bin string")
+    base = baseline_histogram(ref, "bin")
+    cur_counts = cur.groupBy("bin").agg(F.count(F.lit(1)).alias("n_cur"))
+    stored = sorted(
+        map(tuple, ks_counts_against_baseline(cur_counts, base).collect())
+    )
+    both = spark.createDataFrame(
+        [(b, "ref") for (b,) in ref_rows] + [(b, "cur") for (b,) in cur_rows],
+        "bin string, period string",
+    )
+    batch = sorted(map(tuple, ks_drift(both, "bin", "period", "ref", "cur").collect()))
+    assert stored == batch
+
+
 def test_capped_per_source_prefilters_before_ranking(spark, sf_dir):
     """The scale claim in-plan: the ranking Window's input must be the
     threshold-FILTERED candidate set (u < per-source threshold), not
