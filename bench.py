@@ -123,6 +123,11 @@ def headline_names(all_names) -> list[str]:
         # BM25 lexical retrieval + DSIR importance resampling) ---
         "ret_bm25_topk",
         "cur_dsir_resample",
+        # --- added round 9c (anchor 1.96 s; engine at parity —
+        # output-volume-bound dense spine + LOCF; the round's other
+        # new queries are DuckDB floors or iterative-stage-floor
+        # rows, dispositioned in BASELINE.md) ---
+        "ts_regularize_ffill",
     ]
     return [n for n in preferred if n in all_names] or sorted(all_names)[:8]
 

@@ -1,0 +1,86 @@
+"""Time-series regularization: per-key dense daily spine + LOCF.
+
+The reference's domain is daily market data with holiday gaps
+(`dags/brz_*_daily`, the prev-working-day as-of patterns); every
+consumer of such a lake eventually needs the *resample* step —
+"give me one row per (ticker, calendar day), carrying the last
+observation forward" — so it is a first-class operator rather than a
+per-query window idiom. Complements :mod:`capital.operators.asof`
+(as-of joins BETWEEN two frames) and ``f14``'s zero-fill (which
+fills with a constant, not the last observation).
+
+Semantics: for each key, a dense daily spine spans the key's own
+[min(date), max(date)] (or a caller-supplied spine); observed values
+forward-fill (last observation carried forward); ``gap_days`` reports
+the distance to the carried observation and ``is_observed`` marks
+real rows. ``max_gap_days`` bounds the carry (a price quote from two
+years ago is not a price) — beyond it the fill nulls out, the
+monitoring-friendly behavior.
+
+Shape at scale: bounds are one map-side-combined aggregate; the spine
+is a narrow per-key ``sequence`` explode (keys × days rows — the
+OUTPUT size, nothing quadratic); the fill is ONE window per key
+(hash exchange + local sort). No driver work, no global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def regularize_daily(
+    df: DataFrame,
+    key_col: str,
+    date_col: str,
+    value_col: str,
+    max_gap_days: int | None = None,
+) -> DataFrame:
+    """Per-key dense daily series with last-observation-carried-forward.
+
+    Multiple observations on one (key, day) reduce with ``max`` (a
+    deterministic, order-free tie-break; pre-aggregate upstream for a
+    different policy). Returns one row per (key, date) in the key's
+    observed span: ``(key, date, value, is_observed, gap_days)`` —
+    ``value`` is the carried observation (null before the first
+    observation, and beyond ``max_gap_days`` when set), ``gap_days``
+    the age of the carried value (0 on observed days).
+    """
+    key = F.col(key_col)
+    day = F.col(date_col).cast("date")
+    obs = (
+        df.select(key.alias("key"), day.alias("date"),
+                  F.col(value_col).alias("__v"))
+        .groupBy("key", "date")
+        .agg(F.max("__v").alias("__v"))
+    )
+    bounds = obs.groupBy("key").agg(
+        F.min("date").alias("__d0"), F.max("date").alias("__d1")
+    )
+    spine = bounds.select(
+        "key",
+        F.explode(
+            F.sequence(F.col("__d0"), F.col("__d1"), F.expr("interval 1 day"))
+        ).alias("date"),
+    )
+    joined = spine.join(obs, ["key", "date"], "left")
+    w = (
+        Window.partitionBy("key")
+        .orderBy(F.asc("date"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last("__v", ignorenulls=True).over(w)
+    last_obs_date = F.last(
+        F.when(F.col("__v").isNotNull(), F.col("date")), ignorenulls=True
+    ).over(w)
+    gap = F.datediff(F.col("date"), last_obs_date)
+    value: Column = carried
+    if max_gap_days is not None:
+        value = F.when(gap <= int(max_gap_days), carried)
+    return joined.select(
+        F.col("key").alias(key_col),
+        "date",
+        value.alias(value_col),
+        F.col("__v").isNotNull().alias("is_observed"),
+        gap.alias("gap_days"),
+    )

@@ -85,6 +85,7 @@ _DRIVER_PRIORITY = [
     "llm_bpe_doc_tokens",
     "drift_value_ks",
     "text_kneser_ney_logprob",
+    "ts_regularize_ffill",
     # --- the eight r4-evidence staples (round-7/8 verdict ask #2) ---
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -122,10 +123,9 @@ _DRIVER_PRIORITY = [
     "q9_product_profit",
     "text_tfidf_stats",
     "u1_union_distinct_nations",
-    "u4_intersect_nations",
     "ud3_group_apply_rank",
     "w1_previous_working_day",
-    # --- 50-slot boundary (3 touched + 12 new + 8 staples + 27 r5).
+    # --- 50-slot boundary (3 touched + 13 new + 8 staples + 26 r5).
     # Waiting for round 10, all with r5 evidence (age 4 at the r9
     # gate, so test_rotation_freshness FORCES them into the round-10
     # window): w5_lag_delta / w6_trailing_7day_sum / pipe_clean_corpus
@@ -137,7 +137,8 @@ _DRIVER_PRIORITY = [
     # path is re-covered by u1 and the evolving-union tests) and
     # cal_dim_calendar (displaced for text_kneser_ney_logprob; the
     # calendar-generation path carries r8 evidence via
-    # cal_holiday_merged plus the calendar unit tests).
+    # cal_holiday_merged plus the calendar unit tests) and
+    # u4_intersect_nations (displaced for ts_regularize_ffill).
 ]
 
 

@@ -277,3 +277,69 @@ def w2_year_end_last_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(~dow0.isin(0, 6), F.col("o_orderdate").cast("date"))
         ).alias("last_weekday")
     )
+
+
+# --- time-series regularization (dense spine + LOCF) ---------------------
+
+_TS_MAX_GAP = 30
+
+
+@query(
+    "ts_regularize_ffill",
+    oracle=f"""
+    WITH obs AS (
+      SELECT l_suppkey AS k, CAST(l_shipdate AS DATE) AS date,
+             MAX(l_extendedprice) AS v
+      FROM lineitem GROUP BY 1, 2),
+    b AS (SELECT k, MIN(date) AS d0, MAX(date) AS d1 FROM obs GROUP BY k),
+    spine AS (
+      SELECT k, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                     AS DATE) AS date
+      FROM b),
+    j AS (
+      SELECT spine.k, spine.date, obs.v
+      FROM spine LEFT JOIN obs
+        ON spine.k = obs.k AND spine.date = obs.date),
+    f AS (
+      SELECT k, date, v,
+             LAST_VALUE(v IGNORE NULLS) OVER wcum AS carried,
+             LAST_VALUE(CASE WHEN v IS NOT NULL THEN date END
+                        IGNORE NULLS) OVER wcum AS lastd
+      FROM j
+      WINDOW wcum AS (PARTITION BY k ORDER BY date
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT k AS l_suppkey, date,
+           CASE WHEN date - lastd <= {_TS_MAX_GAP} THEN carried END
+             AS last_price,
+           v IS NOT NULL AS is_observed,
+           CAST(date - lastd AS INT) AS gap_days
+    FROM f
+    """,
+)
+def ts_regularize_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization (operators/resample.regularize_daily):
+    one row per (supplier, calendar day) across each supplier's
+    observed shipping span, daily max extended price carried forward
+    up to 30 days (stale carries null out — a month-old price is not
+    a price). The resample step every daily-market lake needs between
+    sparse observations and window analytics; spine explode is narrow,
+    the fill is one window per key."""
+    from capital.operators.resample import regularize_daily
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_shipdate", "l_extendedprice"
+    )
+    out = regularize_daily(
+        li,
+        key_col="l_suppkey",
+        date_col="l_shipdate",
+        value_col="l_extendedprice",
+        max_gap_days=_TS_MAX_GAP,
+    )
+    return out.select(
+        "l_suppkey",
+        "date",
+        F.col("l_extendedprice").alias("last_price"),
+        "is_observed",
+        F.col("gap_days").cast("int").alias("gap_days"),
+    )
