@@ -337,3 +337,76 @@ def triangles(
             F.floor(coeff * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint: bool = True,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Fixed-iteration synchronous label propagation (Raghavan et al.
+    2007) — community detection, the graph family's fourth member:
+    components answer "connected?", PageRank "how central?",
+    triangles "how cohesive locally?", LPA "which module?".
+
+    Each node starts as its own label; every round it adopts the most
+    frequent label among its neighbors, ties broken by the SMALLEST
+    label — fully deterministic, so a fixed ``iterations`` unrolls
+    into plain SQL for the oracle (the PageRank pattern; synchronous
+    updates can oscillate on bipartite structures, which a fixed
+    round count renders harmless and reproducible). Input edges are
+    canonicalized and expanded to both directions; node ids must be
+    non-negative integers (the tie-break negates them).
+
+    Per round: one edge⋈labels join + one (node, label) count + one
+    per-node max + the tie-break min — all map-side-combinable
+    aggregates, label state is node-sized, lineage truncated per
+    round (``checkpoint_dir`` for reliable storage). Isolated rounds
+    shuffle the edge list like shuffle-mode PageRank; broadcast the
+    node-sized label state instead when it fits the threshold — here
+    the join is left to Catalyst/AQE (labels are node-sized and
+    usually hash-join small).
+    """
+    from capital.io import plan_checkpointer
+
+    ckpt = (
+        plan_checkpointer(edges.sparkSession, checkpoint_dir)
+        if checkpoint
+        else (lambda df: df)
+    )
+    e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = (
+        e0.select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    both = ckpt(
+        und.unionByName(
+            und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+    )
+    labels = ckpt(
+        both.select(F.col("a").alias("node")).distinct().withColumn(
+            "label", F.col("node")
+        )
+    )
+    for _ in range(int(iterations)):
+        nb = both.join(
+            labels.select(F.col("node").alias("a"), "label"), "a"
+        ).select(F.col("b").alias("node"), "label")
+        cnts = nb.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        mx = cnts.groupBy("node").agg(F.max("__c").alias("__mc"))
+        labels = ckpt(
+            cnts.join(mx, "node")
+            .filter(F.col("__c") == F.col("__mc"))
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+    return labels

@@ -84,3 +84,54 @@ def regularize_daily(
         F.col("__v").isNotNull().alias("is_observed"),
         gap.alias("gap_days"),
     )
+
+
+def ohlc_daily(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Daily OHLC candles from tick-level observations — the other
+    half of the resample family (:func:`regularize_daily` densifies a
+    daily series; this reduces ticks TO the daily series). The
+    reference ingests pre-built OHLCV panels (yfinance/Binance
+    klines); this builds the same panel from raw ticks.
+
+    Determinism: open/close are ``min_by``/``max_by`` over the
+    composite ordering ``(ts, id)`` — the id breaks same-timestamp
+    ties, so simultaneous ticks cannot make open/close
+    partition-order-dependent (the a4 first-wins discipline; the SQL
+    twin orders by ``[epoch_us(ts), id]``, the same lexicographic
+    order). Open/high/low/close are PICKED raw values, never
+    arithmetic — float-parity safe by construction; ``turnover``
+    accumulates as DECIMAL.
+
+    One map-side-combined aggregate per (key, day): no window, no
+    sort, no shuffle beyond the grouped partials.
+    """
+    day = F.col(ts_col).cast("date")
+    order = F.struct(F.col(ts_col), F.col(id_col))
+    v = F.col(value_col)
+    return (
+        df.select(
+            F.col(key_col).alias("key"),
+            day.alias("date"),
+            F.col(ts_col),
+            F.col(id_col),
+            v.alias("__v"),
+        )
+        .groupBy("key", "date")
+        .agg(
+            F.min_by("__v", order).alias("open"),
+            F.max("__v").alias("high"),
+            F.min("__v").alias("low"),
+            F.max_by("__v", order).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.sum(F.col("__v").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("turnover"),
+        )
+        .withColumnRenamed("key", key_col)
+    )

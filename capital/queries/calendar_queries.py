@@ -343,3 +343,45 @@ def ts_regularize_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_observed",
         F.col("gap_days").cast("int").alias("gap_days"),
     )
+
+
+@query(
+    "ts_ohlc_daily",
+    oracle="""
+    WITH t1 AS (
+      SELECT event_type,
+             CAST(CAST(ts AS TIMESTAMP) AS DATE) AS date,
+             CAST(ts AS TIMESTAMP) AS tss,
+             arg_min(value, event_id) AS o_cand,
+             arg_max(value, event_id) AS c_cand,
+             MAX(value) AS hi, MIN(value) AS lo,
+             COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(28,6))) AS s
+      FROM events GROUP BY 1, 2, 3)
+    SELECT event_type, date,
+           arg_min(o_cand, tss) AS open,
+           MAX(hi) AS high,
+           MIN(lo) AS low,
+           arg_max(c_cand, tss) AS close,
+           CAST(SUM(n) AS BIGINT) AS n_ticks,
+           CAST(SUM(s) AS DOUBLE) AS turnover
+    FROM t1 GROUP BY 1, 2
+    """,
+)
+def ts_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC candles from tick-level events
+    (operators/resample.ohlc_daily): open/close picked by the
+    deterministic (ts, event_id) ordering (the oracle resolves it as
+    a two-stage arg_min - DuckDB's arg_min takes only scalar
+    orderings - which is the same lexicographic pick), high/low raw
+    extrema,
+    DECIMAL turnover — one map-side-combined aggregate, the panel
+    the reference ingests pre-built from yfinance/Binance, built
+    here from raw ticks."""
+    from capital.operators.resample import ohlc_daily
+
+    e = load_table(spark, sf_dir, "events")
+    return ohlc_daily(
+        e, key_col="event_type", ts_col="ts", value_col="value",
+        id_col="event_id",
+    )

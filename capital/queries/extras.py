@@ -392,3 +392,96 @@ def graph_triangles_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("triangles").cast("long").alias("triangles"),
         "clustering_coeff",
     )
+
+
+# --- label propagation communities on the co-purchase graph -------------
+
+_LPA_ITERS = 4
+
+
+def _lpa_oracle() -> str:
+    """Unrolled synchronous LPA over the same thresholded co-purchase
+    graph as the triangles oracle (shared construction text; every
+    multi-referenced CTE MATERIALIZED per the round-9 re-evaluation
+    gotcha). Each round: neighbor-label counts -> per-node max ->
+    smallest-label tie-break."""
+    ctes = ["""cs AS MATERIALIZED (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    pairs AS MATERIALIZED (
+      SELECT x.s AS s1, y.s AS s2, count(*) AS w
+      FROM cs x JOIN cs y ON x.c = y.c AND x.s < y.s
+      GROUP BY x.s, y.s),
+    st AS (SELECT count(*) AS n, SUM(w) AS sw, SUM(w * w) AS sww
+           FROM pairs),
+    thr AS (
+      SELECT CAST(sw AS DOUBLE) / CAST(n AS DOUBLE)
+             + 2e0 * sqrt(CAST(sww AS DOUBLE) / CAST(n AS DOUBLE)
+                          - (CAST(sw AS DOUBLE) / CAST(n AS DOUBLE))
+                            * (CAST(sw AS DOUBLE) / CAST(n AS DOUBLE)))
+               AS t
+      FROM st),
+    e AS MATERIALIZED (SELECT s1, s2 FROM pairs, thr
+          WHERE CAST(w AS DOUBLE) > t),
+    bothdir AS MATERIALIZED (
+      SELECT s1 AS a, s2 AS b FROM e
+      UNION ALL SELECT s2 AS a, s1 AS b FROM e),
+    l0 AS MATERIALIZED (
+      SELECT DISTINCT a AS node, a AS label FROM bothdir)"""]
+    for i in range(1, _LPA_ITERS + 1):
+        ctes.append(f"""n{i} AS MATERIALIZED (
+      SELECT bd.b AS node, l.label, COUNT(*) AS c
+      FROM bothdir bd JOIN l{i - 1} l ON bd.a = l.node
+      GROUP BY bd.b, l.label),
+    m{i} AS (SELECT node, MAX(c) AS mc FROM n{i} GROUP BY node),
+    l{i} AS MATERIALIZED (
+      SELECT n.node, MIN(n.label) AS label
+      FROM n{i} n JOIN m{i} m ON n.node = m.node AND n.c = m.mc
+      GROUP BY n.node)""")
+    return (
+        "\n    WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT node, label FROM l{_LPA_ITERS}\n    "
+    )
+
+
+@query("graph_lpa_trade", memoize=False, oracle=_lpa_oracle())
+def graph_lpa_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities (operators/graph.
+    label_propagation, Raghavan et al. 2007) over the same mu+2sigma
+    thresholded co-purchase graph as graph_triangles_trade: which
+    supplier module does each node belong to. Deterministic
+    (count desc, label asc) adoption unrolls the 4-round loop into
+    the hash-checked oracle. memoize=False: per-round localCheckpoint
+    is eager."""
+    from capital.operators.graph import label_propagation
+    from capital.operators.skew import chunked_pair_join
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    cs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    ).persist()
+    pairs = (
+        chunked_pair_join(cs, block_cols=["c"], id_col="s")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("w"))
+    ).persist()
+    stats = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("w").alias("sw"),
+        F.sum(F.col("w") * F.col("w")).alias("sww"),
+    )
+    mu = F.col("sw").cast("double") / F.col("n").cast("double")
+    thr = mu + F.lit(2.0) * F.sqrt(
+        F.col("sww").cast("double") / F.col("n").cast("double") - mu * mu
+    )
+    edges = (
+        pairs.crossJoin(F.broadcast(stats))
+        .filter(F.col("w").cast("double") > thr)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    return label_propagation(edges, iterations=_LPA_ITERS)

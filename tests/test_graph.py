@@ -235,3 +235,47 @@ def test_triangles_chunked_path_identical_to_plain(spark):
         map(tuple, triangles(e, chunk_target=1, probe=False).collect())
     )
     assert plain == chunked
+
+
+# --- label propagation (community detection) ----------------------------
+
+
+from capital.operators.graph import label_propagation  # noqa: E402
+
+
+def test_lpa_separates_bridged_cliques(spark):
+    """Two 4-cliques joined by one bridge edge resolve to two
+    communities (hand-traced: converges by round 3 under the
+    (count desc, label asc) tie-break)."""
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    c2 = [(a + 10, b + 10) for a, b in c1]
+    edges = _int_edges(spark, c1 + c2 + [(3, 10)])
+    labels = {
+        r.node: r.label
+        for r in label_propagation(edges, iterations=4).collect()
+    }
+    assert {labels[n] for n in range(4)} == {0}
+    assert {labels[n + 10] for n in range(4)} == {10}
+
+
+def test_lpa_deterministic_across_layouts_and_modes(spark, tmp_path):
+    pairs = [((i * 7) % 29, (i * 13 + 5) % 29) for i in range(80)]
+    e = _int_edges(spark, pairs)
+    a = sorted(map(tuple, label_propagation(e, iterations=3).collect()))
+    b = sorted(
+        map(
+            tuple,
+            label_propagation(e.repartition(5), iterations=3).collect(),
+        )
+    )
+    c = sorted(
+        map(
+            tuple,
+            label_propagation(
+                e, iterations=3, checkpoint_dir=str(tmp_path / "ck")
+            ).collect(),
+        )
+    )
+    assert a == b == c
+    nodes = {t[0] for t in a}
+    assert all(lbl in nodes for _, lbl in a)  # labels are node ids

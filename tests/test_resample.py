@@ -88,3 +88,45 @@ def test_regularize_keys_independent_and_layout_invariant(spark):
     assert keys == {"A", "B"}
     # B's spine is one day — its own span, not A's.
     assert sum(1 for t in a if t[0] == "B") == 1
+
+
+# --- OHLC daily candles ---------------------------------------------------
+
+
+def test_ohlc_daily_hand_computed(spark):
+    import datetime as dt
+
+    from capital.operators.resample import ohlc_daily
+
+    rows = [
+        ("T", dt.datetime(2024, 1, 1, 9, 0), 1, 10.0),
+        ("T", dt.datetime(2024, 1, 1, 12, 0), 2, 30.0),
+        ("T", dt.datetime(2024, 1, 1, 16, 0), 3, 5.0),
+        ("T", dt.datetime(2024, 1, 1, 17, 0), 4, 20.0),
+        ("T", dt.datetime(2024, 1, 2, 9, 0), 5, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, id long, v double")
+    out = {
+        r.date.isoformat(): r
+        for r in ohlc_daily(df, "k", "ts", "v", "id").collect()
+    }
+    d1 = out["2024-01-01"]
+    assert (d1.open, d1.high, d1.low, d1.close) == (10.0, 30.0, 5.0, 20.0)
+    assert d1.n_ticks == 4 and d1.turnover == 65.0
+    d2 = out["2024-01-02"]
+    assert (d2.open, d2.high, d2.low, d2.close) == (7.0, 7.0, 7.0, 7.0)
+
+
+def test_ohlc_daily_same_timestamp_tiebreak_on_id(spark):
+    """Two ticks at the identical timestamp: open is the lower id,
+    close the higher — partition layout must not matter."""
+    import datetime as dt
+
+    from capital.operators.resample import ohlc_daily
+
+    t = dt.datetime(2024, 1, 1, 9, 0)
+    rows = [("T", t, 2, 99.0), ("T", t, 1, 11.0)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, id long, v double")
+    for frame in (df, df.repartition(4)):
+        r = ohlc_daily(frame, "k", "ts", "v", "id").collect()[0]
+        assert (r.open, r.close) == (11.0, 99.0)
