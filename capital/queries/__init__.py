@@ -88,6 +88,8 @@ _DRIVER_PRIORITY = [
     "ts_regularize_ffill",
     "ts_ohlc_daily",
     "graph_lpa_trade",
+    "lake_snapshot_diff",
+    "mon_mad_outliers",
     # --- the eight r4-evidence staples (round-7/8 verdict ask #2) ---
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -109,12 +111,10 @@ _DRIVER_PRIORITY = [
     "p3b_pivot_wide",
     "q10_returned_items",
     "q11_important_stock",
-    "q12_priority_lines",
     "q13_customer_distribution",
     "q14_promo_revenue",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
-    "q19_discounted_revenue",
     "q21_returns_sole_blame",
     "q22_global_sales_opportunity",
     "q2_min_cost_supplier",
@@ -125,7 +125,7 @@ _DRIVER_PRIORITY = [
     "u1_union_distinct_nations",
     "ud3_group_apply_rank",
     "w1_previous_working_day",
-    # --- 50-slot boundary (3 touched + 15 new + 8 staples + 24 r5).
+    # --- 50-slot boundary (3 touched + 17 new + 8 staples + 22 r5).
     # Waiting for round 10, all with r5 evidence (age 4 at the r9
     # gate, so test_rotation_freshness FORCES them into the round-10
     # window): w5_lag_delta / w6_trailing_7day_sum / pipe_clean_corpus
@@ -140,8 +140,10 @@ _DRIVER_PRIORITY = [
     # cal_holiday_merged plus the calendar unit tests) and
     # u4_intersect_nations (displaced for ts_regularize_ffill) and
     # q16_supplier_part_counts / q20_excess_stock_suppliers (displaced
-    # for ts_ohlc_daily / graph_lpa_trade; the TPC agg/join shapes
-    # stay live through the 13 q-series rows still in the window).
+    # for ts_ohlc_daily / graph_lpa_trade) and q19_discounted_revenue
+    # (displaced for lake_snapshot_diff) and q12_priority_lines
+    # (displaced for mon_mad_outliers) - the TPC agg/join shapes stay
+    # live through the q-series rows still in the window.
 ]
 
 

@@ -809,3 +809,53 @@ def cur_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return prototype_prune(emb, _PROTO_K)
+
+
+# --- per-row robust outliers (median/MAD) --------------------------------
+
+_MAD_K = 3.5
+_MAD_C = 1.4826
+
+
+@query(
+    "mon_mad_outliers",
+    oracle=f"""
+    WITH med_t AS (
+      SELECT event_type AS g, quantile_cont(value, 0.5) AS gmed
+      FROM events GROUP BY 1),
+    dev AS (
+      SELECT e.event_id, e.event_type, e.value, m.gmed,
+             abs(e.value - m.gmed) AS ad
+      FROM events e JOIN med_t m ON e.event_type = m.g),
+    mad_t AS (
+      SELECT event_type AS g2, quantile_cont(ad, 0.5) AS gmad
+      FROM dev GROUP BY 1)
+    SELECT d.event_id, d.event_type, d.value,
+           d.gmed AS group_median,
+           floor(CASE WHEN t.gmad > 0e0
+                      THEN d.ad / ({_MAD_C!r}e0 * t.gmad) END
+                 * 1e6 + 0.5e0) / 1e6 AS robust_z,
+           COALESCE(floor(CASE WHEN t.gmad > 0e0
+                               THEN d.ad / ({_MAD_C!r}e0 * t.gmad) END
+                          * 1e6 + 0.5e0) / 1e6 > {_MAD_K!r}e0,
+                    FALSE) AS is_outlier
+    FROM dev d JOIN mad_t t ON d.event_type = t.g2
+    """,
+)
+def mon_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row robust outlier flags (operators/outliers.mad_outliers):
+    each event scored |value - group median| / (1.4826 * MAD) within
+    its event_type - the record-granularity member of the monitoring
+    family next to the distribution-level PSI/KS drift. Median/MAD
+    resist the masking that defeats mean/stddev z-scores; exact
+    percentile parity rides the a9-pinned
+    percentile == quantile_cont equivalence."""
+    from capital.operators.outliers import mad_outliers
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return mad_outliers(e, "event_type", "value", k=_MAD_K).select(
+        "event_id", "event_type", "value", "group_median",
+        "robust_z", "is_outlier",
+    )

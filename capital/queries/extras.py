@@ -485,3 +485,76 @@ def graph_lpa_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
     return label_propagation(edges, iterations=_LPA_ITERS)
+
+
+# --- snapshot diff (lake reconciliation) ---------------------------------
+
+
+@query(
+    "lake_snapshot_diff",
+    oracle="""
+    WITH old_s AS (
+      SELECT o_orderkey AS k, o_totalprice AS price,
+             o_orderstatus AS ostatus
+      FROM orders WHERE o_orderkey % 7 <> 0),
+    new_s AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1e0
+                  ELSE o_totalprice END AS price,
+             o_orderstatus AS ostatus
+      FROM orders WHERE o_orderkey % 11 <> 0),
+    j AS (
+      SELECT COALESCE(o.k, n.k) AS k,
+             o.k IS NOT NULL AS in_old,
+             n.k IS NOT NULL AS in_new,
+             array_concat(
+               CASE WHEN o.price IS DISTINCT FROM n.price
+                    THEN ['price'] ELSE [] END,
+               CASE WHEN o.ostatus IS DISTINCT FROM n.ostatus
+                    THEN ['ostatus'] ELSE [] END) AS cc
+      FROM old_s o FULL OUTER JOIN new_s n ON o.k = n.k)
+    SELECT k AS o_orderkey,
+           CASE WHEN NOT in_old THEN 'added'
+                WHEN NOT in_new THEN 'removed'
+                WHEN len(cc) > 0 THEN 'changed'
+                ELSE 'unchanged' END AS diff_status,
+           COALESCE(array_to_string(
+             CASE WHEN in_old AND in_new THEN cc ELSE [] END, ','), '')
+             AS changed_cols
+    FROM j
+    WHERE NOT (in_old AND in_new AND len(cc) = 0)
+    """,
+)
+def lake_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot reconciliation (operators/diff.snapshot_diff):
+    added / removed / changed rows between two order-table versions
+    (deterministically derived: churned membership via modulus
+    filters, a price bump on every fifth key), with the differing
+    column NAMES so downstream recompute routes on a filter. The
+    answer to the reference's costly-full-refresh tension; one
+    full-outer key join, delta-only output."""
+    from capital.operators.diff import snapshot_diff
+
+    o = load_table(spark, sf_dir, "orders")
+    old_s = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("ostatus"),
+    )
+    new_s = o.filter(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + F.lit(1.0)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+        F.col("o_orderstatus").alias("ostatus"),
+    )
+    out = snapshot_diff(old_s, new_s, ["o_orderkey"])
+    # Driver-facing outputs must be atomic (the canonicalizer cannot
+    # sort array cells) — stringify the changed-column list.
+    return out.select(
+        "o_orderkey",
+        "diff_status",
+        F.array_join("changed_cols", ",").alias("changed_cols"),
+    )
