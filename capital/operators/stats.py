@@ -1,0 +1,102 @@
+"""Grouped statistics with cross-engine float determinism: Pearson
+correlation and quantile binning.
+
+Spark ships ``corr()`` — but a native float aggregate reduces in
+partition order, so two runs (or two engines) disagree in the last
+ulps and a hash-checked pipeline cannot pin it. These operators apply
+the repo's decimal-moment discipline instead: every moment
+(Σx, Σy, Σxy, Σx², Σy²) is an EXACT decimal sum of 6-decimal-quantized
+terms, and the closed-form estimator is one fixed-shape double
+expression of those exact moments — bit-identical on any engine, any
+partitioning, any retry. The cost is quantization at the 6th decimal
+of each TERM (documented; negligible against sampling noise for
+analytics, and determinism is worth more than the 7th decimal in a
+monitored pipeline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dsum(col, alias):
+    return (
+        F.sum(col.cast("decimal(28,6)")).cast("double").alias(alias)
+    )
+
+
+def grouped_pearson(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group Pearson correlation from exact decimal moments:
+
+    ``r = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − (Σx)²) · (n·Σy² − (Σy)²))``
+
+    One map-side-combined aggregate per group; null when either
+    variance term is ≤ 0 (constant column). Returns
+    ``(group, n, corr)`` with ``corr`` stable-rounded to 6."""
+    from capital.llm.text import round6_stable
+
+    x, y = F.col(x_col), F.col(y_col)
+    m = df.groupBy(F.col(group_col)).agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        _dsum(x, "__sx"),
+        _dsum(y, "__sy"),
+        _dsum(x * y, "__sxy"),
+        _dsum(x * x, "__sxx"),
+        _dsum(y * y, "__syy"),
+    )
+    n = F.col("__n")
+    vx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    cov = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    r = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
+    return m.select(
+        group_col,
+        n.cast("long").alias("n"),
+        round6_stable(r).alias("corr"),
+    )
+
+
+def quantile_bins(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Equal-frequency binning (quantile discretizer): learn the
+    ``n_bins − 1`` interior exact-percentile edges (globally or per
+    group), then assign ``bin = 1 + Σᵢ [value > edgeᵢ]`` — strict
+    ``>`` so a value exactly ON an edge falls in the lower bin, and
+    heavy ties collapse bins deterministically rather than splitting
+    arbitrarily.
+
+    Edges ride the a9-pinned ``percentile == quantile_cont``
+    equivalence; the assignment is a broadcast join of the
+    group-sized edge table + an integer sum of comparisons — no
+    second shuffle of the rows. Adds ``bin`` (1-based int)."""
+    probs = [i / n_bins for i in range(1, n_bins)]
+    arr = "array(" + ", ".join(repr(p) for p in probs) + ")"
+    if group_col is None:
+        edges = df.agg(
+            F.expr(f"percentile({value_col}, {arr})").alias("__edges")
+        )
+        joined = df.crossJoin(F.broadcast(edges))
+    else:
+        edges = df.groupBy(F.col(group_col).alias("__g")).agg(
+            F.expr(f"percentile({value_col}, {arr})").alias("__edges")
+        )
+        joined = df.join(
+            F.broadcast(edges), F.col(group_col) == F.col("__g")
+        ).drop("__g")
+    v = F.col(value_col)
+    bin_expr = F.lit(1)
+    for i in range(len(probs)):
+        bin_expr = bin_expr + F.when(
+            v > F.element_at("__edges", i + 1), 1
+        ).otherwise(0)
+    return joined.withColumn("bin", bin_expr.cast("int")).drop("__edges")

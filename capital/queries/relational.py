@@ -971,3 +971,91 @@ def j8_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_retailprice").alias("version_price"),
         F.col("valid_from").alias("version_from"),
     )
+
+
+# --- deterministic grouped statistics (operators/stats.py) ---------------
+
+
+@query(
+    "a10_grouped_pearson",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+               AS sy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice
+                           AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_quantity * l_quantity
+                           AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                           AS DECIMAL(28,6))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           floor(CASE WHEN (n * sxx - sx * sx) > 0e0
+                       AND (n * syy - sy * sy) > 0e0
+                      THEN (n * sxy - sx * sy)
+                           / sqrt((n * sxx - sx * sx)
+                                  * (n * syy - sy * sy)) END
+                 * 1e6 + 0.5e0) / 1e6 AS corr
+    FROM m
+    """,
+)
+def a10_grouped_pearson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlation from exact decimal moments
+    (operators/stats.grouped_pearson): quantity vs extended price per
+    return flag. Spark's native corr() reduces doubles in partition
+    order and cannot be hash-pinned; the decimal-moment form is
+    bit-identical on any engine/partitioning/retry."""
+    from capital.operators.stats import grouped_pearson
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return grouped_pearson(
+        li, "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+
+
+@query(
+    "a11_quantile_bins",
+    oracle="""
+    WITH ed AS (
+      SELECT l_returnflag AS g,
+             quantile_cont(l_extendedprice,
+                           [0.25e0, 0.5e0, 0.75e0]) AS e
+      FROM lineitem GROUP BY 1),
+    b AS (
+      SELECT l.l_returnflag,
+             1 + CAST(l.l_extendedprice > e[1] AS INT)
+               + CAST(l.l_extendedprice > e[2] AS INT)
+               + CAST(l.l_extendedprice > e[3] AS INT) AS bin,
+             l.l_extendedprice AS v
+      FROM lineitem l JOIN ed ON l.l_returnflag = ed.g)
+    SELECT l_returnflag,
+           CAST(bin AS INT) AS bin,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE) AS sum_price
+    FROM b GROUP BY 1, 2
+    """,
+)
+def a11_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency quantile discretizer (operators/stats.
+    quantile_bins): per-return-flag quartile edges learned with exact
+    percentiles (the a9-pinned equivalence), rows assigned by strict
+    > comparisons (ties collapse low, deterministically), rolled up
+    to per-bin counts + decimal price sums. The learned-binning
+    ML-prep staple."""
+    from capital.operators.stats import quantile_bins
+    from capital.queries.registry import decimal_sum
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    binned = quantile_bins(
+        li, "l_extendedprice", 4, group_col="l_returnflag"
+    )
+    return binned.groupBy("l_returnflag", "bin").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        decimal_sum(F.col("l_extendedprice"), "sum_price"),
+    )

@@ -1,0 +1,61 @@
+"""Grouped deterministic stats (operators/stats.py): Pearson from
+decimal moments, equal-frequency quantile binning."""
+
+from __future__ import annotations
+
+import math
+
+from capital.operators.stats import grouped_pearson, quantile_bins
+
+
+def test_pearson_perfect_and_anti_correlation(spark):
+    rows = [("a", float(i), 2.0 * i) for i in range(1, 20)] + [
+        ("b", float(i), -3.0 * i + 100) for i in range(1, 20)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r.g: r for r in grouped_pearson(df, "g", "x", "y").collect()}
+    assert out["a"].corr == 1.0 and out["a"].n == 19
+    assert out["b"].corr == -1.0
+
+
+def test_pearson_matches_reference_and_null_on_constant(spark):
+    xs = [float((i * 7) % 13) for i in range(50)]
+    ys = [x * 0.5 + float((i * 3) % 5) for i, x in enumerate(xs)]
+    rows = [("a", x, y) for x, y in zip(xs, ys)] + [
+        ("c", float(i), 4.0) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r.g: r for r in grouped_pearson(df, "g", "x", "y").collect()}
+    import statistics
+
+    want = statistics.correlation(xs, ys)
+    # terms quantize at 1e-6 before summing — tolerance well above that
+    assert math.isclose(out["a"].corr, want, abs_tol=1e-4)
+    assert out["c"].corr is None  # constant y: no variance, no corr
+
+
+def test_quantile_bins_equal_frequency(spark):
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 101)], "v double"
+    )
+    out = quantile_bins(df, "v", 4).collect()
+    counts = {}
+    for r in out:
+        counts[r.bin] = counts.get(r.bin, 0) + 1
+    assert counts == {1: 25, 2: 25, 3: 25, 4: 25}
+    by_v = {r.v: r.bin for r in out}
+    assert by_v[1.0] == 1 and by_v[100.0] == 4
+    assert by_v[25.0] == 1 and by_v[26.0] == 2  # edge 25.75
+
+
+def test_quantile_bins_ties_collapse_low_and_groups_independent(spark):
+    rows = [("a", 5.0)] * 20 + [("b", float(i)) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = quantile_bins(df, "v", 4, group_col="g").collect()
+    a_bins = {r.bin for r in out if r.g == "a"}
+    assert a_bins == {1}  # all-tied values collapse into bin 1
+    b_counts = {}
+    for r in out:
+        if r.g == "b":
+            b_counts[r.bin] = b_counts.get(r.bin, 0) + 1
+    assert b_counts == {1: 5, 2: 5, 3: 5, 4: 5}
