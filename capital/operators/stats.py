@@ -100,3 +100,65 @@ def quantile_bins(
             v > F.element_at("__edges", i + 1), 1
         ).otherwise(0)
     return joined.withColumn("bin", bin_expr.cast("int")).drop("__edges")
+
+
+def mutual_information(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-cell mutual-information terms between two categorical
+    columns:
+
+    ``term(x,y) = p(x,y) · ln( p(x,y) / (p(x)·p(y)) )``
+
+    — the feature-relevance score behind curation questions like "is
+    language confounded with source?" (a mixture rebalanced on one
+    axis silently reshapes the other exactly when MI > 0). Reported
+    per cell, like the PSI terms: WHICH (x, y) pairs carry the
+    dependence is the actionable output; the scalar MI is one
+    ``decimal_sum`` of the terms.
+
+    Determinism: one map-side-combined (x, y) count; marginals and
+    the total are window sums over that dimension-sized aggregate
+    (exact integers). Each term is
+    ``(n_xy/N) · ln((n_xy·N)/(n_x·n_y))`` — exact-integer products
+    stay exact in doubles through 2⁵³, ``ln`` agrees across engines
+    (the PSI precedent), terms stable-round to 6. Only observed
+    cells appear (n_xy ≥ 1), so the log is always defined; absent
+    cells contribute 0 to MI by the p·ln(p) limit and are correctly
+    omitted.
+    """
+    from pyspark.sql import Window
+
+    from capital.llm.text import round6_stable
+
+    counts = (
+        df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+    )
+    wx = Window.partitionBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wy = Window.partitionBy("y").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    m = (
+        counts.withColumn("__nx", F.sum("n_xy").over(wx))
+        .withColumn("__ny", F.sum("n_xy").over(wy))
+        .withColumn("__n", F.sum("n_xy").over(wall))
+    )
+    term = (F.col("n_xy") / F.col("__n")) * F.log(
+        (F.col("n_xy") * F.col("__n")) / (F.col("__nx") * F.col("__ny"))
+    )
+    return m.select(
+        F.col("x").alias(x_col),
+        F.col("y").alias(y_col),
+        "n_xy",
+        round6_stable(F.col("n_xy") / F.col("__n")).alias("p_xy"),
+        round6_stable(term).alias("mi_term"),
+    )

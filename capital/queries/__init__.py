@@ -92,6 +92,7 @@ _DRIVER_PRIORITY = [
     "mon_mad_outliers",
     "a10_grouped_pearson",
     "a11_quantile_bins",
+    "cur_mi_source_lang",
     # --- the eight r4-evidence staples (round-7/8 verdict ask #2) ---
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -113,7 +114,6 @@ _DRIVER_PRIORITY = [
     "p3b_pivot_wide",
     "q10_returned_items",
     "q11_important_stock",
-    "q13_customer_distribution",
     "q17_small_quantity_revenue",
     "q21_returns_sole_blame",
     "q22_global_sales_opportunity",
@@ -125,7 +125,7 @@ _DRIVER_PRIORITY = [
     "u1_union_distinct_nations",
     "ud3_group_apply_rank",
     "w1_previous_working_day",
-    # --- 50-slot boundary (3 touched + 19 new + 8 staples + 20 r5).
+    # --- 50-slot boundary (3 touched + 20 new + 8 staples + 19 r5).
     # Waiting for round 10, all with r5 evidence (age 4 at the r9
     # gate, so test_rotation_freshness FORCES them into the round-10
     # window): w5_lag_delta / w6_trailing_7day_sum / pipe_clean_corpus
@@ -144,7 +144,8 @@ _DRIVER_PRIORITY = [
     # (displaced for lake_snapshot_diff) and q12_priority_lines
     # (displaced for mon_mad_outliers) and q14_promo_revenue /
     # q15_top_supplier (displaced for a10_grouped_pearson /
-    # a11_quantile_bins) - the TPC agg/join shapes stay live through
+    # a11_quantile_bins) and q13_customer_distribution (displaced for
+    # cur_mi_source_lang) - the TPC agg/join shapes stay live through
     # the q-series rows still in the window.
 ]
 

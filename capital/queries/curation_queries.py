@@ -859,3 +859,42 @@ def mon_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type", "value", "group_median",
         "robust_z", "is_outlier",
     )
+
+
+# --- mutual information between corpus axes ------------------------------
+
+
+@query(
+    "cur_mi_source_lang",
+    oracle="""
+    WITH c AS (
+      SELECT source, lang, COUNT(*) AS n_xy
+      FROM documents GROUP BY 1, 2),
+    m AS (
+      SELECT source, lang, n_xy,
+             SUM(n_xy) OVER (PARTITION BY source) AS nx,
+             SUM(n_xy) OVER (PARTITION BY lang) AS ny,
+             SUM(n_xy) OVER () AS n
+      FROM c)
+    SELECT source, lang,
+           CAST(n_xy AS BIGINT) AS n_xy,
+           floor((n_xy / CAST(n AS DOUBLE)) * 1e6 + 0.5e0) / 1e6
+             AS p_xy,
+           floor(((n_xy / CAST(n AS DOUBLE))
+                  * ln((n_xy * n) / CAST(nx * ny AS DOUBLE)))
+                 * 1e6 + 0.5e0) / 1e6 AS mi_term
+    FROM m
+    """,
+)
+def cur_mi_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell mutual information between source and language
+    (operators/stats.mutual_information): is the corpus's language
+    mix confounded with its source mix - the question a mixture
+    rebalance must answer before touching either axis (rebalancing
+    sources silently reshapes languages exactly when MI > 0). Exact
+    integer counts, window marginals over the dimension-sized cell
+    table, PSI-style ln parity."""
+    from capital.operators.stats import mutual_information
+
+    d = load_table(spark, sf_dir, "documents")
+    return mutual_information(d, "source", "lang")

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import functions as F
+
 from capital.operators.stats import grouped_pearson, quantile_bins
 
 
@@ -59,3 +61,46 @@ def test_quantile_bins_ties_collapse_low_and_groups_independent(spark):
         if r.g == "b":
             b_counts[r.bin] = b_counts.get(r.bin, 0) + 1
     assert b_counts == {1: 5, 2: 5, 3: 5, 4: 5}
+
+
+# --- mutual information ---------------------------------------------------
+
+
+def test_mutual_information_independent_is_zero(spark):
+    """A product distribution: every term ~0."""
+    from capital.operators.stats import mutual_information
+
+    rows = [(x, y) for x in "ab" for y in "cd" for _ in range(25)]
+    df = spark.createDataFrame(rows, "x string, y string")
+    out = mutual_information(df, "x", "y").collect()
+    assert len(out) == 4
+    assert all(abs(r.mi_term) < 1e-9 for r in out)
+
+
+def test_mutual_information_deterministic_function_gives_entropy(spark):
+    """y = f(x) bijective, uniform over 4 values: MI = H(X) = ln 4."""
+    import math
+
+    from capital.operators.stats import mutual_information
+
+    rows = [(f"x{i}", f"y{i}") for i in range(4) for _ in range(10)]
+    df = spark.createDataFrame(rows, "x string, y string")
+    out = mutual_information(df, "x", "y").collect()
+    total = sum(r.mi_term for r in out)
+    assert math.isclose(total, math.log(4), abs_tol=1e-5)
+    assert all(r.p_xy == 0.25 for r in out)
+
+
+def test_mutual_information_symmetric(spark):
+    from capital.operators.stats import mutual_information
+
+    rows = [("a", "p")] * 30 + [("a", "q")] * 10 + [("b", "q")] * 20
+    df = spark.createDataFrame(rows, "x string, y string")
+    xy = sum(r.mi_term for r in mutual_information(df, "x", "y").collect())
+    yx = sum(
+        r.mi_term
+        for r in mutual_information(
+            df.select(F.col("y").alias("x"), F.col("x").alias("y")), "x", "y"
+        ).collect()
+    )
+    assert abs(xy - yx) < 1e-9 and xy > 0.01
