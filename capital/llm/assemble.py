@@ -372,7 +372,9 @@ def unimax_allocation(
 
     e = float(epoch_cap)
     t = F.col(token_col).cast("long")
-    order = Window.orderBy(F.asc("capacity"), F.asc(source_col))
+    # Order by the RENAMED "source" column — `src` below renames
+    # source_col, so a non-default source_col would not resolve here.
+    order = Window.orderBy(F.asc("capacity"), F.asc("source"))
     full = order.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )

@@ -222,12 +222,19 @@ def ks_terms(counts: DataFrame) -> DataFrame:
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     stable6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
-    cdf_ref = F.sum("n_ref").over(cum).cast("double") / F.sum("n_ref").over(
-        full
-    ).cast("double")
-    cdf_cur = F.sum("n_cur").over(cum).cast("double") / F.sum("n_cur").over(
-        full
-    ).cast("double")
+    # An all-zero side (absent period / fully zero-filled stored-
+    # baseline join) must surface as NULL cdf/ks_stat, not a silent
+    # NaN propagating into monitoring output.
+    tot_ref = F.sum("n_ref").over(full)
+    tot_cur = F.sum("n_cur").over(full)
+    cdf_ref = F.when(
+        tot_ref > 0,
+        F.sum("n_ref").over(cum).cast("double") / tot_ref.cast("double"),
+    )
+    cdf_cur = F.when(
+        tot_cur > 0,
+        F.sum("n_cur").over(cum).cast("double") / tot_cur.cast("double"),
+    )
     gapped = counts.select(
         "bin",
         "n_ref",

@@ -558,6 +558,12 @@ def incremental_bloom_run(
     kk = k or DEFAULT_K
 
     def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # Missing state dir = first batch; any OTHER read failure
+        # (corrupt parquet, permissions) must propagate — silently
+        # scoring against an empty filter would emit wrong
+        # seen_before=false flags with no error.
+        from pyspark.errors import AnalysisException
+
         try:
             prior = (
                 spark.read.parquet(state_dir)
@@ -565,7 +571,7 @@ def incremental_bloom_run(
                 .groupBy("word_idx")
                 .agg(F.bit_or("word").alias("word"))
             )
-        except Exception:  # noqa: BLE001 — first batch: no state yet
+        except AnalysisException:  # PATH_NOT_FOUND: no state yet
             prior = spark.createDataFrame(
                 [], "word_idx bigint, word bigint"
             )
@@ -576,15 +582,18 @@ def incremental_bloom_run(
             .select(*id_cols, key_col, "seen_before")
             .withColumn("batch_id", F.lit(batch_id))
         )
-        flags.write.mode("overwrite").partitionBy("batch_id").parquet(
-            flags_dir
-        )
+        # Per-writer dynamic mode (scd.py pattern): under Spark's
+        # default STATIC partitionOverwriteMode an overwrite wipes ALL
+        # prior batch partitions — the accumulated Bloom state.
+        flags.write.mode("overwrite").partitionBy("batch_id").option(
+            "partitionOverwriteMode", "dynamic"
+        ).parquet(flags_dir)
         own = bloom_words(
             batch_df.select(F.col(key_col).alias("__k")), "__k", m, kk
         ).withColumn("batch_id", F.lit(batch_id))
-        own.write.mode("overwrite").partitionBy("batch_id").parquet(
-            state_dir
-        )
+        own.write.mode("overwrite").partitionBy("batch_id").option(
+            "partitionOverwriteMode", "dynamic"
+        ).parquet(state_dir)
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:

@@ -305,3 +305,28 @@ def test_unimax_absolute_budget_and_arg_validation(spark):
         unimax_allocation(df)
     with pytest.raises(ValueError):
         unimax_allocation(df, budget_fraction=0.5, budget_tokens=1.0)
+
+
+def test_unimax_non_default_source_col(spark):
+    """Regression (round-10 advice): the ordering window must reference
+    the RENAMED "source" column — ordering by the caller's source_col
+    raised an unresolved-column AnalysisException for any non-default
+    name."""
+    from capital.llm.assemble import unimax_allocation
+
+    df = spark.createDataFrame(
+        [("web", 1000), ("wiki", 100)], "domain string, tok long"
+    )
+    rows = {
+        r.source: r
+        for r in unimax_allocation(
+            df,
+            budget_fraction=0.5,
+            epoch_cap=4.0,
+            source_col="domain",
+            token_col="tok",
+        ).collect()
+    }
+    want = _unimax_brute({"web": 4000.0, "wiki": 400.0}, 0.5 * 4400.0)
+    for s in ("web", "wiki"):
+        assert abs(rows[s].alloc_tokens - want[s]) < 1e-3

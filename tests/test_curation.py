@@ -439,3 +439,23 @@ def test_substring_dup_spans_counts_within_doc_repeats(spark):
     r = substring_dup_spans(df, window_tokens=8).collect()[0]
     assert r.n_dup_spans == 2
     assert r.dup_tokens == 16
+
+
+def test_ks_zero_total_side_yields_null_not_nan(spark):
+    """Regression (round-10 advice): an all-zero side (absent period /
+    fully zero-filled stored-baseline join) must surface as NULL
+    cdf/ks_stat, not NaN silently propagating into monitoring
+    output."""
+    import math
+
+    from capital.operators.drift import ks_terms
+
+    counts = spark.createDataFrame(
+        [("b0", 5, 0), ("b1", 5, 0)], "bin string, n_ref long, n_cur long"
+    )
+    out = ks_terms(counts).collect()
+    for r in out:
+        assert r.cdf_ref is not None and not math.isnan(r.cdf_ref)
+        assert r.cdf_cur is None
+        assert r.cdf_gap is None
+        assert r.ks_stat is None

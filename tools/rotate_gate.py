@@ -1,0 +1,105 @@
+"""Emit the next round's ``_DRIVER_PRIORITY`` from the CORRECTNESS records.
+
+The driver's correctness gate evaluates exactly the first
+``GATE_SLOTS`` entries of ``capital.queries._DRIVER_PRIORITY`` each
+round, and ``tests/test_driver_shape.py::test_rotation_freshness``
+fails the suite whenever any oracle-paired query's latest hash-green
+evidence would age past ``MAX_EVIDENCE_AGE`` rounds outside the next
+window.  Rewriting the rotation by hand each round is error-prone (the
+round-8 stall); this tool makes it mechanical:
+
+    python tools/rotate_gate.py [--front name ...]
+
+``--front`` names (new or code-touched queries that should re-evidence
+first) are pinned to the head of the window.  After them come, oldest
+evidence first:
+
+1. never-checked oracle queries (no green record at all),
+2. queries that are already stale at the upcoming gate (MUST be
+   included or the freshness test fails),
+3. the oldest remaining cohort, filling the window to ``GATE_SLOTS``
+   so upcoming-round staleness is amortized instead of cliffing.
+
+Ties inside a cohort keep registration order (stable, deterministic).
+The emitted block is pasted verbatim into
+``capital/queries/__init__.py``; the freshness test then verifies it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+GATE_SLOTS = 50
+MAX_EVIDENCE_AGE = 4
+
+
+def latest_green_rounds() -> tuple[int, dict[str, int]]:
+    """Latest hash-green driver round per query (same scan as the test)."""
+    latest: dict[str, int] = {}
+    top = 0
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        top = max(top, rnd)
+        with open(path) as fh:
+            try:
+                records = json.load(fh)
+            except ValueError:
+                continue
+        for name, rec in records.items():
+            if isinstance(rec, dict) and rec.get("hash_match"):
+                latest[name] = max(latest.get(name, 0), rnd)
+    return top, latest
+
+
+def plan_rotation(front: list[str] | None = None) -> list[str]:
+    from capital.queries import all_oracles
+
+    front = list(front or [])
+    top, latest = latest_green_rounds()
+    oracles = list(all_oracles())  # registration order
+    unknown = [n for n in front if n not in oracles]
+    if unknown:
+        raise SystemExit(f"--front names not oracle-paired/registered: {unknown}")
+
+    window: list[str] = list(dict.fromkeys(front))
+    # Cohorts by evidence age, oldest first; never-checked sorts oldest.
+    remaining = [n for n in oracles if n not in window]
+    remaining.sort(key=lambda n: latest.get(n, 0))
+    must = {n for n in oracles if latest.get(n, 0) <= top - MAX_EVIDENCE_AGE}
+    missed = sorted(must - set(window) - set(remaining[: GATE_SLOTS - len(window)]))
+    if missed:
+        raise SystemExit(
+            f"window cannot fit all stale queries (front list too long?): {missed}"
+        )
+    window.extend(remaining[: GATE_SLOTS - len(window)])
+    return window
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--front", nargs="*", default=[], help="names pinned to the window head")
+    args = ap.parse_args()
+    top, latest = latest_green_rounds()
+    window = plan_rotation(args.front)
+    print(f"# rotation for round {top + 1} gate ({len(window)} slots)")
+    print("_DRIVER_PRIORITY = [")
+    for name in window:
+        ev = latest.get(name, 0)
+        tag = f"r{ev}" if ev else "never"
+        print(f'    "{name}",  # evidence: {tag}')
+    print("]")
+
+
+if __name__ == "__main__":
+    main()
