@@ -115,6 +115,9 @@ def bpe_train(
     word_col: str = "word",
     count_col: str = "cnt",
     checkpoint_dir: str | None = None,
+    mode: str = "local",
+    max_vocab: int | None = None,
+    min_count: int = 1,
 ) -> tuple[list[dict], DataFrame]:
     """Train ``merges`` BPE merge rules over a ``(word, count)``
     vocabulary.
@@ -125,15 +128,42 @@ def bpe_train(
     its merged symbol string (``word``, ``cnt``, ``sym``) — counting
     its symbols IS applying the tokenizer to the vocabulary.
 
-    Each iteration collects the 1-row winner to the driver (bounded
-    metadata read; bakes the merge literal into the next ``replace``)
-    and checkpoints the vocabulary state (``localCheckpoint`` by
-    default; ``checkpoint_dir`` for reliable storage — executor-loss
-    survival on a real cluster, the pagerank/components contract).
+    Two training backends behind one API (equivalence property-tested
+    — identical rule tables and final states on the same vocabulary):
+
+    - ``mode="local"`` (default): the corpus-wide ``word_counts``
+      rollup already reduced the problem to a vocabulary that fits on
+      the driver — collect it ONCE and train merges in-memory with
+      incrementally-maintained pair counts (heap + lazy deletion, the
+      standard tokenizer-trainer algorithm). Real tokenizers run
+      30k–50k merges; the distributed loop's ~0.4 s/round scheduling
+      floor makes that days of pure overhead, while local training
+      does K=4096 over a 200k-word vocabulary in seconds
+      (DESIGN_SCALE.md). This is the reference's own posture —
+      "reduce to a small model, then apply"
+      (glue_job_scripts/industry_code_glue_job.py:38-47). Web-scale
+      vocabularies bound the collect with ``max_vocab`` (top-N by
+      count, deterministic tie-break) and/or ``min_count`` — exactly
+      what production trainers do (hapax legomena cannot win a merge
+      against any threshold anyway).
+    - ``mode="distributed"``: the K-round Spark loop, for
+      vocabularies too large to collect even after thresholding. Each
+      iteration collects the 1-row winner (bounded metadata read;
+      bakes the merge literal into the next ``replace``) and
+      checkpoints the vocabulary state (``localCheckpoint`` by
+      default; ``checkpoint_dir`` for reliable storage).
 
     Training stops early when no pair remains (every word fused to
     one symbol).
     """
+    if mode == "local":
+        return _bpe_train_local(
+            words, merges, word_col, count_col, max_vocab, min_count
+        )
+    if mode != "distributed":
+        raise ValueError(f"bpe_train: unknown mode {mode!r}")
+    if max_vocab is not None or min_count > 1:
+        words = _threshold_vocab(words, word_col, count_col, max_vocab, min_count)
     from capital.io import plan_checkpointer
 
     ckpt = plan_checkpointer(words.sparkSession, checkpoint_dir)
@@ -176,6 +206,148 @@ def bpe_train(
                 ),
             )
         )
+    return rules, state
+
+
+def _threshold_vocab(
+    words: DataFrame,
+    word_col: str,
+    count_col: str,
+    max_vocab: int | None,
+    min_count: int,
+) -> DataFrame:
+    """Deterministic vocabulary thresholding shared by both backends:
+    drop words below ``min_count``, then keep the top ``max_vocab`` by
+    (count desc, word asc) — a total order, so the kept set is unique."""
+    out = words
+    if min_count > 1:
+        out = out.filter(F.col(count_col) >= int(min_count))
+    if max_vocab is not None:
+        out = out.orderBy(
+            F.desc(count_col), F.asc(word_col)
+        ).limit(int(max_vocab))
+    return out
+
+
+def _greedy_merge(syms: list, lhs: str, rhs: str, merged: str) -> list:
+    """Greedy left-to-right non-overlapping merge — the list twin of
+    the delimited-string ``replace`` (scan continues AFTER each
+    replacement, so ``aaa`` merges to ``aa``+``a``)."""
+    out: list = []
+    i, n = 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == lhs and syms[i + 1] == rhs:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _bpe_train_local(
+    words: DataFrame,
+    merges: int,
+    word_col: str,
+    count_col: str,
+    max_vocab: int | None,
+    min_count: int,
+) -> tuple[list[dict], DataFrame]:
+    """Driver-local merge training over the vocabulary rollup (see
+    :func:`bpe_train`). One bounded collect (``toArrow`` — the
+    vocabulary, not the corpus), then K merges with incrementally
+    maintained pair counts:
+
+    - global ``pair_counts`` plus an inverted index pair → holder
+      word ids, so each merge touches only the words that contain
+      the winning pair;
+    - per touched word, the pair-count delta is (new adjacent-pair
+      multiset − old), exact by construction — overlap counting
+      (canonical ``get_stats``) falls out of counting positions;
+    - winner selection via a min-heap on ``(-count, lhs, rhs)`` with
+      lazy deletion (every count change pushes a fresh entry; stale
+      entries are discarded on pop) — the same (count desc, pair
+      lexicographic) tie-break as the distributed path. ASCII/BMP
+      symbols order identically in Python (code points) and Spark
+      (UTF-16 units); only astral-plane characters could diverge.
+
+    Complexity: O(Σ|word| + K·(touched words)·|word|) — seconds for
+    K in the thousands on a few-hundred-k-word vocabulary, vs the
+    distributed loop's K × ~0.4 s job-scheduling floor.
+    """
+    import heapq
+    from collections import Counter, defaultdict
+
+    spark = words.sparkSession
+    vocab_df = _threshold_vocab(words, word_col, count_col, max_vocab, min_count)
+    tbl = vocab_df.select(
+        F.col(word_col).alias("word"), F.col(count_col).cast("long").alias("cnt")
+    ).toArrow()
+    wlist = tbl.column("word").to_pylist()
+    clist = tbl.column("cnt").to_pylist()
+    vocab: list[list] = [[*w, EOW] for w in wlist]
+
+    pair_counts: Counter = Counter()
+    holders: dict = defaultdict(set)
+    for i, syms in enumerate(vocab):
+        c = clist[i]
+        for p, k in Counter(zip(syms, syms[1:])).items():
+            pair_counts[p] += k * c
+            holders[p].add(i)
+    heap = [(-n, l, r) for (l, r), n in pair_counts.items()]
+    heapq.heapify(heap)
+
+    rules: list[dict] = []
+    for step in range(1, int(merges) + 1):
+        best = None
+        while heap:
+            negn, l, r = heap[0]
+            if pair_counts.get((l, r), 0) == -negn:
+                best = (l, r)
+                break
+            heapq.heappop(heap)  # stale (count changed or zeroed)
+        if best is None:
+            break
+        lhs, rhs = best
+        merged = lhs + rhs
+        rules.append(
+            {
+                "step": step,
+                "lhs": lhs,
+                "rhs": rhs,
+                "merged": merged,
+                "pair_count": int(pair_counts[best]),
+            }
+        )
+        for i in list(holders[best]):
+            syms = vocab[i]
+            c = clist[i]
+            old = Counter(zip(syms, syms[1:]))
+            new_syms = _greedy_merge(syms, lhs, rhs, merged)
+            new = Counter(zip(new_syms, new_syms[1:]))
+            vocab[i] = new_syms
+            for p in old.keys() | new.keys():
+                delta = (new.get(p, 0) - old.get(p, 0)) * c
+                if delta:
+                    nc = pair_counts[p] + delta
+                    if nc > 0:
+                        pair_counts[p] = nc
+                        heapq.heappush(heap, (-nc, p[0], p[1]))
+                    else:
+                        del pair_counts[p]
+                if new.get(p, 0) > 0:
+                    holders[p].add(i)
+                else:
+                    holders[p].discard(i)
+
+    sep2 = SEP + SEP
+    state = spark.createDataFrame(
+        [
+            (wlist[i], clist[i], sep2 + sep2.join(vocab[i]) + sep2)
+            for i in range(len(wlist))
+        ],
+        "word string, cnt long, sym string",
+    )
     return rules, state
 
 

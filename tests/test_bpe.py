@@ -86,12 +86,56 @@ def test_bpe_symbol_count_is_tokenizer_application(spark):
 
 def test_bpe_checkpoint_dir_mode_identical(spark, tmp_path):
     vocab = {"low": 5, "lower": 2, "widest": 3, "newest": 6}
-    r1, s1 = bpe_train(_vocab(spark, vocab), merges=3)
+    r1, s1 = bpe_train(_vocab(spark, vocab), merges=3, mode="distributed")
     r2, s2 = bpe_train(
-        _vocab(spark, vocab), merges=3, checkpoint_dir=str(tmp_path / "ck")
+        _vocab(spark, vocab),
+        merges=3,
+        mode="distributed",
+        checkpoint_dir=str(tmp_path / "ck"),
     )
     assert r1 == r2
     assert sorted(map(tuple, s1.collect())) == sorted(map(tuple, s2.collect()))
+
+
+def test_bpe_local_equals_distributed_on_corpus(spark, sf_dir):
+    """The round-10 contract: driver-local training (default mode) and
+    the distributed K-round loop produce IDENTICAL rule tables and
+    final vocabulary states on the same corpus — same exact weighted
+    pair counts, same (count desc, pair lexicographic) tie-break, same
+    greedy non-overlapping merge."""
+    from capital.io import load_table
+
+    wc = word_counts(load_table(spark, sf_dir, "documents"))
+    r_loc, s_loc = bpe_train(wc, merges=12, mode="local")
+    r_dist, s_dist = bpe_train(wc, merges=12, mode="distributed")
+    assert r_loc == r_dist
+    assert len(r_loc) == 12
+    assert sorted(map(tuple, s_loc.collect())) == sorted(
+        map(tuple, s_dist.collect())
+    )
+
+
+def test_bpe_vocab_thresholding_deterministic_and_shared(spark):
+    """max_vocab/min_count bound the driver collect for web-scale
+    vocabularies; both backends threshold identically (count desc,
+    word asc — a total order), so results still agree."""
+    vocab = {"low": 5, "lower": 2, "widest": 3, "newest": 6, "rare": 1}
+    kw = dict(merges=3, max_vocab=4, min_count=2)
+    r_loc, s_loc = bpe_train(_vocab(spark, vocab), mode="local", **kw)
+    r_dist, s_dist = bpe_train(_vocab(spark, vocab), mode="distributed", **kw)
+    assert r_loc == r_dist
+    trained = {r.word for r in s_loc.collect()}
+    assert trained == {"low", "lower", "widest", "newest"}  # 'rare' cut
+    assert sorted(map(tuple, s_loc.collect())) == sorted(
+        map(tuple, s_dist.collect())
+    )
+
+
+def test_bpe_unknown_mode_raises(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        bpe_train(_vocab(spark, {"a": 1}), merges=1, mode="nope")
 
 
 def test_sym_init_shape(spark):
