@@ -346,6 +346,7 @@ def label_propagation(
     dst: str = "dst",
     checkpoint: bool = True,
     checkpoint_dir: str | None = None,
+    broadcast_state: bool | None = None,
 ) -> DataFrame:
     """Fixed-iteration synchronous label propagation (Raghavan et al.
     2007) — community detection, the graph family's fourth member:
@@ -364,11 +365,21 @@ def label_propagation(
     Per round: one edge⋈labels join + one (node, label) count + one
     per-node max + the tie-break min — all map-side-combinable
     aggregates, label state is node-sized, lineage truncated per
-    round (``checkpoint_dir`` for reliable storage). Isolated rounds
-    shuffle the edge list like shuffle-mode PageRank; broadcast the
-    node-sized label state instead when it fits the threshold — here
-    the join is left to Catalyst/AQE (labels are node-sized and
-    usually hash-join small).
+    round (``checkpoint_dir`` for reliable storage).
+
+    ``broadcast_state`` picks the per-round join strategy — the exact
+    :func:`pagerank` economics (same node-sized state, same
+    edge-vs-state join): ``True`` broadcasts the label frame so the
+    edge list NEVER shuffles; ``False`` shuffles edges per round
+    (sort-merge) — wins when the state outgrows broadcast; ``None``
+    (default) auto — broadcast iff estimated state bytes (nodes × 24)
+    fit ``spark.sql.autoBroadcastJoinThreshold``, priced by one
+    node-count job before the loop. Measured at 1M nodes / 4M edges
+    (``tools/lpa_scale.py``, DESIGN_SCALE.md round 10): broadcast
+    wins 16.6 vs 24.6 s — unlike PageRank at the same scale, because
+    LPA ships the state ONCE per round (PageRank broadcasts ranks
+    AND the summed update, twice per iteration) — and the auto
+    default picks it under the session's 64 MB threshold.
     """
     from capital.io import plan_checkpointer
 
@@ -395,10 +406,19 @@ def label_propagation(
             "label", F.col("node")
         )
     )
+    if broadcast_state is None:
+        threshold = _bytes_conf(
+            edges.sparkSession,
+            "spark.sql.autoBroadcastJoinThreshold",
+            10 * 2**20,
+        )
+        n = labels.count()  # one job, prices K join decisions
+        broadcast_state = threshold > 0 and n * _STATE_ROW_BYTES <= threshold
     for _ in range(int(iterations)):
-        nb = both.join(
-            labels.select(F.col("node").alias("a"), "label"), "a"
-        ).select(F.col("b").alias("node"), "label")
+        state = labels.select(F.col("node").alias("a"), "label")
+        if broadcast_state:
+            state = F.broadcast(state)
+        nb = both.join(state, "a").select(F.col("b").alias("node"), "label")
         cnts = nb.groupBy("node", "label").agg(
             F.count(F.lit(1)).alias("__c")
         )
