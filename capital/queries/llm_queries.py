@@ -1771,6 +1771,103 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- multi-scale duplicated-substring profile (Lee et al. 2022) ----------
+
+_MSCALE_BASE = 8    # base window length (tokens); scales double per level
+_MSCALE_LEVELS = 4  # 8, 16, 32, 64
+_MSCALE_MIN = 2     # corpus-wide occurrences to count as duplicated
+
+
+def _substring_multiscale_oracle() -> str:
+    """Generated from the same constants as the Spark operator: the
+    md5 Merkle ladder (h_2L(pos) = md5(h_L(pos) || h_L(pos+L)) via
+    LEAD over dense per-doc positions), then per level the corpus-wide
+    duplicate-hash count + island merge — term-for-term the
+    substring_dup_spans oracle tail at each scale. Level CTEs are
+    multi-referenced (count, dup join, next level) → AS MATERIALIZED
+    (the round-9 CTE-inlining lesson)."""
+    B, M = _MSCALE_BASE, _MSCALE_MIN
+    parts = [rf"""base AS (
+      SELECT doc_id,
+             string_split_regex(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+               '\s+') AS toks
+      FROM documents),
+    lvl{B} AS MATERIALIZED (
+      SELECT doc_id, i AS pos,
+             md5(list_aggr(toks[i:i+{B}-1], 'string_agg', ' ')) AS h
+      FROM base,
+           unnest(range(1, greatest(len(toks)-{B}+1, 0)+1)) AS t(i))"""]
+    L = B
+    for _ in range(_MSCALE_LEVELS - 1):
+        parts.append(f"""lvl{2 * L} AS MATERIALIZED (
+      SELECT doc_id, pos, md5(h || hn) AS h FROM (
+        SELECT doc_id, pos, h,
+               lead(h, {L}) OVER (PARTITION BY doc_id ORDER BY pos) AS hn
+        FROM lvl{L})
+      WHERE hn IS NOT NULL)""")
+        L *= 2
+    levels = [B * 2**i for i in range(_MSCALE_LEVELS)]
+    for L in levels:
+        parts.append(f"""pd{L} AS (
+      SELECT doc_id, SUM(wins) AS ndw, COUNT(*) AS nds, SUM(span_len) AS dt
+      FROM (
+        SELECT doc_id, island, COUNT(*) AS wins,
+               MAX(pos) - MIN(pos) + {L} AS span_len
+        FROM (
+          SELECT doc_id, pos,
+                 SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                                       ROWS UNBOUNDED PRECEDING) AS island
+          FROM (
+            SELECT doc_id, pos,
+                   CASE WHEN lag(pos) OVER w IS NULL
+                          OR pos - lag(pos) OVER w > {L} THEN 1 ELSE 0 END
+                     AS new_island
+            FROM (SELECT doc_id, pos FROM lvl{L}
+                  WHERE h IN (SELECT h FROM lvl{L}
+                              GROUP BY h HAVING COUNT(*) >= {M}))
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos)))
+        GROUP BY doc_id, island)
+      GROUP BY doc_id)""")
+    sel = "\n      UNION ALL ".join(
+        f"""SELECT b.doc_id, {L} AS window_tokens,
+             CAST(len(toks) AS INTEGER) AS n_tokens,
+             CAST(COALESCE(ndw, 0) AS BIGINT) AS n_dup_windows,
+             CAST(COALESCE(nds, 0) AS BIGINT) AS n_dup_spans,
+             CAST(COALESCE(dt, 0) AS BIGINT) AS dup_tokens,
+             floor((COALESCE(dt, 0) / greatest(len(toks), 1))
+                   * 1000000.0 + 0.5) / 1000000.0 AS dup_frac
+      FROM base b LEFT JOIN pd{L} USING (doc_id)"""
+        for L in levels
+    )
+    joined = ",\n    ".join(parts)
+    return f"""
+    WITH {joined}
+    {sel}
+    """
+
+
+@query("dedup_substring_multiscale", oracle=_substring_multiscale_oracle())
+def dedup_substring_multiscale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-scale duplicated-substring profile (llm/dedup.
+    substring_dup_multiscale): one corpus scan builds 8-token window
+    hashes; an md5 Merkle ladder (lead + compose) derives the 16/32/
+    64-token levels without re-tokenizing; per level a corpus-wide
+    duplicate count + island merge yields each document's duplicated
+    fraction at that scale — separating short boilerplate from long
+    verbatim mirrors, the distinction Lee et al. 2022's any-length
+    suffix-array repeats provide and a single fixed window cannot."""
+    from capital.llm.dedup import substring_dup_multiscale
+
+    d = load_table(spark, sf_dir, "documents")
+    return substring_dup_multiscale(
+        d,
+        base_window=_MSCALE_BASE,
+        levels=_MSCALE_LEVELS,
+        min_occurrences=_MSCALE_MIN,
+    )
+
+
 # --- BPE tokenizer training (Sennrich et al. 2016) -----------------------
 
 #: Merge-table size for the checkable queries (shared with the

@@ -459,3 +459,70 @@ def test_ks_zero_total_side_yields_null_not_nan(spark):
         assert r.cdf_cur is None
         assert r.cdf_gap is None
         assert r.ks_stat is None
+
+
+def test_substring_multiscale_any_length_repeats(spark):
+    """The round-10 multi-scale contract: a planted repeat of ANY
+    length ≥ the base window is recovered at exactly every scale it
+    covers — a 37-token repeat shows dup_tokens == 37 at L=8/16/32
+    and 0 at L=64; a 10-token repeat only at L=8; and the Merkle
+    ladder introduces no false duplicates for unique docs."""
+    from capital.llm.dedup import substring_dup_multiscale
+    from capital.operators.caching import CacheScope
+
+    long_rep = " ".join(f"rep{i}" for i in range(37))
+    short_rep = " ".join(f"sh{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [
+            (1, f"a1 a2 a3 {long_rep} a4 a5"),
+            (2, f"b1 b2 {long_rep} b3 b4 b5 b6"),
+            (3, f"c1 {short_rep} c2 c3"),
+            (4, f"d1 d2 d3 d4 {short_rep}"),
+            (5, "unique " + " ".join(f"u{i}" for i in range(70))),
+        ],
+        "doc_id long, text string",
+    )
+    with CacheScope() as scope:
+        out = {
+            (r.doc_id, r.window_tokens): r
+            for r in substring_dup_multiscale(
+                df, base_window=8, levels=4, scope=scope
+            ).collect()
+        }
+    assert len(out) == 5 * 4  # every doc at every scale, zero-filled
+    for d in (1, 2):
+        for L in (8, 16, 32):
+            assert out[(d, L)].dup_tokens == 37, (d, L)
+            assert out[(d, L)].n_dup_spans == 1
+            assert out[(d, L)].n_dup_windows == 37 - L + 1
+        assert out[(d, 64)].dup_tokens == 0
+    for d in (3, 4):
+        assert out[(d, 8)].dup_tokens == 10
+        assert out[(d, 8)].n_dup_windows == 3
+        for L in (16, 32, 64):
+            assert out[(d, L)].dup_tokens == 0, (d, L)
+    for L in (8, 16, 32, 64):
+        assert out[(5, L)].dup_tokens == 0
+
+
+def test_substring_multiscale_matches_single_scale_at_base(spark, sf_dir):
+    """At the base window the ladder's level-0 must agree exactly with
+    the proven single-L operator on the real corpus (hash vs raw-gram
+    counting are equivalent up to md5 collisions)."""
+    from capital.io import load_table
+    from capital.llm.dedup import substring_dup_multiscale, substring_dup_spans
+    from capital.operators.caching import CacheScope
+
+    d = load_table(spark, sf_dir, "documents")
+    single = {
+        r.doc_id: (r.n_dup_windows, r.n_dup_spans, r.dup_tokens, r.dup_frac)
+        for r in substring_dup_spans(d, window_tokens=8).collect()
+    }
+    with CacheScope() as scope:
+        multi = {
+            r.doc_id: (r.n_dup_windows, r.n_dup_spans, r.dup_tokens, r.dup_frac)
+            for r in substring_dup_multiscale(
+                d, base_window=8, levels=1, scope=scope
+            ).collect()
+        }
+    assert single == multi
