@@ -381,6 +381,12 @@ def incremental_psi_run(
     scanned once per batch by the map-side-combined count. Reading the
     whole state at query time touches batches × K tiny rows — at one
     batch/hour for a decade that is still < 10⁶ rows.
+
+    The state table is METRIC-AGNOSTIC — per-batch bin histograms;
+    the drift statistic is applied at read time. :func:`psi_state_terms`
+    scores it as PSI, :func:`ks_state_terms` (round 10) as
+    Kolmogorov–Smirnov over the same accumulated state — one stream,
+    every histogram-based monitor.
     """
     b = F.col(bin_col) if isinstance(bin_col, str) else bin_col
 
@@ -391,9 +397,9 @@ def incremental_psi_run(
             .agg(F.count(F.lit(1)).alias("n_cur"))
             .withColumn("batch_id", F.lit(batch_id))
         )
-        counts.write.mode("overwrite").partitionBy("batch_id").parquet(
-            state_dir
-        )
+        counts.write.mode("overwrite").partitionBy("batch_id").option(
+            "partitionOverwriteMode", "dynamic"
+        ).parquet(state_dir)
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
@@ -423,6 +429,27 @@ def psi_state_terms(
         F.sum("n_cur").alias("n_cur")
     )
     return psi_counts_against_baseline(cur_counts, baseline)
+
+
+def ks_state_terms(
+    spark: SparkSession, state_dir: str, baseline: DataFrame
+) -> DataFrame:
+    """KS read half of the incremental drift monitor (round-10 member
+    next to :func:`psi_state_terms`; verdict ask #5): fold the
+    ``batch_id``-partitioned histogram state written by
+    :func:`incremental_psi_run` into one current-period histogram and
+    score it against the stored baseline with
+    ``operators/drift.ks_counts_against_baseline`` — identical
+    per-bin CDF terms to batch ``ks_drift`` over the same rows (the
+    stream-vs-batch equality test pins that). Bins must be ordinal
+    (the KS contract); PSI covers unordered categoricals."""
+    from capital.operators.drift import ks_counts_against_baseline
+
+    state = spark.read.parquet(state_dir)
+    cur_counts = state.groupBy("bin").agg(
+        F.sum("n_cur").alias("n_cur")
+    )
+    return ks_counts_against_baseline(cur_counts, baseline)
 
 
 def incremental_funnel_run(
@@ -464,9 +491,9 @@ def incremental_funnel_run(
             .dropDuplicates([user_col, type_col, ts_col])
             .withColumn("batch_id", F.lit(batch_id))
         )
-        compact.write.mode("overwrite").partitionBy("batch_id").parquet(
-            state_dir
-        )
+        compact.write.mode("overwrite").partitionBy("batch_id").option(
+            "partitionOverwriteMode", "dynamic"
+        ).parquet(state_dir)
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:

@@ -551,3 +551,62 @@ def test_incremental_bloom_stream_matches_exact_prior_membership(
         for r in bloom_state_words(spark, state).collect()
     }
     assert folded2 == at_once
+
+
+def test_incremental_ks_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Round-10 KS member of the incremental drift family: the
+    histogram state written by incremental_psi_run is metric-agnostic,
+    so folding it through ks_state_terms must reproduce batch ks_drift
+    term-for-term (CDFs, gaps, ks_stat), and a replayed batch must not
+    move any CDF (batch_id-partition overwrite convergence)."""
+    from capital.operators.drift import baseline_histogram, ks_drift
+    from capital.streaming.incremental import (
+        incremental_psi_run,
+        ks_state_terms,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    split = F.lit("2024-01-15").cast("timestamp")
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.filter(F.col("ts") < split)
+    cur = ev.filter(F.col("ts") >= split)
+
+    base_path = str(tmp_path / "baseline")
+    # Ordinal bins (the KS contract): zero-padded hour-of-day.
+    hour_bin = F.lpad(F.hour("ts").cast("string"), 2, "0")
+    baseline_histogram(ref, hour_bin).write.parquet(base_path)
+    baseline = spark.read.parquet(base_path)
+
+    cur.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    cur.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = incremental_psi_run(
+        spark, src, EVENTS, hour_bin, state, ckpt, max_files_per_trigger=1
+    )
+    q.awaitTermination(120)
+
+    streamed = ks_state_terms(spark, state, baseline)
+    period = F.when(F.col("ts") < split, "ref").otherwise("cur")
+    batch = ks_drift(ev, hour_bin, period, "ref", "cur")
+    assert streamed.subtract(batch).count() == 0
+    assert batch.subtract(streamed).count() == 0
+    assert streamed.count() == batch.count() > 0
+
+    # Replay convergence: rewriting one batch's partition with the
+    # same partial leaves every KS term unchanged.
+    state_df = spark.read.parquet(state)
+    bids = [r[0] for r in state_df.select("batch_id").distinct().collect()]
+    assert len(bids) == 2
+    replay_rows = state_df.filter(F.col("batch_id") == bids[0]).collect()
+    replay = spark.createDataFrame(replay_rows, state_df.schema)
+    replay.write.mode("overwrite").partitionBy("batch_id").option(
+        "partitionOverwriteMode", "dynamic"
+    ).parquet(state)
+    replayed = ks_state_terms(spark, state, baseline)
+    assert replayed.subtract(batch).count() == 0
+    assert replayed.count() == batch.count()
