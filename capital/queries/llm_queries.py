@@ -1359,6 +1359,102 @@ def mm_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- multimodal near-dup composition (round 10) ---------------------------
+
+_MM_BINS = 16      # byte-histogram dimensionality (high nibble)
+_MM_PLANES = 4     # sign-LSH blocking planes
+#: Near-dup cosine threshold. Text-as-bytes histograms are strongly
+#: correlated (median pair cosine ≈0.998 — ASCII letter bytes share
+#: nibbles 2/3/6/7), so the discriminative regime sits very close to
+#: 1; measured: 82 pairs at sf0.01, ~9.8k at sf0.1. Real image/audio
+#: histograms are far more spread — the same operator runs with an
+#: ordinary 0.95-style threshold there (recall test plants such blobs).
+_MM_NEARDUP_THRESHOLD = 0.999999
+
+
+def _mm_cos(a: str, b: str) -> str:
+    return (
+        f"list_sum([CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)"
+        f" FOR i IN range(1, {_MM_BINS} + 1)])"
+        f" / (sqrt(list_sum([CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)"
+        f" FOR i IN range(1, {_MM_BINS} + 1)]))"
+        f" * sqrt(list_sum([CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)"
+        f" FOR i IN range(1, {_MM_BINS} + 1)])))"
+    )
+
+
+def _mm_neardup_oracle() -> str:
+    """Whole-asset 16-bin byte histogram from the hex encoding (a
+    byte's bin IS its high nibble — the mm_frame_features trick over
+    the full payload), then the sign-LSH bucket + blocked pair join +
+    sequential-fold cosine, planes baked from the same
+    ``hyperplanes(16, 4)`` constants as the Spark side."""
+    planes = hyperplanes(_MM_BINS, _MM_PLANES)
+    bucket = (
+        "array_to_string([CASE WHEN list_sum([CAST(e[i] AS DOUBLE) * p[j][i]"
+        f" FOR i IN range(1, {_MM_BINS} + 1)]) >= 0 THEN '1' ELSE '0' END"
+        f" FOR j IN range(1, {_MM_PLANES} + 1)], '')"
+    )
+    return f"""
+    WITH planes AS (SELECT {_plane_literal(planes)} AS p),
+    hist AS MATERIALIZED (
+      SELECT doc_id AS vec_id,
+             [CAST(length(list_filter(
+                 list_transform(range(1, length(hx)//2 + 1),
+                                i -> substr(hx, 2*i-1, 1)),
+                 c -> c = substr('0123456789ABCDEF',
+                                 CAST(b AS INTEGER) + 1, 1))) AS DOUBLE)
+              FOR b IN range(0, {_MM_BINS})] AS e
+      FROM (SELECT doc_id, hex(encode(text)) AS hx FROM documents)
+      WHERE length(hx) > 0),
+    keyed AS MATERIALIZED (
+      SELECT vec_id, e, {bucket} AS bucket FROM hist, planes),
+    scored AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_mm_cos('a.e', 'b.e')} AS raw_cos
+      FROM keyed a JOIN keyed b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b, round(raw_cos, 6) AS cosine_sim
+    FROM scored WHERE raw_cos >= {_MM_NEARDUP_THRESHOLD!r}e0
+    """
+
+
+@query("mm_neardup_pairs", memoize=False, oracle=_mm_neardup_oracle())
+def mm_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-duplicate pairs — the image-dedup shape a
+    100-TB multimodal pipeline runs, composed end to end from two
+    independently-oracled operators: opaque binary assets →
+    byte-histogram features (real numpy mapInPandas featurizer, raw
+    exact-integer counts) → sign-LSH-blocked cosine pairs
+    (llm/similarity.cosine_neardup_pairs: bucket blocking, norms
+    precomputed at keying, skew-chunked pair join). Recall vs brute
+    force on planted near-duplicate blobs is pinned in
+    tests/test_multimodal_pipeline.py."""
+    from capital.llm.multimodal import byte_histogram_features
+    from capital.llm.similarity import cosine_neardup_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    frames = (
+        text_as_assets(d)
+        .filter(F.col("n_bytes") > 0)
+        .select(
+            "asset_id",
+            F.lit(0).alias("frame_idx"),
+            F.col("payload").alias("frame_bytes"),
+        )
+    )
+    feats = byte_histogram_features(frames, bins=_MM_BINS, normalize=False)
+    vecs = feats.select(
+        F.col("asset_id").alias("vec_id"), F.col("features").alias("embedding")
+    )
+    return cosine_neardup_pairs(
+        vecs,
+        threshold=_MM_NEARDUP_THRESHOLD,
+        n_planes=_MM_PLANES,
+        dim=_MM_BINS,
+    )
+
+
 def _bpe_oracle() -> str:
     from capital.llm.text import BPE_SPLIT_RE
 

@@ -145,3 +145,66 @@ def test_decoder_seam_accepts_real_codec(spark, sf_dir):
         assert r.media_type == "text/plain"
         assert r.height == len(ls)
         assert r.width == max((len(l) for l in ls), default=0)
+
+
+def test_mm_neardup_recall_vs_brute_force_on_planted_blobs(spark):
+    """Round-10 composition contract (mm_neardup_pairs): byte-histogram
+    features + sign-LSH-blocked cosine pairs must recover EVERY planted
+    near-duplicate blob pair that brute-force cosine finds at the same
+    threshold — recall 1.0 on a synthetic multimodal corpus where
+    near-dups are true perturbed copies and the rest are distinct
+    byte distributions (the image regime, unlike text-as-bytes)."""
+    from capital.llm.multimodal import byte_histogram_features
+    from capital.llm.similarity import cosine_neardup_pairs
+
+    import random
+
+    rng = random.Random(7)
+    blobs = []
+    # 8 distinct "images", one per distinct nibble band, so originals
+    # are far apart in histogram space and brute force finds EXACTLY
+    # the planted pairs (borderline cross-group pairs would probe the
+    # LSH recall curve instead — a different test, tests/test_lsh_recall.py).
+    for i in range(8):
+        base = bytes(
+            rng.randrange(16 * i, 16 * i + 16 + 64) % 256
+            for _ in range(4096)
+        )
+        blobs.append((2 * i, base))
+        # Near-dup: flip a handful of bytes (~0.5%) — cosine ≈ 1.
+        mutated = bytearray(base)
+        for _ in range(20):
+            mutated[rng.randrange(4096)] = rng.randrange(256)
+        blobs.append((2 * i + 1, bytes(mutated)))
+    frames = spark.createDataFrame(
+        [(i, 0, b) for i, b in blobs],
+        "asset_id long, frame_idx int, frame_bytes binary",
+    )
+    feats = byte_histogram_features(frames, bins=16, normalize=False)
+    vecs = feats.select(
+        F.col("asset_id").alias("vec_id"), F.col("features").alias("embedding")
+    ).persist()
+    threshold = 0.98
+    got = {
+        (r.id_a, r.id_b)
+        for r in cosine_neardup_pairs(
+            vecs, threshold=threshold, n_planes=4, dim=16
+        ).collect()
+    }
+    # Brute force over the same features (no blocking).
+    rows = {r.vec_id: r.embedding for r in vecs.collect()}
+    brute = set()
+    for a in rows:
+        for b in rows:
+            if a < b:
+                dot = sum(x * y for x, y in zip(rows[a], rows[b]))
+                na = math.sqrt(sum(x * x for x in rows[a]))
+                nb = math.sqrt(sum(x * x for x in rows[b]))
+                if na and nb and dot / (na * nb) >= threshold:
+                    brute.add((a, b))
+    vecs.unpersist()
+    planted = {(2 * i, 2 * i + 1) for i in range(8)}
+    assert brute == planted, "fixture broke: brute force must find exactly the planted pairs"
+    missed = brute - got
+    assert not missed, f"LSH-blocked pairs missed {missed}"
+    assert got <= brute, f"false positives vs brute force: {got - brute}"
