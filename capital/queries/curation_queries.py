@@ -738,9 +738,14 @@ def cur_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     alphabetic-word ratio, required-stopword presence, and the
     composed keep flag. The cheapest funnel stage — fuse ahead of
     the dedup tiers so quadratic stages never see rejected docs."""
+    from capital.io import right_size_narrow
     from capital.llm.curation import gopher_quality_flags
 
-    d = load_table(spark, sf_dir, "documents")
+    # right_size_narrow: a single-file parquet corpus is ONE input
+    # split, so the tokenize/regex work ran on one core — measured
+    # 0.32 → 0.06 s at sf0.1 (round-10 verdict ask #8; the signals
+    # themselves were already within noise of their best variants).
+    d = right_size_narrow(load_table(spark, sf_dir, "documents"))
     return gopher_quality_flags(d, rules=_GOPHER_OVERRIDES).select(
         "doc_id",
         F.col("n_words").cast("int").alias("n_words"),
