@@ -290,6 +290,18 @@ def cosine_neardup_pairs(
     embedding corpus with a dominant mode (near-identical boilerplate
     vectors) concentrates in one bucket, and chunking bounds that
     bucket's quadratic pair output per task.
+
+    Pair scoring (round 10): the vector is FLATTENED to ``dim``
+    double columns at keying time and the pair dot is an unrolled
+    codegen sum — the same sequential accumulation order as the
+    :func:`cosine_with_norms` fold (bit-identical doubles), but whole-
+    stage-compiled instead of interpreted. Measured on a degenerate
+    one-bucket corpus (5k text-byte histograms → 12.5M candidate
+    pairs): 18.5 → 2.7 s; at 64-dim on the embeddings table it is
+    mildly faster (0.47 vs 0.55 s). This inverts the round-4
+    ``element_at``-unrolling negative result: that experiment kept
+    the ARRAY through the join and paid per-term null/bounds checks;
+    flat columns have no array access at all.
     """
     from capital.io import right_size_narrow
     from capital.operators.caching import scoped_persist
@@ -297,9 +309,13 @@ def cosine_neardup_pairs(
 
     planes = hyperplanes(dim, n_planes)
     n_rows = vectors.count()  # also sizes the fan-out (metadata-cheap)
+    flat = [
+        F.element_at(F.col(vec_col), i).alias(f"__e{i}")
+        for i in range(1, int(dim) + 1)
+    ]
     keyed = right_size_narrow(vectors, n_rows=n_rows).select(
         F.col(id_col),
-        F.col(vec_col),
+        *flat,
         _norm(F.col(vec_col)).alias("nrm"),
         sign_lsh_key(vec_col, planes).alias("bucket"),
     )
@@ -310,21 +326,20 @@ def cosine_neardup_pairs(
         # exchange is reused — persisting would only add an eager
         # materialization job on a micro input.
         keyed = scoped_persist(keyed, scope)
+    dot = None
+    for i in range(1, int(dim) + 1):
+        term = F.col(f"__e{i}_a") * F.col(f"__e{i}_b")
+        dot = term if dot is None else dot + term
     return (
         chunked_pair_join(
             keyed,
             ["bucket"],
             id_col,
-            payload_cols=[vec_col, "nrm"],
+            payload_cols=[f"__e{i}" for i in range(1, int(dim) + 1)]
+            + ["nrm"],
             total_rows_hint=n_rows,
         )
-        .withColumn(
-            "cosine_sim",
-            cosine_with_norms(
-                F.col(f"{vec_col}_a"), F.col(f"{vec_col}_b"),
-                F.col("nrm_a"), F.col("nrm_b"),
-            ),
-        )
+        .withColumn("cosine_sim", dot / (F.col("nrm_a") * F.col("nrm_b")))
         .filter(F.col("cosine_sim") >= threshold)
         .select(
             "id_a",
