@@ -324,8 +324,11 @@ def test_round9_new_ops_plan_shapes(spark, sf_dir):
     - substring spans: stride-1 window count aggregates map-side
       (partial_count before the gram exchange), no Python eval, no
       nested-loop join anywhere in the pipeline;
-    - gopher rules: a pure narrow projection — no Exchange at all,
-      single scan of only the needed columns;
+    - gopher rules: a narrow projection over the fan-out repartition
+      (round 10: a single-file corpus is ONE split, so the query
+      right_size_narrows the scan — exactly one RoundRobin exchange,
+      no aggregation/join exchange) of a scan of only the needed
+      columns;
     - jaccard prefix (hashed keys): the candidate join keys on the
       xxhash64 long, so no raw 3-gram string column survives into
       the prefix exchange.
@@ -338,7 +341,12 @@ def test_round9_new_ops_plan_shapes(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
     plan = plan_of(_QUERIES["cur_gopher_rules"](spark, sf_dir))
-    assert "Exchange" not in plan
+    # Exactly the one deliberate fan-out exchange (RoundRobin), never
+    # a hash/range exchange — the signals stay aggregation-free.
+    # (formatted plans print each node twice: tree + detail section)
+    assert plan.count("REPARTITION_BY_NUM") == 1
+    for shuffle_kind in ("hashpartitioning", "rangepartitioning", "SinglePartition"):
+        assert shuffle_kind not in plan, shuffle_kind
     assert "EvalPython" not in plan
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert read_schema and "lang" not in read_schema[0]
