@@ -279,6 +279,7 @@ def cosine_neardup_pairs(
     n_planes: int = 6,
     dim: int = 64,
     scope: CacheScope | None = None,
+    flat_pair_dot: bool | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH blocking.
 
@@ -291,31 +292,46 @@ def cosine_neardup_pairs(
     vectors) concentrates in one bucket, and chunking bounds that
     bucket's quadratic pair output per task.
 
-    Pair scoring (round 10): the vector is FLATTENED to ``dim``
-    double columns at keying time and the pair dot is an unrolled
-    codegen sum — the same sequential accumulation order as the
-    :func:`cosine_with_norms` fold (bit-identical doubles), but whole-
-    stage-compiled instead of interpreted. Measured on a degenerate
-    one-bucket corpus (5k text-byte histograms → 12.5M candidate
-    pairs): 18.5 → 2.7 s; at 64-dim on the embeddings table it is
-    mildly faster (0.47 vs 0.55 s). This inverts the round-4
-    ``element_at``-unrolling negative result: that experiment kept
-    the ARRAY through the join and paid per-term null/bounds checks;
-    flat columns have no array access at all.
+    Pair scoring strategy (round 10, ``flat_pair_dot``): when True,
+    the vector is FLATTENED to ``dim`` double columns at keying time
+    and the pair dot is an unrolled whole-stage-codegen sum with the
+    same sequential accumulation order as the :func:`cosine_with_norms`
+    fold — bit-identical doubles, ~7× per pair. Measured on a
+    degenerate one-bucket corpus (5k 16-dim byte histograms → 12.5M
+    candidate pairs): 18.5 → 2.7 s. When False, the array rides the
+    join and the dot is the interpreted fold. The flat plan pays a
+    FIXED plan/codegen cost that grows with ``dim`` (2·dim extra
+    projections + a dim-term generated method): at 64-dim on the
+    2k-row embeddings table that fixed cost is ~1.6 s against
+    near-zero pair work — a measured 0.58 → 2.21 s regression — so
+    ``None`` (default) picks flat iff ``dim <= 32``. The real
+    criterion is pair volume, which isn't known before the join;
+    callers expecting a dense bucket at high dim should pass True.
+    (This refines the round-4 ``element_at``-unrolling negative
+    result: that experiment kept the ARRAY through the join and paid
+    per-term null/bounds checks — flat columns have no array access;
+    what remains against unrolling is the fixed codegen cost.)
     """
     from capital.io import right_size_narrow
     from capital.operators.caching import scoped_persist
     from capital.operators.skew import chunked_pair_join, plain_by_hint
 
+    if flat_pair_dot is None:
+        flat_pair_dot = int(dim) <= 32
     planes = hyperplanes(dim, n_planes)
     n_rows = vectors.count()  # also sizes the fan-out (metadata-cheap)
-    flat = [
-        F.element_at(F.col(vec_col), i).alias(f"__e{i}")
-        for i in range(1, int(dim) + 1)
-    ]
+    if flat_pair_dot:
+        vec_cols = [
+            F.element_at(F.col(vec_col), i).alias(f"__e{i}")
+            for i in range(1, int(dim) + 1)
+        ]
+        payload = [f"__e{i}" for i in range(1, int(dim) + 1)] + ["nrm"]
+    else:
+        vec_cols = [F.col(vec_col)]
+        payload = [vec_col, "nrm"]
     keyed = right_size_narrow(vectors, n_rows=n_rows).select(
         F.col(id_col),
-        *flat,
+        *vec_cols,
         _norm(F.col(vec_col)).alias("nrm"),
         sign_lsh_key(vec_col, planes).alias("bucket"),
     )
@@ -326,20 +342,26 @@ def cosine_neardup_pairs(
         # exchange is reused — persisting would only add an eager
         # materialization job on a micro input.
         keyed = scoped_persist(keyed, scope)
-    dot = None
-    for i in range(1, int(dim) + 1):
-        term = F.col(f"__e{i}_a") * F.col(f"__e{i}_b")
-        dot = term if dot is None else dot + term
-    return (
-        chunked_pair_join(
-            keyed,
-            ["bucket"],
-            id_col,
-            payload_cols=[f"__e{i}" for i in range(1, int(dim) + 1)]
-            + ["nrm"],
-            total_rows_hint=n_rows,
+    pairs = chunked_pair_join(
+        keyed,
+        ["bucket"],
+        id_col,
+        payload_cols=payload,
+        total_rows_hint=n_rows,
+    )
+    if flat_pair_dot:
+        dot = None
+        for i in range(1, int(dim) + 1):
+            term = F.col(f"__e{i}_a") * F.col(f"__e{i}_b")
+            dot = term if dot is None else dot + term
+        cos = dot / (F.col("nrm_a") * F.col("nrm_b"))
+    else:
+        cos = cosine_with_norms(
+            F.col(f"{vec_col}_a"), F.col(f"{vec_col}_b"),
+            F.col("nrm_a"), F.col("nrm_b"),
         )
-        .withColumn("cosine_sim", dot / (F.col("nrm_a") * F.col("nrm_b")))
+    return (
+        pairs.withColumn("cosine_sim", cos)
         .filter(F.col("cosine_sim") >= threshold)
         .select(
             "id_a",
