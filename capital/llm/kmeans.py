@@ -1,0 +1,224 @@
+"""Deterministic Lloyd's k-means over embedding columns.
+
+The engine already *uses* k-means (``llm/ivf.train_centroids`` wraps
+MLlib for the IVF coarse quantizer), but MLlib's trainer is
+rows-only-checkable: random init + float reduction order make its
+centroids engine-private. This module is the ORACLE-PAIRED member —
+a fixed-iteration Lloyd's with every source of nondeterminism pinned,
+so the whole clustering unrolls into plain SQL (the PageRank/BPE
+pattern) and a DuckDB twin reproduces assignments hash-exactly:
+
+- **init**: the ``k`` vectors with the smallest ids, in id order —
+  no RNG to coordinate across engines (k-means++ would need one);
+- **assignment**: nearest centroid by squared L2, ties to the
+  smallest cell index; distances are sequential ``zip_with``/
+  ``aggregate`` folds in array order, the established ``list_sum``
+  parity (``llm/ivf._dist2_to_center`` reused);
+- **update**: per-cell per-dimension mean over MICRO-UNIT-quantized
+  inputs — each component becomes the exact integer
+  ``floor(x·1e6 + 0.5)`` (the round6_stable op set, identical IEEE
+  ops both engines), integer sums are order-free, and the mean
+  ``round6_stable((Σq/1e6)/n)`` re-rounds to 1e-6 — so the NEXT
+  iteration's centroid inputs are bit-identical doubles on both
+  engines. (A ``DECIMAL(28,6)`` cast of the float inputs was
+  measured to disagree between engines on a handful of half-way
+  values per corpus — the CLAUDE.md round() boundary gotcha — so
+  the quantization must be the explicit floor form.) Rounding
+  centroids to 1e-6 each round is a quantized Lloyd's: convergence
+  behavior is unchanged at embedding scale, determinism is total;
+- **empty cells** keep their previous centroid (COALESCE semantics
+  on both sides).
+
+Scale shape: each iteration is one corpus-scan assignment (k literal
+distance folds — no join, centroids are broadcast literals) + one
+map-side-combined (cell, dim) aggregate whose output is k×dim tiny
+rows, collected to the driver (the bounded-metadata-read precedent:
+IVF probed cells, BPE winners). K iterations = K scans + K
+dimension-sized collects; at 100 TB persist the input once and the
+per-round cost is the scan. SemDeDup (Abbas et al. 2023) composes
+this with within-cell cosine pruning — see
+``capital/queries/llm_queries.py`` ``dedup_semdedup_prune``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def initial_centroids(
+    vectors: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic init: the ``k`` smallest-id vectors, in id order."""
+    rows = (
+        vectors.select(id_col, vec_col)
+        .orderBy(F.asc(id_col))
+        .limit(int(k))
+        .collect()
+    )
+    return [[float(x) for x in r[1]] for r in rows]
+
+
+def _mean_update(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str,
+) -> list[list[float]]:
+    """One Lloyd's update: per-cell per-dim means over micro-unit
+    integer quantization (module contract), computed IN SPARK (one
+    map-side-combined aggregate over (cell, dim); k×dim rows
+    collected) so the values the driver bakes into the next
+    iteration's literals are the exact doubles the SQL twin derives."""
+    from capital.llm.text import round6_stable
+
+    dim = len(centroids[0])
+    q = F.floor(F.col("__v").cast("double") * F.lit(1e6) + F.lit(0.5))
+    per_dim = (
+        assigned.select(
+            "cell", F.posexplode(F.col(vec_col)).alias("__i", "__v")
+        )
+        .groupBy("cell", "__i")
+        .agg(
+            F.sum(q).alias("__s"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .select(
+            "cell",
+            "__i",
+            round6_stable(
+                F.col("__s").cast("double") / F.lit(1e6) / F.col("__n")
+            ).alias("__m"),
+        )
+        .collect()
+    )
+    nxt = [list(c) for c in centroids]  # empty cells keep previous
+    means: dict[int, list[float]] = {}
+    for r in per_dim:
+        means.setdefault(r["cell"], [0.0] * dim)[r["__i"]] = r["__m"]
+    for cell, vals in means.items():
+        nxt[cell] = vals
+    return nxt
+
+
+def lloyd_kmeans(
+    vectors: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Run ``iterations`` deterministic Lloyd's rounds; returns
+    ``(assignments, centroids)`` where ``assignments`` is the corpus
+    labeled against the FINAL centroids — ``(id, cell, dist2)`` with
+    ``dist2`` round6-stable — and ``centroids`` the trained k×dim
+    table (plain lists, broadcastable as literals into
+    ``llm/ivf.assign_cells`` / ``write_ivf_index``)."""
+    from capital.llm.ivf import _dist2_to_center, assign_cells
+    from capital.llm.text import round6_stable
+
+    cents = initial_centroids(vectors, k, id_col, vec_col)
+    for _ in range(int(iterations)):
+        assigned = assign_cells(vectors, cents, vec_col=vec_col)
+        cents = _mean_update(assigned, cents, vec_col)
+    # Final labeling in ONE pass: nearest (d, i) struct, ties to the
+    # smallest cell index (sort_array lexicographic — the assign_cells
+    # rule), distance surfaced instead of discarded.
+    dists = F.array(
+        *[
+            F.struct(
+                _dist2_to_center(F.col(vec_col), c).alias("d"),
+                F.lit(i).alias("i"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+    best = F.sort_array(dists)[0]
+    return (
+        vectors.select(
+            F.col(id_col),
+            best["i"].alias("cell"),
+            round6_stable(best["d"]).alias("dist2"),
+        ),
+        cents,
+    )
+
+
+def semdedup_flags(
+    vectors: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scope=None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means the embedding corpus,
+    then prune near-duplicates WITHIN each cluster — the paper's
+    scaling trick is exactly this composition: the quadratic pair
+    space is bounded per cell instead of corpus-wide, and cells are
+    embarrassingly parallel.
+
+    Deterministic keep rule (oracle contract): a vector is dropped
+    iff some SMALLER-id vector in its cell has cosine ≥ ``threshold``
+    with it — the min-id-wins convention every dedup family member
+    here uses. (The paper keeps the member least similar to the
+    centroid; that variant changes one ORDER BY and is deliberately
+    not the default because centroid distance is a float tie-break
+    where ids are exact.)
+
+    Returns one row per vector: ``(id, cell, is_kept)``.
+
+    Scale shape: Lloyd's rounds as :func:`lloyd_kmeans`; the pair
+    stage is one :func:`~capital.operators.skew.chunked_pair_join`
+    keyed on the cell id (task-bounded even if one cell swallows the
+    corpus), norms precomputed at keying, interpreted-fold dot (high
+    dim + cell-bounded pair volume — the flat-column codegen dot's
+    fixed cost is not amortized here; see cosine_neardup_pairs).
+    """
+    from capital.llm.similarity import _norm, cosine_with_norms
+    from capital.operators.caching import scoped_persist
+    from capital.operators.skew import chunked_pair_join
+
+    assignments, _cents = lloyd_kmeans(
+        vectors, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col
+    )
+    labeled = scoped_persist(
+        vectors.select(
+            F.col(id_col),
+            F.col(vec_col),
+            _norm(F.col(vec_col)).alias("nrm"),
+        ).join(assignments.select(id_col, "cell"), id_col),
+        scope,
+    )
+    n_rows = labeled.count()
+    pairs = chunked_pair_join(
+        labeled,
+        ["cell"],
+        id_col,
+        payload_cols=[vec_col, "nrm"],
+        total_rows_hint=n_rows,
+    )
+    dropped = (
+        pairs.withColumn(
+            "__cos",
+            cosine_with_norms(
+                F.col(f"{vec_col}_a"), F.col(f"{vec_col}_b"),
+                F.col("nrm_a"), F.col("nrm_b"),
+            ),
+        )
+        .filter(F.col("__cos") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        labeled.select(id_col, "cell")
+        .join(dropped.withColumn("__drop", F.lit(True)), id_col, "left")
+        .select(
+            F.col(id_col),
+            "cell",
+            F.coalesce(~F.col("__drop"), F.lit(True)).alias("is_kept"),
+        )
+    )

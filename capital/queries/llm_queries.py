@@ -1359,6 +1359,144 @@ def mm_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- deterministic Lloyd's k-means (round 10) ------------------------------
+
+_KM_K = 8
+_KM_ITERS = 3
+
+
+def _km_dist(cvar: str) -> str:
+    return (
+        f"list_sum([(CAST(e[i] AS DOUBLE) - {cvar}[i])"
+        f" * (CAST(e[i] AS DOUBLE) - {cvar}[i])"
+        f" FOR i IN range(1, {_DIM} + 1)])"
+    )
+
+
+def _kmeans_cte_chain(k: int, iters: int) -> str:
+    """Unrolled Lloyd's chain (the PageRank/BPE oracle pattern):
+    smallest-id init, per-round min-distance assignment with
+    min-cell tie-break staged as MIN(d)-then-MIN(cell) (the arg_min
+    composite-ordering gotcha), micro-unit integer-quantized
+    round6-stable mean updates (a DECIMAL cast of the float inputs
+    disagreed between engines at half-way values — measured), COALESCE
+    empty-cell carry."""
+    parts = [f"""emb AS MATERIALIZED (
+      SELECT vec_id, embedding AS e FROM embeddings),
+    c0 AS MATERIALIZED (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+             [CAST(e[i] AS DOUBLE) FOR i IN range(1, {_DIM} + 1)] AS c
+      FROM (SELECT vec_id, embedding AS e FROM embeddings
+            ORDER BY vec_id LIMIT {k}))"""]
+    for t in range(1, iters + 1):
+        prev = f"c{t - 1}"
+        parts.append(f"""s{t} AS MATERIALIZED (
+      SELECT emb.vec_id, {prev}.cell, {_km_dist(f"{prev}.c")} AS d
+      FROM emb CROSS JOIN {prev}),
+    a{t} AS MATERIALIZED (
+      SELECT s.vec_id, MIN(s.cell) AS cell
+      FROM s{t} s JOIN (SELECT vec_id, MIN(d) AS md FROM s{t}
+                        GROUP BY vec_id) m
+        ON s.vec_id = m.vec_id AND s.d = m.md
+      GROUP BY s.vec_id),
+    u{t} AS (
+      SELECT a.cell, dims.di,
+             floor(CAST(SUM(floor(CAST(e[dims.di] AS DOUBLE) * 1e6 + 0.5))
+                        AS DOUBLE)
+                   / 1e6 / COUNT(*) * 1e6 + 0.5) / 1e6 AS v
+      FROM a{t} a, emb, unnest(range(1, {_DIM} + 1)) AS dims(di)
+      WHERE a.vec_id = emb.vec_id
+      GROUP BY a.cell, dims.di),
+    c{t} AS MATERIALIZED (
+      SELECT p.cell, COALESCE(n.c, p.c) AS c
+      FROM {prev} p LEFT JOIN (SELECT cell, list(v ORDER BY di) AS c
+                               FROM u{t} GROUP BY cell) n
+        ON p.cell = n.cell)""")
+    return ",\n    ".join(parts)
+
+
+def _kmeans_oracle() -> str:
+    last = f"c{_KM_ITERS}"
+    return f"""
+    WITH {_kmeans_cte_chain(_KM_K, _KM_ITERS)},
+    sF AS MATERIALIZED (
+      SELECT emb.vec_id, {last}.cell, {_km_dist(f"{last}.c")} AS d
+      FROM emb CROSS JOIN {last}),
+    mF AS (SELECT vec_id, MIN(d) AS md FROM sF GROUP BY vec_id)
+    SELECT s.vec_id, CAST(MIN(s.cell) AS INTEGER) AS cell,
+           floor(MIN(m.md) * 1e6 + 0.5) / 1e6 AS dist2
+    FROM sF s JOIN mF m ON s.vec_id = m.vec_id AND s.d = m.md
+    GROUP BY s.vec_id
+    """
+
+
+_SEMDEDUP_THRESHOLD = 0.35  # the embeddings table's near-dup regime
+
+
+def _semdedup_oracle() -> str:
+    last = f"c{_KM_ITERS}"
+    cos = _COS.replace("qv", "ea.e").replace("cv", "eb.e")
+    return f"""
+    WITH {_kmeans_cte_chain(_KM_K, _KM_ITERS)},
+    sF AS MATERIALIZED (
+      SELECT emb.vec_id, {last}.cell, {_km_dist(f"{last}.c")} AS d
+      FROM emb CROSS JOIN {last}),
+    mF AS (SELECT vec_id, MIN(d) AS md FROM sF GROUP BY vec_id),
+    aF AS MATERIALIZED (
+      SELECT s.vec_id, MIN(s.cell) AS cell
+      FROM sF s JOIN mF m ON s.vec_id = m.vec_id AND s.d = m.md
+      GROUP BY s.vec_id),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM aF a JOIN aF b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN emb ea ON ea.vec_id = a.vec_id
+      JOIN emb eb ON eb.vec_id = b.vec_id
+      WHERE {cos} >= {_SEMDEDUP_THRESHOLD!r}e0)
+    SELECT a.vec_id, CAST(a.cell AS INTEGER) AS cell,
+           d.vec_id IS NULL AS is_kept
+    FROM aF a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+    """
+
+
+@query("dedup_semdedup_prune", memoize=False, oracle=_semdedup_oracle())
+def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) end to end (llm/kmeans.
+    semdedup_flags): deterministic Lloyd's k-means clusters the
+    corpus, then near-duplicates are pruned WITHIN each cell
+    (min-id-wins) — the paper's trick that bounds the quadratic pair
+    space per cluster instead of corpus-wide. Composes two
+    independently-tested operators; the unrolled-SQL oracle checks
+    clustering + cell-scoped pruning end to end."""
+    from capital.llm.kmeans import semdedup_flags
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup_flags(
+        emb,
+        k=_KM_K,
+        iterations=_KM_ITERS,
+        threshold=_SEMDEDUP_THRESHOLD,
+    )
+
+
+@query("sim_kmeans_cells", memoize=False, oracle=_kmeans_oracle())
+def sim_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd's k-means over the embedding corpus
+    (llm/kmeans.lloyd_kmeans): smallest-id init, min-distance/-cell
+    assignment, decimal-exact round6-stable mean updates — every
+    nondeterminism pinned so the full K-round clustering unrolls into
+    SQL (the PageRank/BPE oracle pattern). The oracle-paired twin of
+    the MLlib trainer the IVF quantizer uses (llm/ivf.train_centroids,
+    rows-only); feeds SemDeDup and any cluster-scoped dedup/curation.
+    memoize=False: per-round k×dim mean collects are eager."""
+    from capital.llm.kmeans import lloyd_kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assignments, _cents = lloyd_kmeans(
+        emb, k=_KM_K, iterations=_KM_ITERS
+    )
+    return assignments
+
+
 # --- multimodal near-dup composition (round 10) ---------------------------
 
 _MM_BINS = 16      # byte-histogram dimensionality (high nibble)

@@ -1,0 +1,122 @@
+"""Deterministic Lloyd's k-means (capital/llm/kmeans.py): hand-checked
+assignments, tie-breaks, empty-cell carry, objective monotonicity,
+and interop with the IVF cell assigner."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from capital.llm.kmeans import initial_centroids, lloyd_kmeans
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def test_kmeans_hand_computed_two_blobs(spark):
+    """Two tight 1-D blobs, k=2: init takes ids 0/1 (both in blob A),
+    but one Lloyd's round pulls centroid 1 into blob B and the final
+    labeling separates the blobs exactly."""
+    rows = [
+        (0, [0.0]), (1, [0.2]), (2, [0.1]),
+        (3, [10.0]), (4, [10.2]), (5, [10.1]),
+    ]
+    out, cents = lloyd_kmeans(_vecs(spark, rows), k=2, iterations=3)
+    got = {r.vec_id: r.cell for r in out.collect()}
+    assert {got[0], got[1], got[2]} == {got[0]}  # blob A one cell
+    assert {got[3], got[4], got[5]} == {got[3]}  # blob B one cell
+    assert got[0] != got[3]
+    # centroids converge to the blob means (quantized to 1e-6)
+    flat = sorted(c[0] for c in cents)
+    assert abs(flat[0] - 0.1) < 1e-9 and abs(flat[1] - 10.1) < 1e-9
+
+
+def test_kmeans_tie_breaks_to_smallest_cell(spark):
+    """A vector equidistant from two centroids lands in the smaller
+    cell index — the determinism the oracle replicates."""
+    rows = [(0, [0.0]), (1, [2.0]), (2, [1.0])]
+    out, _ = lloyd_kmeans(_vecs(spark, rows), k=2, iterations=0)
+    got = {r.vec_id: r.cell for r in out.collect()}
+    # iterations=0: centroids are ids 0 and 1; vec 2 at distance 1
+    # from both -> cell 0.
+    assert got[2] == 0 and got[0] == 0 and got[1] == 1
+
+
+def test_kmeans_empty_cell_keeps_centroid(spark):
+    """A centroid that attracts nothing survives the update unchanged
+    (COALESCE carry, both engines)."""
+    rows = [(0, [0.0]), (1, [100.0]), (2, [0.1]), (3, [0.2])]
+    out, cents = lloyd_kmeans(_vecs(spark, rows), k=2, iterations=2)
+    # cell 1 holds only vec 1; cell 0 everything near zero.
+    got = {r.vec_id: r.cell for r in out.collect()}
+    assert got[1] == 1 and got[0] == got[2] == got[3] == 0
+    assert abs(cents[1][0] - 100.0) < 1e-9
+
+
+def test_kmeans_objective_monotone_on_corpus(spark, sf_dir):
+    """Lloyd's invariant: total within-cluster SSE is non-increasing
+    across iterations (quantization moves it by ≤1e-6·dim per round —
+    tolerated)."""
+    from capital.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sses = []
+    for iters in (0, 1, 2, 3):
+        out, _ = lloyd_kmeans(emb, k=4, iterations=iters)
+        sses.append(out.agg(F.sum("dist2")).collect()[0][0])
+    for a, b in zip(sses, sses[1:]):
+        assert b <= a + 1e-3, sses
+
+
+def test_kmeans_centroids_feed_ivf_assigner(spark, sf_dir):
+    """The trained centroid table slots straight into the IVF cell
+    assigner (same list-of-lists contract as train_centroids)."""
+    from capital.io import load_table
+    from capital.llm.ivf import assign_cells
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(64)
+    out, cents = lloyd_kmeans(emb, k=4, iterations=2)
+    via_ivf = assign_cells(emb, cents)
+    a = {r.vec_id: r.cell for r in out.collect()}
+    b = {r.vec_id: r.cell for r in via_ivf.collect()}
+    assert a == b
+
+
+def test_initial_centroids_are_smallest_ids_in_order(spark):
+    rows = [(5, [5.0]), (1, [1.0]), (3, [3.0]), (2, [2.0])]
+    cents = initial_centroids(_vecs(spark, rows), 3)
+    assert cents == [[1.0], [2.0], [3.0]]
+
+
+def test_semdedup_prunes_within_cell_only(spark):
+    """SemDeDup semantics: a near-duplicate pair inside one cluster
+    keeps only the smaller id; near-dups that land in DIFFERENT
+    clusters both survive (the paper's documented approximation —
+    cell-scoped pairing is what bounds the pair space)."""
+    from capital.llm.kmeans import semdedup_flags
+
+    rows = [
+        # blob A: three near-identical vectors (cos ~ 1)
+        (0, [1.0, 0.0]), (1, [0.999, 0.001]), (2, [0.998, 0.002]),
+        # blob B: far from A, two near-identical members
+        (10, [0.0, 1.0]), (11, [0.001, 0.999]),
+        # isolated direction
+        (20, [-1.0, 0.5]),
+    ]
+    df = _vecs(spark, rows)
+    out = {
+        r.vec_id: r
+        for r in semdedup_flags(
+            df, k=2, iterations=3, threshold=0.99
+        ).collect()
+    }
+    # blob A's smallest id survives; 1 and 2 are pruned.
+    assert out[0].is_kept and not out[1].is_kept and not out[2].is_kept
+    # blob B: 10 survives, 11 pruned (same cell, cos ≈ 1).
+    assert out[10].is_kept and not out[11].is_kept
+    assert out[20].is_kept
+    # everyone is labeled; kept set is exactly {0, 10, 20}
+    assert {i for i, r in out.items() if r.is_kept} == {0, 10, 20}
