@@ -646,3 +646,126 @@ def bloom_state_words(spark: SparkSession, state_dir: str) -> DataFrame:
         .groupBy("word_idx")
         .agg(F.bit_or("word").alias("word"))
     )
+
+
+def incremental_kmeans_run(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    centroids: list[list[float]],
+    assign_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    id_cols: tuple[str, ...] = ("vec_id",),
+    vec_col: str = "embedding",
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Incremental clustering maintenance against a STORED centroid
+    table — the streaming member of the round-10 k-means family
+    (``llm/kmeans.lloyd_kmeans`` trains the centroids; this keeps a
+    growing lake clustered without ever re-scanning history, the
+    stored-LSH/IVF-index posture).
+
+    Per micro-batch, with the trained centroids FROZEN as broadcast
+    literals:
+
+    - every new vector is labeled with its nearest cell (the exact
+      ``llm/ivf.assign_cells`` expression — min distance, ties to the
+      smallest cell) and written to ``assign_dir``;
+    - the batch's per-(cell, dim) micro-unit sums and counts
+      (``llm/kmeans`` quantization contract) land as ``batch_id=``
+      partials in ``state_dir``.
+
+    :func:`kmeans_state_centroids` folds the accumulated partials
+    into refreshed per-cell means at read time — integer partials are
+    order-free and associative, so the fold equals a single Lloyd's
+    mean update computed over ALL vectors ever seen (stream-vs-batch
+    equality tested), and a replayed batch (crash between sink write
+    and checkpoint commit) dynamic-overwrites its own partitions to
+    the same bytes (the PSI/Bloom convergence argument). Re-centering
+    is the OPERATOR'S periodic decision: swap the refreshed centroid
+    table in and the next batches assign against it — the same
+    rebuild cadence a stored IVF index has.
+
+    Scale: per-batch state is k×dim tiny rows; assignment is k
+    literal distance folds per vector, no join, no shuffle beyond the
+    (cell, dim) map-side-combined partial.
+    """
+    from capital.llm.ivf import assign_cells
+
+    k = len(centroids)
+    dim = len(centroids[0]) if k else 0
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        labeled = assign_cells(batch_df, centroids, vec_col=vec_col)
+        (
+            labeled.select(*id_cols, "cell")
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(assign_dir)
+        )
+        q = F.floor(
+            F.col("__v").cast("double") * F.lit(1e6) + F.lit(0.5)
+        )
+        partial = (
+            labeled.select(
+                "cell", F.posexplode(F.col(vec_col)).alias("__i", "__v")
+            )
+            .groupBy("cell", "__i")
+            .agg(F.sum(q).alias("sum_micro"), F.count(F.lit(1)).alias("n"))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        (
+            partial.write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(state_dir)
+        )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return (
+        reader.format(fmt)
+        .load(source_dir)
+        .writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def kmeans_state_centroids(
+    spark: SparkSession,
+    state_dir: str,
+    centroids: list[list[float]],
+) -> list[list[float]]:
+    """Read half of the incremental k-means monitor: fold the
+    ``batch_id``-partitioned (cell, dim) micro-unit partials into
+    refreshed per-cell means — exactly one Lloyd's mean update over
+    every vector ever ingested (integer sums are order-free, so the
+    fold is bit-identical to the batch update; tested). Cells that
+    never received a vector keep their trained centroid (the
+    ``lloyd_kmeans`` empty-cell carry)."""
+    from capital.llm.text import round6_stable
+
+    rows = (
+        spark.read.parquet(state_dir)
+        .groupBy("cell", "__i")
+        .agg(F.sum("sum_micro").alias("s"), F.sum("n").alias("n"))
+        .select(
+            "cell",
+            "__i",
+            round6_stable(
+                F.col("s").cast("double") / F.lit(1e6) / F.col("n")
+            ).alias("m"),
+        )
+        .collect()
+    )
+    nxt = [list(c) for c in centroids]
+    for r in rows:
+        nxt[r["cell"]][r["__i"]] = r["m"]
+    return nxt

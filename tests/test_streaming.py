@@ -610,3 +610,63 @@ def test_incremental_ks_stream_matches_batch(spark, sf_dir, tmp_path):
     replayed = ks_state_terms(spark, state, baseline)
     assert replayed.subtract(batch).count() == 0
     assert replayed.count() == batch.count()
+
+
+def test_incremental_kmeans_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Round-10 streaming member of the clustering family: micro-batch
+    assignments against FROZEN stored centroids must equal the batch
+    assigner over the same rows; folding the accumulated (cell, dim)
+    micro-unit partials must equal ONE batch Lloyd's mean update over
+    all ingested vectors; and a replayed batch must not move any
+    centroid (batch_id-partition overwrite convergence)."""
+    from capital.llm.ivf import assign_cells
+    from capital.llm.kmeans import _mean_update, lloyd_kmeans
+    from capital.streaming.incremental import (
+        incremental_kmeans_run,
+        kmeans_state_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    schema = emb.schema
+    _, cents = lloyd_kmeans(emb, k=4, iterations=1)
+
+    src = str(tmp_path / "src")
+    assign = str(tmp_path / "assign")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    emb.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    emb.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = incremental_kmeans_run(
+        spark, src, schema, cents, assign, state, ckpt,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    streamed = {
+        r.vec_id: r.cell
+        for r in spark.read.parquet(assign).collect()
+    }
+    batch = {
+        r.vec_id: r.cell for r in assign_cells(emb, cents).collect()
+    }
+    assert streamed == batch and len(batch) > 0
+
+    folded = kmeans_state_centroids(spark, state, cents)
+    full = _mean_update(assign_cells(emb, cents), cents, "embedding")
+    assert folded == full
+
+    # Replay convergence: rewrite one batch's partials, fold unchanged.
+    state_df = spark.read.parquet(state)
+    bids = [r[0] for r in state_df.select("batch_id").distinct().collect()]
+    assert len(bids) == 2
+    replay_rows = state_df.filter(F.col("batch_id") == bids[0]).collect()
+    spark.createDataFrame(replay_rows, state_df.schema).write.mode(
+        "overwrite"
+    ).partitionBy("batch_id").option(
+        "partitionOverwriteMode", "dynamic"
+    ).parquet(state)
+    assert kmeans_state_centroids(spark, state, cents) == full
