@@ -354,3 +354,44 @@ def test_round9_new_ops_plan_shapes(spark, sf_dir):
     plan = plan_of(_QUERIES["drift_incremental_psi"](spark, sf_dir))
     assert "EvalPython" not in plan
     assert "partial_count" in plan  # map-side combined histogram
+
+
+def test_round10_new_ops_plan_shapes(spark, sf_dir):
+    """Round-10 operator plan pins:
+
+    - multi-scale substring: the base window count is map-side
+      combined (partial_count), level hashes derive via window lead —
+      no Python eval, no cartesian/nested-loop join anywhere;
+    - k-means assignment: centroids are broadcast literals — the
+      final labeling pass has NO join operator at all, and the only
+      exchanges in the full pipeline are the (cell, dim) mean
+      aggregates;
+    - mm near-dup: exactly one Arrow-batched Python stage (the
+      featurizer mapInPandas) — the pair scoring stays JVM-side;
+      no cartesian product (the bucket join is chunk-equi-keyed).
+    """
+    spark.catalog.clearCache()  # plan-shape tests audit cold plans
+
+    plan = plan_of(_QUERIES["dedup_substring_multiscale"](spark, sf_dir))
+    assert "partial_count" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    from capital.io import load_table
+    from capital.llm.kmeans import lloyd_kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assignments, _ = lloyd_kmeans(emb, k=4, iterations=1)
+    plan = plan_of(assignments)
+    for join_kind in ("Join", "CartesianProduct"):
+        assert join_kind not in plan, join_kind  # literals, not a join
+    assert "Exchange" not in plan  # labeling is one narrow scan
+
+    plan = plan_of(_QUERIES["mm_neardup_pairs"](spark, sf_dir))
+    # Featurizer nodes only: one per self-join side on the small-input
+    # plain-join path (plain_by_hint skips the persist; the scale path
+    # persists the keyed frame and runs it once).
+    assert plan.count("MapInPandas (") <= 2
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan  # never row-at-a-time Python
