@@ -1582,6 +1582,11 @@ def mm_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     feats = byte_histogram_features(frames, bins=_MM_BINS, normalize=False)
+    # NOT persisted: the featurizer does run once per self-join side on
+    # the small-input plain-join path (plan-pinned), but persisting it
+    # measured 4.41 vs 4.28 s at sf0.1 — the eager materialization
+    # barrier costs more than the second featurize saves (the round-5
+    # persisted-counts lesson). The scale path persists in-library.
     vecs = feats.select(
         F.col("asset_id").alias("vec_id"), F.col("features").alias("embedding")
     )
