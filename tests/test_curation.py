@@ -526,3 +526,26 @@ def test_substring_multiscale_matches_single_scale_at_base(spark, sf_dir):
             ).collect()
         }
     assert single == multi
+
+
+def test_substring_multiscale_coverage_monotone_in_scale(spark, sf_dir):
+    """Invariant: every duplicated 2L-window implies its two L-halves
+    are duplicated windows covering the same tokens, so per-document
+    duplicated-token coverage is NON-INCREASING in window length.
+    Checked on the real corpus across all four scales."""
+    from capital.io import load_table
+    from capital.llm.dedup import substring_dup_multiscale
+    from capital.operators.caching import CacheScope
+
+    d = load_table(spark, sf_dir, "documents")
+    with CacheScope() as scope:
+        rows = substring_dup_multiscale(d, scope=scope).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.window_tokens] = r.dup_tokens
+    assert by_doc
+    for doc_id, scales in by_doc.items():
+        assert set(scales) == {8, 16, 32, 64}
+        assert scales[8] >= scales[16] >= scales[32] >= scales[64], (
+            doc_id, scales
+        )
