@@ -74,6 +74,7 @@ def bm25_topk(
     topk: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Top-``topk`` documents per query under Okapi BM25.
 
@@ -152,6 +153,10 @@ def bm25_topk(
     totals = per_term.groupBy("query_id", "doc_id").agg(
         decimal_sum(F.col("__s"), "bm25")
     )
+    if exclude_self:
+        # Query-by-example workloads (query = a corpus document): the
+        # trivial self-match would occupy rank 1 of every list.
+        totals = totals.filter(F.col("doc_id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("bm25").desc(), F.col("doc_id").asc()
     )
@@ -159,4 +164,69 @@ def bm25_topk(
         totals.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= topk)
         .select("query_id", "doc_id", "bm25", "rank")
+    )
+
+
+#: RRF rank constant (Cormack et al. 2009's k=60 convention).
+RRF_K = 60
+#: Contribution quantization: each 1/(k+rank) becomes the exact
+#: integer floor(1e12/(k+rank)), so per-(query, doc) fusion sums are
+#: order-free integer adds — cross-engine/retry bit-stable (float
+#: sums of 3+ ranker contributions would depend on aggregation
+#: order). 1e-12 resolution is far below any rank-relevant gap.
+RRF_SCALE = 1_000_000_000_000
+
+
+def rrf_fuse(
+    ranked_lists: list[DataFrame],
+    topk: int = 10,
+    k_rrf: int = RRF_K,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal rank fusion over N ranked lists (Cormack et al.
+    2009): ``rrf(q, d) = Σ_lists 1/(k + rank_list(q, d))``, summed
+    over the lists that ranked the document at all. Ranker-agnostic —
+    fuse lexical BM25 with dense ANN, or any mix.
+
+    Each input needs ``(query_col, doc_col, rank_col)``; extra
+    columns are dropped. Contributions are quantized to exact
+    ``RRF_SCALE`` integers before the sum (see :data:`RRF_SCALE`), so
+    the fused score is deterministic regardless of Spark's partial-
+    aggregation order; final ties break on the document id.
+
+    Scale: inputs are already top-k-per-query sized (never
+    corpus-sized), so the union + one (query, doc) aggregate + one
+    per-query window are all small; the heavy lifting stays in the
+    upstream rankers.
+    """
+    contrib = F.floor(F.lit(float(RRF_SCALE)) / (F.lit(k_rrf) + F.col(rank_col)))
+    tagged = None
+    for df in ranked_lists:
+        part = df.select(
+            F.col(query_col).alias("query_id"),
+            F.col(doc_col).alias("doc_id"),
+            contrib.alias("__c"),
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    fused = tagged.groupBy("query_id", "doc_id").agg(
+        F.sum("__c").alias("__c_total"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__c_total").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "query_id",
+            "rank",
+            "doc_id",
+            (F.col("__c_total").cast("double") / F.lit(float(RRF_SCALE))).alias(
+                "rrf_score"
+            ),
+            "n_lists",
+        )
     )

@@ -168,3 +168,128 @@ def cur_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     capital/llm/dsir.py for the fit/weigh/resample plan shape."""
     d = load_table(spark, sf_dir, "documents")
     return dsir_resample(d, F.col("lang") == "en", _DSIR_QUOTA)
+
+
+# --- hybrid retrieval: BM25 + dense cosine fused by RRF (round 10) --------
+
+_HYB_N = 8        # query-by-example workload: documents 0..7
+_HYB_CAND = 20    # per-ranker candidate depth
+_HYB_TOPK = 10
+
+
+def _hybrid_oracle() -> str:
+    from capital.llm.retrieval import RRF_K, RRF_SCALE
+    from capital.queries.llm_queries import _COS
+
+    cos = _COS.replace("qv", "q.e").replace("cv", "c.e")
+    return rf"""
+    WITH q AS (SELECT doc_id AS query_id, text AS qtext
+               FROM documents WHERE doc_id < {_HYB_N}),
+    qterms AS (
+      SELECT query_id, unnest({_QTOKS}) AS token FROM q),
+    qtok AS (SELECT DISTINCT token FROM qterms),
+    tok AS (SELECT doc_id, unnest({_NTOKS}) AS token FROM documents),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf
+           FROM tok GROUP BY doc_id, token),
+    dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+    sc AS (SELECT COUNT(*) AS n_docs,
+                  CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+           FROM dl),
+    tfq AS (SELECT tf.* FROM tf JOIN qtok USING (token)),
+    dfq AS (SELECT token, COUNT(*) AS dfc FROM tfq GROUP BY token),
+    per AS (
+      SELECT qt.query_id, tfq.doc_id,
+             (ln({_d(1.0)} + (sc.n_docs - dfq.dfc + {_d(0.5)})
+                             / (dfq.dfc + {_d(0.5)})))
+             * (tfq.tf * {_d(K1 + 1.0)}
+                / (tfq.tf + {_d(K1)}
+                   * ({_d(1.0)} - {_d(B)}
+                      + {_d(B)} * dl.dl / sc.avgdl))) AS s
+      FROM tfq
+      JOIN dfq USING (token)
+      JOIN qterms qt USING (token)
+      JOIN dl ON dl.doc_id = tfq.doc_id
+      CROSS JOIN sc),
+    lex AS (
+      SELECT query_id, doc_id, rn AS rank FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY bm25 DESC, doc_id) AS rn
+        FROM (SELECT query_id, doc_id,
+                     CAST(SUM(CAST(s AS DECIMAL(28,6))) AS DOUBLE) AS bm25
+              FROM per WHERE doc_id <> query_id
+              GROUP BY query_id, doc_id))
+      WHERE rn <= {_HYB_CAND}),
+    dense AS (
+      SELECT query_id, doc_id, rn AS rank FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, doc_id) AS rn
+        FROM (SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+                     {cos} AS sim
+              FROM (SELECT vec_id, embedding AS e FROM embeddings
+                    WHERE vec_id < {_HYB_N}) q,
+                   (SELECT vec_id, embedding AS e FROM embeddings) c
+              WHERE q.vec_id <> c.vec_id))
+      WHERE rn <= {_HYB_CAND}),
+    fused AS (
+      SELECT query_id, doc_id,
+             SUM(CAST(floor({_d(float(RRF_SCALE))} / ({RRF_K} + rank))
+                      AS BIGINT)) AS c_total,
+             COUNT(*) AS n_lists
+      FROM (SELECT * FROM lex UNION ALL SELECT * FROM dense)
+      GROUP BY query_id, doc_id)
+    SELECT query_id, CAST(rn AS INTEGER) AS rank, doc_id,
+           CAST(c_total AS DOUBLE) / {_d(float(RRF_SCALE))} AS rrf_score,
+           CAST(n_lists AS INTEGER) AS n_lists
+    FROM (SELECT query_id, doc_id, c_total, n_lists,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY c_total DESC, doc_id) AS rn
+          FROM fused)
+    WHERE rn <= {_HYB_TOPK}
+    """
+
+
+@query("ret_hybrid_rrf", memoize=False, oracle=_hybrid_oracle())
+def ret_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid first-stage retrieval (the RAG-pipeline shape): the
+    lexical BM25 ranker and the dense brute-cosine ranker each
+    produce per-query top-20 candidates for a query-by-example
+    workload (query = documents 0..7, self-matches excluded on both
+    sides), fused by reciprocal rank fusion
+    (llm/retrieval.rrf_fuse — integer-quantized contributions so the
+    fused score is aggregation-order-free). Composes two
+    independently-oracled rankers; the oracle checks the whole
+    composition. memoize=False: the bounded 8-row query-text collect
+    is eager."""
+    from capital.llm.retrieval import rrf_fuse
+    from capital.llm.similarity import cosine_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdocs = (
+        d.filter(F.col("doc_id") < _HYB_N)
+        .select("doc_id", "text")
+        .collect()
+    )  # bounded: N query texts (the IVF-probe precedent)
+    lex = bm25_topk(
+        d,
+        queries=[(int(r.doc_id), r.text) for r in qdocs],
+        topk=_HYB_CAND,
+        exclude_self=True,
+    ).select("query_id", "doc_id", "rank")
+    dense = cosine_topk(
+        emb, emb.filter(F.col("vec_id") < _HYB_N), k=_HYB_CAND
+    ).select(
+        F.col("query_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        "rank",
+    )
+    fused = rrf_fuse([lex, dense], topk=_HYB_TOPK)
+    return fused.select(
+        "query_id",
+        "rank",
+        "doc_id",
+        "rrf_score",
+        F.col("n_lists").cast("int").alias("n_lists"),
+    )

@@ -176,3 +176,68 @@ def test_dsir_plan_broadcast_ratios_and_distributed_topk(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """RRF fusion on two hand-built ranked lists: doc seen by both
+    rankers at middling ranks beats a doc ranked #1 by only one
+    (1/61 + 1/62 > 1/61), n_lists counts sources, ties break on
+    doc_id."""
+    from capital.llm.retrieval import RRF_K, rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(0, 100, 1), (0, 200, 2), (0, 300, 3)],
+        "query_id long, doc_id long, rank int",
+    )
+    dense = spark.createDataFrame(
+        [(0, 200, 1), (0, 400, 2), (0, 300, 3)],
+        "query_id long, doc_id long, rank int",
+    )
+    out = rrf_fuse([lex, dense], topk=10).collect()
+    rows = {r.doc_id: r for r in out}
+    # doc 200: ranks 2 and 1 -> 1/62 + 1/61; doc 300: 3 and 3 -> 2/63;
+    # doc 100: 1/61; doc 400: 1/62.
+    assert [r.doc_id for r in sorted(out, key=lambda r: r.rank)] == [
+        200, 300, 100, 400
+    ]
+    assert rows[200].n_lists == 2 and rows[100].n_lists == 1
+    expect_200 = (
+        int(1e12 / (RRF_K + 2)) + int(1e12 / (RRF_K + 1))
+    ) / 1e12
+    assert abs(rows[200].rrf_score - expect_200) < 1e-15
+
+
+def test_rrf_fuse_order_free_and_tie_break(spark):
+    """Input list order must not change the fusion (integer-quantized
+    contributions), and equal fused scores break on doc_id."""
+    from capital.llm.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(0, 7, 1), (0, 9, 2)], "query_id long, doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(0, 9, 1), (0, 7, 2)], "query_id long, doc_id long, rank int"
+    )
+    r1 = [(r.doc_id, r.rank) for r in rrf_fuse([a, b]).collect()]
+    r2 = [(r.doc_id, r.rank) for r in rrf_fuse([b, a]).collect()]
+    assert sorted(r1) == sorted(r2)
+    # 7 and 9 both have ranks {1, 2} -> equal scores -> doc_id ascending.
+    assert sorted(r1) == [(7, 1), (9, 2)]
+
+
+def test_bm25_exclude_self_drops_trivial_match(spark, sf_dir):
+    """Query-by-example: with the query being a corpus document, its
+    self-match must vanish and every other ranking stay intact
+    (ranks re-number 1..k over the remaining docs)."""
+    from capital.io import load_table
+    from capital.llm.retrieval import bm25_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    qtext = d.filter(F.col("doc_id") == 3).collect()[0].text
+    with_self = bm25_topk(d, queries=[(3, qtext)], topk=5)
+    without = bm25_topk(d, queries=[(3, qtext)], topk=5, exclude_self=True)
+    ws = [r.doc_id for r in sorted(with_self.collect(), key=lambda r: r.rank)]
+    wo = [r.doc_id for r in sorted(without.collect(), key=lambda r: r.rank)]
+    assert ws[0] == 3          # self-match dominates BM25
+    assert 3 not in wo
+    assert wo[:4] == ws[1:5]   # the rest of the ordering is unchanged
