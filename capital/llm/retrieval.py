@@ -113,13 +113,20 @@ def bm25_topk(
     )
 
     qdf = spark.createDataFrame(queries, ["query_id", "qtext"])
-    qterms = qdf.select(
-        "query_id",
-        F.explode(tokens(normalized(F.col("qtext")))).alias("token"),
+    # Query-term WEIGHTS, not a multiset: duplicate query terms become
+    # an exact integer qtf multiplying the score term. Equivalent
+    # semantics, but document-length query-by-example workloads were
+    # multiplying the scored relation ~14x through the join (1.66M vs
+    # ~0.3M rows into the decimal aggregate at sf0.1 — measured
+    # 3.3 -> 1.3 s on the hybrid query's lexical side).
+    qterms = (
+        qdf.select(
+            "query_id",
+            F.explode(tokens(normalized(F.col("qtext")))).alias("token"),
+        )
+        .groupBy("query_id", "token")
+        .agg(F.count(F.lit(1)).alias("qtf"))
     )
-    # Distinct token set for the corpus-side prune + df counting; the
-    # (query_id, token) multiset re-attaches afterwards so duplicate
-    # query terms weight the score without corrupting df.
     qtok = qterms.select("token").distinct()
 
     tfq = tf.join(F.broadcast(qtok), "token")
@@ -148,7 +155,7 @@ def bm25_topk(
     per_term = scored.select(
         "query_id",
         "doc_id",
-        (idf * tf_sat).alias("__s"),
+        (F.col("qtf") * (idf * tf_sat)).alias("__s"),
     )
     totals = per_term.groupBy("query_id", "doc_id").agg(
         decimal_sum(F.col("__s"), "bm25")

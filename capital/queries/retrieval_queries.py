@@ -42,9 +42,11 @@ _QTOKS = (
     oracle=f"""
     WITH q(query_id, qtext) AS (VALUES {_QVALUES}),
     qterms AS (
-      SELECT CAST(query_id AS BIGINT) AS query_id,
-             unnest({_QTOKS}) AS token
-      FROM q),
+      SELECT query_id, token, COUNT(*) AS qtf FROM (
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               unnest({_QTOKS}) AS token
+        FROM q)
+      GROUP BY query_id, token),
     qtok AS (SELECT DISTINCT token FROM qterms),
     tok AS (SELECT doc_id, unnest({_NTOKS}) AS token FROM documents),
     tf AS (SELECT doc_id, token, COUNT(*) AS tf
@@ -57,12 +59,12 @@ _QTOKS = (
     dfq AS (SELECT token, COUNT(*) AS dfc FROM tfq GROUP BY token),
     per AS (
       SELECT qt.query_id, tfq.doc_id,
-             (ln({_d(1.0)} + (sc.n_docs - dfq.dfc + {_d(0.5)})
+             qt.qtf * ((ln({_d(1.0)} + (sc.n_docs - dfq.dfc + {_d(0.5)})
                              / (dfq.dfc + {_d(0.5)})))
              * (tfq.tf * {_d(K1 + 1.0)}
                 / (tfq.tf + {_d(K1)}
                    * ({_d(1.0)} - {_d(B)}
-                      + {_d(B)} * dl.dl / sc.avgdl))) AS s
+                      + {_d(B)} * dl.dl / sc.avgdl)))) AS s
       FROM tfq
       JOIN dfq USING (token)
       JOIN qterms qt USING (token)
@@ -186,7 +188,9 @@ def _hybrid_oracle() -> str:
     WITH q AS (SELECT doc_id AS query_id, text AS qtext
                FROM documents WHERE doc_id < {_HYB_N}),
     qterms AS (
-      SELECT query_id, unnest({_QTOKS}) AS token FROM q),
+      SELECT query_id, token, COUNT(*) AS qtf FROM (
+        SELECT query_id, unnest({_QTOKS}) AS token FROM q)
+      GROUP BY query_id, token),
     qtok AS (SELECT DISTINCT token FROM qterms),
     tok AS (SELECT doc_id, unnest({_NTOKS}) AS token FROM documents),
     tf AS (SELECT doc_id, token, COUNT(*) AS tf
@@ -199,12 +203,12 @@ def _hybrid_oracle() -> str:
     dfq AS (SELECT token, COUNT(*) AS dfc FROM tfq GROUP BY token),
     per AS (
       SELECT qt.query_id, tfq.doc_id,
-             (ln({_d(1.0)} + (sc.n_docs - dfq.dfc + {_d(0.5)})
+             qt.qtf * ((ln({_d(1.0)} + (sc.n_docs - dfq.dfc + {_d(0.5)})
                              / (dfq.dfc + {_d(0.5)})))
              * (tfq.tf * {_d(K1 + 1.0)}
                 / (tfq.tf + {_d(K1)}
                    * ({_d(1.0)} - {_d(B)}
-                      + {_d(B)} * dl.dl / sc.avgdl))) AS s
+                      + {_d(B)} * dl.dl / sc.avgdl)))) AS s
       FROM tfq
       JOIN dfq USING (token)
       JOIN qterms qt USING (token)
