@@ -903,3 +903,113 @@ def cur_mi_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return mutual_information(d, "source", "lang")
+
+
+# --- cluster-balanced UniMax budgets (round 10) ----------------------------
+
+_CU_FRACTION = 0.9
+_CU_EPOCHS = 4.0
+
+
+def _cluster_unimax_oracle() -> str:
+    from capital.queries.llm_queries import (
+        _KM_ITERS,
+        _KM_K,
+        _NTOKS,
+        _km_dist,
+        _kmeans_cte_chain,
+    )
+
+    e = f"{_CU_EPOCHS!r}e0"
+    f_ = f"{_CU_FRACTION!r}e0"
+    last = f"c{_KM_ITERS}"
+    return rf"""
+    WITH {_kmeans_cte_chain(_KM_K, _KM_ITERS)},
+    sF AS MATERIALIZED (
+      SELECT emb.vec_id, {last}.cell, {_km_dist(f"{last}.c")} AS d
+      FROM emb CROSS JOIN {last}),
+    mF AS (SELECT vec_id, MIN(d) AS md FROM sF GROUP BY vec_id),
+    aF AS MATERIALIZED (
+      SELECT s.vec_id, MIN(s.cell) AS cell
+      FROM sF s JOIN mF m ON s.vec_id = m.vec_id AND s.d = m.md
+      GROUP BY s.vec_id),
+    per_cell AS (
+      SELECT a.cell, SUM(len({_NTOKS})) AS n_tokens
+      FROM documents JOIN aF a ON documents.doc_id = a.vec_id
+      GROUP BY a.cell),
+    st AS (
+      SELECT cell, n_tokens,
+             {e} * n_tokens AS capacity,
+             row_number() OVER w AS rn,
+             COALESCE(SUM(n_tokens) OVER (
+               w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS prefix_t,
+             COUNT(*) OVER () AS n_src,
+             SUM(n_tokens) OVER () AS total_t
+      FROM per_cell
+      WINDOW w AS (ORDER BY {e} * n_tokens ASC, cell ASC)),
+    cand_t AS (
+      SELECT *,
+             ({f_} * ({e} * total_t) - {e} * prefix_t)
+               / CAST(n_src - rn + 1 AS DOUBLE) AS cand
+      FROM st),
+    pv AS (
+      SELECT *, MIN(CASE WHEN cand <= capacity THEN rn END) OVER ()
+                  AS pivot_rn
+      FROM cand_t),
+    lv AS (
+      SELECT *,
+             CASE WHEN pivot_rn IS NULL OR rn < pivot_rn
+                  THEN capacity
+                  ELSE MAX(CASE WHEN rn = pivot_rn THEN cand END)
+                       OVER () END AS alloc
+      FROM pv)
+    SELECT CAST(cell AS INTEGER) AS cell,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           floor(capacity * 1e6 + 0.5e0) / 1e6 AS capacity,
+           floor(alloc * 1e6 + 0.5e0) / 1e6 AS alloc_tokens,
+           floor(alloc / n_tokens * 1e6 + 0.5e0) / 1e6 AS epochs_alloc,
+           alloc >= capacity AS saturated
+    FROM lv
+    """
+
+
+@query("cur_cluster_unimax", memoize=False, oracle=_cluster_unimax_oracle())
+def cur_cluster_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced UniMax: the water-filling budget allocation
+    run over SEMANTIC k-means cells instead of source labels — the
+    topic-rebalancing a source-agnostic crawl needs (a dominant topic
+    cluster is capped exactly like a dominant source). Composes the
+    deterministic Lloyd's clustering (sim_kmeans_cells) with
+    unimax_allocation through its non-default source_col path (the
+    round-10 advice fix, now oracle-covered)."""
+    from capital.llm.assemble import unimax_allocation
+    from capital.llm.kmeans import lloyd_kmeans
+    from capital.llm.text import tokens
+    from capital.queries.llm_queries import _KM_ITERS, _KM_K
+
+    d = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    assignments, _ = lloyd_kmeans(emb, k=_KM_K, iterations=_KM_ITERS)
+    per_cell = (
+        d.join(
+            assignments.select(F.col("vec_id").alias("doc_id"), "cell"),
+            "doc_id",
+        )
+        .groupBy("cell")
+        .agg(F.sum(F.size(tokens(F.col("text")))).alias("n_tokens"))
+    )
+    out = unimax_allocation(
+        per_cell,
+        budget_fraction=_CU_FRACTION,
+        epoch_cap=_CU_EPOCHS,
+        source_col="cell",
+    )
+    return out.select(
+        F.col("source").cast("int").alias("cell"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "capacity",
+        "alloc_tokens",
+        "epochs_alloc",
+        "saturated",
+    )
