@@ -344,7 +344,13 @@ def test_round9_new_ops_plan_shapes(spark, sf_dir):
     # Exactly the one deliberate fan-out exchange (RoundRobin), never
     # a hash/range exchange — the signals stay aggregation-free.
     # (formatted plans print each node twice: tree + detail section)
-    assert plan.count("REPARTITION_BY_NUM") == 1
+    # The memoized df may already have EXECUTED (oracle-parity tests
+    # share the (name, sf_dir) key), and explain() on an executed AQE
+    # frame prints final+initial plans (the repartition hint appears
+    # twice, `roundrobinpartitioning` not at all) — assert PRESENCE
+    # of the deliberate fan-out and ABSENCE of real shuffles, which
+    # holds in both plan states.
+    assert "REPARTITION_BY_NUM" in plan
     for shuffle_kind in ("hashpartitioning", "rangepartitioning", "SinglePartition"):
         assert shuffle_kind not in plan, shuffle_kind
     assert "EvalPython" not in plan
