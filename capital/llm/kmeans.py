@@ -103,26 +103,116 @@ def _mean_update(
     return nxt
 
 
+#: Literal-assignment budget: k centroid-distance folds of dim terms
+#: each ride the plan as literal arrays; past ~10⁴ literal terms the
+#: plan bloats toward the janino limit (the PQ lesson) and expression
+#: build time dominates. Beyond it, assignment goes through the Arrow
+#: GEMM kernel (`_assign_arrow`).
+MAX_LITERAL_TERMS = 10_000
+
+
+def _assign_arrow(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Large-k assignment kernel: one numpy GEMM per Arrow batch
+    against the broadcast centroid matrix — ``dist² = ‖v‖² − 2·v@Cᵀ +
+    ‖c‖²`` row-argmin (numpy argmin takes the FIRST minimum — the
+    same smallest-cell tie rule as the struct-sort path). The
+    SemDeDup-at-paper-scale regime (tens of thousands of clusters)
+    where k·dim literal expressions cannot ride the plan. Float sums
+    differ from the sequential fold in ulps, so this is the
+    throughput twin — the literal path stays the oracle-checked one;
+    equivalence on real data is pinned in tests/test_kmeans.py."""
+    import numpy as np
+    import pandas as pd  # noqa: F401 — pandas_udf type resolution
+
+    c_mat = [list(map(float, c)) for c in centroids]
+
+    def _assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        cm = np.asarray(c_mat, dtype="float64")          # k × dim
+        c_sq = (cm * cm).sum(axis=1)                     # k
+        for pdf in batches:
+            v = np.asarray(pdf[vec_col].tolist(), dtype="float64")
+            d2 = (
+                (v * v).sum(axis=1, keepdims=True)
+                - 2.0 * v @ cm.T
+                + c_sq[None, :]
+            )
+            best = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cell": best.astype("int32"),
+                    "__d2": d2[np.arange(len(best)), best],
+                    vec_col: pdf[vec_col],  # pass-through for the mean update
+                }
+            )
+
+    out_schema = (
+        f"{id_col} long, cell int, __d2 double, {vec_col} array<double>"
+    )
+    return vectors.select(id_col, vec_col).mapInPandas(
+        _assign, schema=out_schema
+    )
+
+
 def lloyd_kmeans(
     vectors: DataFrame,
     k: int = 8,
     iterations: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign: str = "auto",
 ) -> tuple[DataFrame, list[list[float]]]:
     """Run ``iterations`` deterministic Lloyd's rounds; returns
     ``(assignments, centroids)`` where ``assignments`` is the corpus
     labeled against the FINAL centroids — ``(id, cell, dist2)`` with
     ``dist2`` round6-stable — and ``centroids`` the trained k×dim
     table (plain lists, broadcastable as literals into
-    ``llm/ivf.assign_cells`` / ``write_ivf_index``)."""
+    ``llm/ivf.assign_cells`` / ``write_ivf_index``).
+
+    ``assign`` picks the per-round assignment kernel: ``"literal"``
+    (k distance folds as plan literals — the oracle-checked path),
+    ``"arrow"`` (numpy GEMM per Arrow batch — the large-k regime
+    where k·dim literals cannot ride the plan; SemDeDup's tens of
+    thousands of clusters), or ``"auto"`` (default): literal iff
+    ``k·dim ≤ MAX_LITERAL_TERMS``. Both kernels use the same
+    first-minimum tie rule; GEMM float sums differ from the
+    sequential fold in ulps, so cross-kernel assignment equality is
+    pinned on real data rather than guaranteed at ties
+    (tests/test_kmeans.py)."""
     from capital.llm.ivf import _dist2_to_center, assign_cells
     from capital.llm.text import round6_stable
 
+    if assign not in ("auto", "literal", "arrow"):
+        raise ValueError(f"lloyd_kmeans: unknown assign mode {assign!r}")
     cents = initial_centroids(vectors, k, id_col, vec_col)
+    dim = len(cents[0]) if cents else 0
+    use_arrow = assign == "arrow" or (
+        assign == "auto" and len(cents) * dim > MAX_LITERAL_TERMS
+    )
     for _ in range(int(iterations)):
-        assigned = assign_cells(vectors, cents, vec_col=vec_col)
+        if use_arrow:
+            assigned = _assign_arrow(vectors, cents, id_col, vec_col)
+        else:
+            assigned = assign_cells(vectors, cents, vec_col=vec_col)
         cents = _mean_update(assigned, cents, vec_col)
+    if use_arrow:
+        final = _assign_arrow(vectors, cents, id_col, vec_col)
+        return (
+            final.select(
+                F.col(id_col),
+                "cell",
+                round6_stable(F.col("__d2")).alias("dist2"),
+            ),
+            cents,
+        )
     # Final labeling in ONE pass: nearest (d, i) struct, ties to the
     # smallest cell index (sort_array lexicographic — the assign_cells
     # rule), distance surfaced instead of discarded.

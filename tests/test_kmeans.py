@@ -120,3 +120,48 @@ def test_semdedup_prunes_within_cell_only(spark):
     assert out[20].is_kept
     # everyone is labeled; kept set is exactly {0, 10, 20}
     assert {i for i, r in out.items() if r.is_kept} == {0, 10, 20}
+
+
+def test_kmeans_arrow_assignment_matches_literal(spark, sf_dir):
+    """The large-k Arrow GEMM assignment kernel must produce the same
+    clustering as the literal-expression path on the real corpus —
+    same cells for every vector, same final centroids (the mean
+    update runs on micro-unit integers either way), dist2 within
+    rounding of each other (GEMM reassociates the float sums)."""
+    from capital.io import load_table
+    from capital.llm.kmeans import lloyd_kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lit_out, lit_cents = lloyd_kmeans(emb, k=4, iterations=2, assign="literal")
+    arr_out, arr_cents = lloyd_kmeans(emb, k=4, iterations=2, assign="arrow")
+    assert lit_cents == arr_cents  # quantized means are exact
+    lit = {r.vec_id: (r.cell, r.dist2) for r in lit_out.collect()}
+    arr = {r.vec_id: (r.cell, r.dist2) for r in arr_out.collect()}
+    assert set(lit) == set(arr)
+    for vid in lit:
+        assert lit[vid][0] == arr[vid][0], vid
+        assert abs(lit[vid][1] - arr[vid][1]) <= 1e-6, vid
+
+
+def test_kmeans_auto_picks_arrow_past_literal_budget(spark):
+    """auto mode must route k·dim > MAX_LITERAL_TERMS through the
+    GEMM kernel (a plan with that many literal terms would bloat
+    toward the janino limit) — verified by plan shape: the arrow
+    path labels via MapInPandas, the literal path has no Python."""
+    import contextlib
+    import io
+
+    from capital.llm.kmeans import MAX_LITERAL_TERMS, lloyd_kmeans
+
+    dim = 32
+    n = (MAX_LITERAL_TERMS // dim) + 8  # k beyond the literal budget
+    rows = [(i, [float((i * 7 + j) % 13) for j in range(dim)])
+            for i in range(n + 4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out, cents = lloyd_kmeans(df, k=n, iterations=0, assign="auto")
+    assert len(cents) == n and n * dim > MAX_LITERAL_TERMS
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    assert "MapInPandas" in buf.getvalue()
+    assert out.count() == n + 4  # every vector labeled

@@ -79,6 +79,23 @@ def main() -> None:
     assert stats[2] <= sse0 + 1e-3 * n  # Lloyd's monotone (quantized)
     print("objective-monotone vs init: OK")
 
+    # Large-k regime (SemDeDup's thousands of clusters): auto mode
+    # routes k*dim > MAX_LITERAL_TERMS through the Arrow GEMM kernel.
+    K_BIG = 1024
+    t0 = time.monotonic()
+    out_b, _ = lloyd_kmeans(vecs, k=K_BIG, iterations=2, assign="auto")
+    stats_b = out_b.agg(
+        F.count(F.lit(1)), F.countDistinct("cell"), F.sum("dist2")
+    ).collect()[0]
+    dt_b = time.monotonic() - t0
+    print(
+        f"k={K_BIG} iters=2 (arrow GEMM): {dt_b:.1f} s "
+        f"({dt_b / 3:.1f} s per assignment round), "
+        f"{stats_b[1]:,} cells populated, SSE {stats_b[2]:,.0f}"
+    )
+    assert stats_b[0] == n
+    assert stats_b[2] < stats[2]  # finer quantizer, lower objective
+
 
 if __name__ == "__main__":
     main()
