@@ -1049,3 +1049,92 @@ def substring_dup_multiscale(
         )
         L *= 2
     return out
+
+
+def lsh_recall_probe(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sample_frac: float = 0.3,
+    seed: str = "lshprobe",
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    scope: CacheScope | None = None,
+) -> DataFrame:
+    """Candidate-recall monitor for a PRODUCTION LSH configuration
+    (round 10): "what recall is my banding actually achieving on my
+    corpus?" — the operational twin of the analytic 1−(1−s^r)^b
+    curve, which assumes uniform similarity and says nothing about a
+    real corpus's boilerplate/near-dup structure.
+
+    Method: a deterministic md5-fraction sample of documents gets an
+    EXACT ground truth (all-pairs Jaccard within the bounded sample —
+    :func:`jaccard_pairs`), the production banding runs over the FULL
+    corpus exactly as the pipeline does, and its candidate pairs are
+    restricted to the sample. One row out: sample size, truth pairs,
+    in-sample candidate pairs, hits, and candidate recall (null when
+    the sample holds no true pair — never NaN, the ks_terms rule).
+
+    Scale: truth is quadratic only in the SAMPLE (frac² of the pair
+    space — pick frac so sample_docs² fits one task group, or point
+    this at one partition of a stratified lake); the production side
+    is the usual O(docs × bands) band-key shuffle. Periodic probes of
+    a growing lake catch banding drift (e.g. shingle distribution
+    shifts pushing true pairs below the collision curve) before a
+    dedup run silently under-recalls.
+    """
+    from capital.llm.assemble import hash_fraction
+    from capital.llm.text import round6_stable
+    from capital.operators.caching import scoped_persist
+
+    sampled = scoped_persist(
+        df.filter(hash_fraction(F.col(id_col), seed) < sample_frac), scope
+    )
+    truth = scoped_persist(
+        jaccard_pairs(
+            sampled,
+            id_col=id_col,
+            text_col=text_col,
+            shingle_k=shingle_k,
+            threshold=threshold,
+            scope=scope,
+        ).select("id_a", "id_b"),
+        scope,
+    )
+    sigs = minhash_signatures(
+        df, id_col=id_col, text_col=text_col,
+        num_hashes=num_hashes, shingle_k=shingle_k,
+    )
+    cands = lsh_candidate_pairs(
+        sigs, id_col=id_col, bands=bands, rows_per_band=rows_per_band,
+        scope=scope,
+    )
+    sid = sampled.select(F.col(id_col))
+    in_sample = scoped_persist(
+        cands.select("id_a", "id_b")
+        .join(sid.withColumnRenamed(id_col, "id_a"), "id_a", "left_semi")
+        .join(sid.withColumnRenamed(id_col, "id_b"), "id_b", "left_semi"),
+        scope,
+    )
+    hits = truth.join(in_sample, ["id_a", "id_b"], "left_semi")
+    report = (
+        sampled.agg(F.count(F.lit(1)).alias("n_sample_docs"))
+        .crossJoin(truth.agg(F.count(F.lit(1)).alias("n_truth_pairs")))
+        .crossJoin(
+            in_sample.agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
+        )
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+    )
+    return report.select(
+        "n_sample_docs",
+        "n_truth_pairs",
+        "n_candidate_pairs",
+        "n_hits",
+        F.when(
+            F.col("n_truth_pairs") > 0,
+            round6_stable(F.col("n_hits") / F.col("n_truth_pairs")),
+        ).alias("recall"),
+    )

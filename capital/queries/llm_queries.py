@@ -2287,3 +2287,93 @@ def text_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return kneser_ney_logprob(d, discount=_KN_DISCOUNT)
+
+
+# --- LSH candidate-recall probe (round 10) --------------------------------
+
+_PROBE_FRAC = 0.3
+_PROBE_SEED = "lshprobe"
+_PROBE_THRESHOLD = 0.5
+
+
+def _lsh_recall_probe_oracle() -> str:
+    from capital.queries.assemble_queries import _u_sql
+
+    band_key = " || '|' || ".join(
+        f"sig[bi * {_MH_ROWS} + {r} + 1]" for r in range(_MH_ROWS)
+    )
+    return f"""
+    WITH samp AS MATERIALIZED (
+      SELECT doc_id, text FROM documents
+      WHERE {_u_sql(_PROBE_SEED)} < {_PROBE_FRAC!r}e0),
+    tsh AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            FOR i IN range(1, greatest(len(t) - 2, 1) + 1)]) AS s
+      FROM (SELECT doc_id, {_NTOKS} AS t FROM samp)),
+    truth AS MATERIALIZED (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM tsh a JOIN tsh b ON a.doc_id < b.doc_id
+      WHERE round(len(list_intersect(a.s, b.s))
+                  / greatest(len(a.s) + len(b.s)
+                             - len(list_intersect(a.s, b.s)), 1), 6)
+            >= {_PROBE_THRESHOLD}),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            FOR i IN range(1, greatest(len(t) - 2, 1) + 1)]) AS s
+      FROM (SELECT doc_id, {_NTOKS} AS t FROM documents)),
+    sig AS (
+      SELECT doc_id,
+             [list_sort([md5(CAST(h AS VARCHAR) || '|' || x) FOR x IN s])[1]
+              FOR h IN range(0, {_MH_HASHES})] AS sig
+      FROM sh),
+    banded AS MATERIALIZED (
+      SELECT doc_id, bi,
+             md5(CAST(bi AS VARCHAR) || '|' || {band_key}) AS band_key
+      FROM sig, (SELECT unnest(range(0, {_MH_BANDS})) AS bi)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    cs AS MATERIALIZED (
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN samp s1 ON c.id_a = s1.doc_id
+                  JOIN samp s2 ON c.id_b = s2.doc_id),
+    hits AS (SELECT t.id_a FROM truth t JOIN cs USING (id_a, id_b))
+    SELECT CAST((SELECT COUNT(*) FROM samp) AS BIGINT) AS n_sample_docs,
+           CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth_pairs,
+           CAST((SELECT COUNT(*) FROM cs) AS BIGINT) AS n_candidate_pairs,
+           CAST((SELECT COUNT(*) FROM hits) AS BIGINT) AS n_hits,
+           CASE WHEN (SELECT COUNT(*) FROM truth) > 0
+                THEN floor((SELECT COUNT(*) FROM hits)
+                           / (SELECT COUNT(*) FROM truth)
+                           * 1e6 + 0.5e0) / 1e6
+                END AS recall
+    """
+
+
+@query("mon_lsh_recall_probe", memoize=False, oracle=_lsh_recall_probe_oracle())
+def mon_lsh_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-recall probe for the production MinHash-LSH config
+    (llm/dedup.lsh_recall_probe): a deterministic md5-fraction sample
+    gets exact all-pairs Jaccard ground truth; the production banding
+    runs over the FULL corpus and its candidates are restricted to
+    the sample — one row of (sample size, truth pairs, in-sample
+    candidates, hits, recall). The operational answer to "is my
+    banding still recalling true pairs on THIS corpus" that the
+    analytic collision curve cannot give. memoize=False: probe
+    persists intermediates eagerly."""
+    from capital.llm.dedup import lsh_recall_probe
+
+    d = load_table(spark, sf_dir, "documents")
+    return lsh_recall_probe(
+        d,
+        sample_frac=_PROBE_FRAC,
+        seed=_PROBE_SEED,
+        num_hashes=_MH_HASHES,
+        bands=_MH_BANDS,
+        rows_per_band=_MH_ROWS,
+        shingle_k=3,
+        threshold=_PROBE_THRESHOLD,
+    )

@@ -549,3 +549,42 @@ def test_substring_multiscale_coverage_monotone_in_scale(spark, sf_dir):
         assert scales[8] >= scales[16] >= scales[32] >= scales[64], (
             doc_id, scales
         )
+
+
+def test_lsh_recall_probe_detects_under_recalling_banding(spark):
+    """The probe must REPORT what the banding misses: a true ~0.6-
+    Jaccard pair is found under a permissive banding (16 bands x 1
+    row: collision prob ≈ 1) and missed under a strict one (1 band x
+    16 rows: needs all 16 minhashes equal) — deterministic for the
+    fixed fixture (md5 hashing)."""
+    from capital.llm.dedup import lsh_recall_probe
+
+    shared = " ".join(f"s{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [
+            (1, f"{shared} a1 a2 a3 a4 a5 a6 a7 a8"),
+            (2, f"{shared} b1 b2 b3 b4 b5 b6 b7 b8"),
+            (3, "totally different content " + " ".join(
+                f"z{i}" for i in range(40))),
+        ],
+        "doc_id long, text string",
+    )
+    kw = dict(sample_frac=1.0, num_hashes=16, shingle_k=3, threshold=0.5)
+    permissive = lsh_recall_probe(df, bands=16, rows_per_band=1, **kw).collect()[0]
+    strict = lsh_recall_probe(df, bands=1, rows_per_band=16, **kw).collect()[0]
+    assert permissive.n_truth_pairs == strict.n_truth_pairs == 1
+    assert permissive.n_hits == 1 and permissive.recall == 1.0
+    assert strict.n_hits == 0 and strict.recall == 0.0
+
+
+def test_lsh_recall_probe_empty_truth_yields_null(spark):
+    """No true pair in the sample -> recall NULL, never NaN (the
+    ks_terms zero-side rule)."""
+    from capital.llm.dedup import lsh_recall_probe
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    r = lsh_recall_probe(df, sample_frac=1.0).collect()[0]
+    assert r.n_truth_pairs == 0 and r.recall is None
