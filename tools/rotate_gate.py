@@ -89,6 +89,12 @@ def plan_rotation(front: list[str] | None = None) -> list[str]:
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--front", nargs="*", default=[], help="names pinned to the window head")
+    ap.add_argument(
+        "--forecast",
+        action="store_true",
+        help="also print which queries become stale at the FOLLOWING "
+        "gate if this window runs green (round-planning aid)",
+    )
     args = ap.parse_args()
     top, latest = latest_green_rounds()
     window = plan_rotation(args.front)
@@ -99,6 +105,22 @@ def main() -> None:
         tag = f"r{ev}" if ev else "never"
         print(f'    "{name}",  # evidence: {tag}')
     print("]")
+    if args.forecast:
+        from capital.queries import all_oracles
+
+        nxt = dict(latest)
+        for name in window:
+            nxt[name] = top + 1  # assume this gate lands green
+        stale_next = sorted(
+            n for n in all_oracles()
+            if nxt.get(n, 0) <= (top + 1) - MAX_EVIDENCE_AGE
+        )
+        print(
+            f"# forecast: {len(stale_next)} queries MUST enter the "
+            f"round-{top + 2} window:"
+        )
+        for n in stale_next:
+            print(f"#   {n} (r{nxt.get(n, 0)})")
 
 
 if __name__ == "__main__":
