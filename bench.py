@@ -128,11 +128,14 @@ def headline_names(all_names) -> list[str]:
         # new queries are DuckDB floors or iterative-stage-floor
         # rows, dispositioned in BASELINE.md) ---
         "ts_regularize_ffill",
-        # --- added round 10 (anchors 0.79 / 21.0 s in BASELINE.md:
-        # multi-scale substring Merkle ladder + the degenerate-bucket
-        # multimodal near-dup pair join) ---
+        # --- added round 10 (anchors 0.79 / 21.0 / 52.1 s in
+        # BASELINE.md: multi-scale substring Merkle ladder, the
+        # degenerate-bucket multimodal near-dup pair join, and the
+        # LSH recall probe whose anchor IS the sampled brute-force
+        # truth + SQL banding chain) ---
         "dedup_substring_multiscale",
         "mm_neardup_pairs",
+        "mon_lsh_recall_probe",
     ]
     return [n for n in preferred if n in all_names] or sorted(all_names)[:8]
 
