@@ -501,15 +501,34 @@ def jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     scope: CacheScope | None = None,
+    chunk_target: int = 1024,
+    probe: bool = True,
+    total_rows_hint: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over all pairs of ``df``.
 
-    Quadratic — apply only to a blocked/bounded candidate set (LSH
-    buckets, a partition, or a sample). |A∩B| via array_intersect,
-    |A∪B| = |A|+|B|−|A∩B|.
+    Quadratic in rows — apply only to a blocked/bounded candidate set
+    (LSH buckets, a partition, or a sample). |A∩B| via
+    array_intersect, |A∪B| = |A|+|B|−|A∩B|.
+
+    Pair enumeration goes through
+    :func:`capital.operators.skew.chunked_pair_join` under one
+    constant block (round 11): a theta self-join (``a.id < b.id``)
+    plans as a BroadcastNestedLoopJoin whose per-task pair space is
+    unbounded in the input — fine for a 150-doc verification sample,
+    a scale hazard the moment a caller hands in a fat frame (the
+    round-10 recall-probe finding). Chunking bounds every task at
+    ~``chunk_target²`` comparisons regardless of input size; output
+    is identical (the chunked join's property-tested contract). Pass
+    ``total_rows_hint`` when the caller already counted (plain join
+    emitted with no probe job for small n), ``probe=False`` when the
+    input is KNOWN to exceed the target (one constant block is always
+    "skewed" — the probe's answer is pre-determined, so its eager
+    count job is pure cost).
     """
     from capital.io import parallelize_narrow
     from capital.operators.caching import scoped_persist
+    from capital.operators.skew import chunked_pair_join
 
     sh = df.select(
         F.col(id_col), shingles(F.col(text_col), shingle_k).alias("sh")
@@ -517,16 +536,22 @@ def jaccard_pairs(
     # Materialize shingle sets once; both sides of the pair join reuse
     # them instead of re-shingling per pair.
     sh = scoped_persist(parallelize_narrow(sh), scope)
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    pairs = chunked_pair_join(
+        sh.withColumn("__blk", F.lit(0)),
+        ["__blk"],
+        id_col,
+        payload_cols=["sh"],
+        chunk_target=chunk_target,
+        probe=probe,
+        total_rows_hint=total_rows_hint,
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
     jac = inter / F.greatest(union, F.lit(1))
     return (
-        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+        pairs.select(
+            "id_a",
+            "id_b",
             F.round(jac, 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -1063,6 +1088,8 @@ def lsh_recall_probe(
     shingle_k: int = 3,
     threshold: float = 0.5,
     scope: CacheScope | None = None,
+    max_sample_docs: int | None = 20_000,
+    truth_chunk_target: int = 256,
 ) -> DataFrame:
     """Candidate-recall monitor for a PRODUCTION LSH configuration
     (round 10): "what recall is my banding actually achieving on my
@@ -1078,13 +1105,24 @@ def lsh_recall_probe(
     in-sample candidate pairs, hits, and candidate recall (null when
     the sample holds no true pair — never NaN, the ks_terms rule).
 
-    Scale: truth is quadratic only in the SAMPLE (frac² of the pair
-    space — pick frac so sample_docs² fits one task group, or point
-    this at one partition of a stratified lake); the production side
-    is the usual O(docs × bands) band-key shuffle. Periodic probes of
-    a growing lake catch banding drift (e.g. shingle distribution
-    shifts pushing true pairs below the collision curve) before a
-    dedup run silently under-recalls.
+    Scale (round 11): the truth side is BOUNDED twice. (1)
+    ``max_sample_docs`` caps the sample in ROWS, not fraction — one
+    cheap count of the (persisted) sampled frame, and when it
+    overshoots the md5-fraction threshold is tightened to
+    ``sample_frac · max_sample_docs / n`` (the ``total_rows_hint``
+    precedent: derive a plan decision from a count the caller pays
+    once) — a deterministic subset of the original sample, so a
+    careless ``sample_frac=0.3`` against a 100 TB lake probes ~20k
+    docs, not 30 TB. (2) Truth pairs are enumerated through
+    :func:`chunked_pair_join` (via :func:`jaccard_pairs`
+    ``probe=False`` — a constant block is known-degenerate, the
+    probe's count job would re-answer the cap's count), so even a fat
+    sample is ≤ ``truth_chunk_target²`` comparisons per task, spread
+    over ~(n/target)²/2 tasks instead of one BNLJ task group. The
+    production side is the usual O(docs × bands) band-key shuffle.
+    Periodic probes of a growing lake catch banding drift (e.g.
+    shingle distribution shifts pushing true pairs below the
+    collision curve) before a dedup run silently under-recalls.
     """
     from capital.llm.assemble import hash_fraction
     from capital.llm.text import round6_stable
@@ -1093,6 +1131,12 @@ def lsh_recall_probe(
     sampled = scoped_persist(
         df.filter(hash_fraction(F.col(id_col), seed) < sample_frac), scope
     )
+    n_sample = sampled.count()
+    if max_sample_docs is not None and n_sample > max_sample_docs:
+        eff_frac = sample_frac * (float(max_sample_docs) / float(n_sample))
+        sampled = scoped_persist(
+            df.filter(hash_fraction(F.col(id_col), seed) < eff_frac), scope
+        )
     truth = scoped_persist(
         jaccard_pairs(
             sampled,
@@ -1101,6 +1145,8 @@ def lsh_recall_probe(
             shingle_k=shingle_k,
             threshold=threshold,
             scope=scope,
+            chunk_target=truth_chunk_target,
+            probe=False,
         ).select("id_a", "id_b"),
         scope,
     )

@@ -573,7 +573,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < _JACCARD_SAMPLE
     )
-    return jaccard_pairs(d, shingle_k=3, threshold=_JACCARD_THRESHOLD)
+    # doc_id < N bounds the frame at N rows — a static hint, so the
+    # plain pair join is emitted with no probe job (skew.plain_by_hint).
+    return jaccard_pairs(
+        d,
+        shingle_k=3,
+        threshold=_JACCARD_THRESHOLD,
+        total_rows_hint=_JACCARD_SAMPLE,
+    )
 
 
 def _clusters_oracle(table: str = "documents") -> str:

@@ -577,6 +577,81 @@ def test_lsh_recall_probe_detects_under_recalling_banding(spark):
     assert strict.n_hits == 0 and strict.recall == 0.0
 
 
+def test_jaccard_pairs_chunked_equals_plain(spark):
+    """Forcing the chunked pair enumeration (probe=False, tiny
+    chunk_target) must reproduce the plain pair join EXACTLY — the
+    round-11 bounded-truth path behind lsh_recall_probe."""
+    from capital.llm.dedup import jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"w{i % 4} common tokens here w{i % 4} tail{i % 3}")
+            for i in range(24)
+        ],
+        "doc_id long, text string",
+    )
+    plain = sorted(
+        tuple(r)
+        for r in jaccard_pairs(
+            docs, shingle_k=2, threshold=0.3, total_rows_hint=24
+        ).collect()
+    )
+    chunked = sorted(
+        tuple(r)
+        for r in jaccard_pairs(
+            docs, shingle_k=2, threshold=0.3, chunk_target=4, probe=False
+        ).collect()
+    )
+    assert plain == chunked and len(plain) > 0
+
+
+def test_jaccard_pairs_chunked_plan_is_task_bounded(spark):
+    """probe=False must plan the pair space as a hash equi-join over
+    chunk buckets — NOT an unbounded BroadcastNestedLoopJoin theta
+    join (the round-10 recall-probe scale hazard)."""
+    from capital.llm.dedup import jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"a b c d{i}") for i in range(10)], "doc_id long, text string"
+    )
+    plan = (
+        jaccard_pairs(docs, shingle_k=2, threshold=0.0, probe=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_recall_probe_caps_oversized_sample(spark):
+    """A deliberately-huge sample_frac must be capped in ROWS: the
+    md5-fraction threshold is tightened from a cheap count, so the
+    truth join's pair space is bounded no matter what frac the
+    caller passes (round-10 verdict finding #1)."""
+    from capital.llm.dedup import lsh_recall_probe
+
+    n = 400
+    df = spark.createDataFrame(
+        [(i, f"doc {i} filler tokens t{i % 7} t{i % 11} t{i % 13}")
+         for i in range(n)],
+        "doc_id long, text string",
+    )
+    r = lsh_recall_probe(
+        df, sample_frac=1.0, max_sample_docs=20, truth_chunk_target=8
+    ).collect()[0]
+    # md5 fractions are ~uniform: the tightened threshold 20/400 keeps
+    # ~20 docs (binomial sd ~4.4); 60 = +9 sd, deterministic fixture.
+    assert 0 < r.n_sample_docs < 60
+    # untriggered cap leaves the sample alone
+    full = lsh_recall_probe(
+        df, sample_frac=0.05, max_sample_docs=None
+    ).collect()[0]
+    capped_off = lsh_recall_probe(
+        df, sample_frac=0.05, max_sample_docs=10_000
+    ).collect()[0]
+    assert full.n_sample_docs == capped_off.n_sample_docs
+
+
 def test_lsh_recall_probe_empty_truth_yields_null(spark):
     """No true pair in the sample -> recall NULL, never NaN (the
     ks_terms zero-side rule)."""
