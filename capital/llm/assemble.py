@@ -205,6 +205,87 @@ def pack_chunks(
     )
 
 
+def pack_token_ids(
+    df: DataFrame,
+    seq_len: int,
+    ids_col: str = "token_ids",
+    partition_col: str = "source",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Pack token-ID sequences into fixed-length training chunks —
+    the id-level twin of :func:`pack_chunks` (which only *sizes*
+    chunks by a cost column). Documents are concatenated in
+    deterministic ``order_col`` order within each ``partition_col``
+    stream and cut every ``seq_len`` ids; a document crossing a cut
+    contributes a piece to each chunk it spans. Output: one row per
+    ``(partition, chunk_id)`` with the packed ``token_ids``
+    (``seq_len`` ids except the stream's final chunk), ``n_tokens``,
+    and ``n_docs`` — the document-boundary count (how many docs the
+    chunk draws from, the attention-mask/boundary information a
+    pretraining loader needs).
+
+    Shape: the window running-sum assigns each doc its exclusive
+    global offset (per-partition sort, parallel across partitions —
+    pre-bucket by (source, shard) at 100 TB, the pack_chunks note);
+    each doc then EXPLODES ONLY over the chunks it spans (≤
+    n_ids/seq_len + 1 slices, arrays stay packed — never a per-token
+    explode, so the shuffle moves doc-count×~2 array rows, not
+    corpus-token rows) and chunks reassemble with a bounded group
+    (≤ seq_len ids each). Offsets are exact longs (`div`, the
+    pack_chunks 2^53 discipline).
+    """
+    L = int(seq_len)
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n = F.size(F.col(ids_col)).cast("long")
+    prior = F.coalesce(
+        F.sum(F.size(F.col(ids_col))).over(w), F.lit(0)
+    ).cast("long")
+    spans = (
+        df.withColumn("__prior", prior)
+        .withColumn("__n", n)
+        .filter(F.col("__n") > 0)
+    )
+    first = F.expr(f"__prior div {L}")
+    last = F.expr(f"(__prior + __n - 1) div {L}")
+    ex = spans.select(
+        partition_col,
+        "__prior",
+        "__n",
+        F.col(ids_col).alias("__ids"),
+        F.explode(F.sequence(first, last)).alias("chunk_id"),
+    )
+    gs = F.greatest(F.col("__prior"), F.col("chunk_id") * L)
+    ge = F.least(F.col("__prior") + F.col("__n"), (F.col("chunk_id") + 1) * L)
+    piece = F.slice(
+        F.col("__ids"),
+        (gs - F.col("__prior") + 1).cast("int"),
+        (ge - gs).cast("int"),
+    )
+    return (
+        ex.select(
+            partition_col,
+            "chunk_id",
+            F.col("__prior"),
+            piece.alias("__piece"),
+        )
+        .groupBy(partition_col, "chunk_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__prior", "__piece"))),
+                    lambda s: s["__piece"],
+                )
+            ).alias("token_ids"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .withColumn("n_tokens", F.size("token_ids").cast("long"))
+    )
+
+
 def pack_chunk_stats(
     df: DataFrame,
     budget: int,

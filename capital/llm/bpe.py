@@ -51,7 +51,7 @@ operators (pass ``checkpoint_dir`` for reliable storage).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Symbol separator and end-of-word marker. Words containing either
@@ -356,4 +356,193 @@ def symbol_count(sym: Column) -> Column:
     BPE token count (end-of-word marker included, the convention)."""
     return F.size(
         F.filter(F.split(sym, r"\|"), lambda x: x != F.lit(""))
+    )
+
+
+def _syms(sym: Column) -> Column:
+    """Delimited symbol string → symbol array (drops the empty
+    fragments the double separators produce)."""
+    return F.filter(F.split(sym, r"\|"), lambda x: x != F.lit(""))
+
+
+def apply_merges(
+    words: DataFrame,
+    rules: list[dict],
+    word_col: str = "word",
+    checkpoint_dir: str | None = None,
+    batch: int = 48,
+) -> DataFrame:
+    """Apply a trained merge table to NEW words: sequential in-order
+    replace over the delimited symbol string — the exact semantics of
+    training's merge step, so ``apply_merges(word_counts(corpus),
+    rules)`` reproduces training's ``final_state`` syms bit-for-bit
+    on the training corpus (property-tested) and extends the
+    tokenizer to out-of-vocabulary words of a new corpus.
+
+    Replaces are chained ``batch`` rules at a time with a
+    localCheckpoint barrier between batches: one projection holding
+    thousands of nested ``replace`` calls exceeds janino's 64 KB
+    generated-method limit and silently falls back to interpreted
+    evaluation (the round-6 PQ finding) — 48 stays comfortably
+    codegen'd. Cost is K/batch narrow passes over the *distinct
+    words* (vocabulary-sized), never the corpus.
+    """
+    from capital.io import plan_checkpointer
+
+    ckpt = plan_checkpointer(words.sparkSession, checkpoint_dir)
+    out = words.withColumn("sym", sym_init(F.col(word_col)))
+    for i in range(0, len(rules), batch):
+        col = F.col("sym")
+        for r in rules[i : i + batch]:
+            col = F.replace(
+                col,
+                F.lit(f"{SEP}{r['lhs']}{SEP}{SEP}{r['rhs']}{SEP}"),
+                F.lit(f"{SEP}{r['merged']}{SEP}"),
+            )
+        out = out.withColumn("sym", col)
+        if i + batch < len(rules):
+            out = ckpt(out)
+    return out
+
+
+def bpe_vocab(rules: list[dict], state: DataFrame) -> DataFrame:
+    """The trained tokenizer's id table: ``(token, token_id)``.
+
+    Ids are assigned the standard way — the base alphabet (every
+    character occurring in the training vocabulary, plus the
+    end-of-word marker) sorted lexicographically gets ids ``0..B-1``,
+    then each merge rule's ``merged`` symbol gets ``B + step - 1``.
+    Two different merges can produce the same surface string
+    (``a+bc`` and ``ab+c`` both yield ``abc``); the table keeps the
+    MIN id per token so symbol → id is a function (both the encode
+    join and the oracle apply the same rule).
+
+    The global row_number window runs on ONE task — fine: the
+    alphabet is charset-bounded (hundreds of rows), the same bounded-
+    metadata posture as the per-step winner collect.
+    """
+    spark = state.sparkSession
+    chars = (
+        state.select(F.explode(F.split(F.col("word"), "")).alias("token"))
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    alpha = chars.unionByName(
+        spark.createDataFrame([(EOW,)], "token string")
+    ).distinct()
+    base = alpha.withColumn(
+        "token_id",
+        (F.row_number().over(Window.orderBy("token")) - 1).cast("int"),
+    )
+    n_base = base.agg(F.count(F.lit(1)).alias("__b"))
+    merged = spark.createDataFrame(
+        [(r["step"], r["merged"]) for r in rules], "step int, token string"
+    )
+    merged_ids = merged.crossJoin(n_base).select(
+        "token",
+        (F.col("__b") + F.col("step") - 1).cast("int").alias("token_id"),
+    )
+    return (
+        base.unionByName(merged_ids)
+        .groupBy("token")
+        .agg(F.min("token_id").alias("token_id"))
+    )
+
+
+def word_token_ids(state: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Vocabulary → per-word token-id sequence ``(word, wids
+    array<int>)``: split each word's merged symbol string, join
+    symbols against the id table, reassemble in symbol order. Total
+    by construction — every final symbol is either a training-
+    alphabet character or a merge rule's output, both in ``vocab``.
+
+    This is the "reduce to a small model, then apply" pass: the
+    per-word merge walk happens once per DISTINCT word; encoding
+    100 TB of documents is then one join against this table.
+    """
+    wsym = state.select(
+        F.col("word"),
+        F.posexplode(_syms(F.col("sym"))).alias("spos", "token"),
+    )
+    return (
+        wsym.join(vocab, "token")
+        .groupBy("word")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("spos", "token_id"))),
+                lambda s: s["token_id"],
+            ).alias("wids")
+        )
+    )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    rules: list[dict],
+    state: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize documents to BPE token-ID sequences: ``(id_col,
+    token_ids array<int>)`` — the training-ready form the packing
+    stage consumes (completes tokenize → pack; round-10 verdict #1).
+
+    ``state`` must cover the corpus vocabulary: pass training's
+    ``final_state`` when encoding the training corpus, or
+    ``apply_merges(word_counts(new_corpus), rules)`` for a new one.
+    Words containing separator/marker characters are dropped (the
+    module's training contract, applied symmetrically); words absent
+    from ``state`` are dropped by the inner join — cover the
+    vocabulary rather than relying on that.
+
+    Shape: corpus → posexplode words (the token-count pass the
+    engine already does) → join the vocabulary-sized ``(word, wids)``
+    table → per-doc ordered flatten. One shuffle for the join, one
+    for the group-by; the per-row array_sort/flatten is linear in
+    the document's token count (no quadratic HOF).
+    """
+    from capital.llm.text import tokens
+
+    vocab = bpe_vocab(rules, state)
+    wids = word_token_ids(state, vocab)
+    tk = docs.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("wpos", "word"),
+    ).filter(~F.col("word").rlike(_BAD_WORD_RE))
+    return (
+        tk.join(wids, "word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("wpos", "wids"))),
+                    lambda s: s["wids"],
+                )
+            ).alias("token_ids")
+        )
+    )
+
+
+def bpe_decode(
+    encoded: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    ids_col: str = "token_ids",
+) -> DataFrame:
+    """Token-id sequences back to whitespace-normalized text (the
+    round-trip check: ``decode(encode(x))`` equals x's clean
+    pretokens joined by single spaces). Inverse join of
+    :func:`bpe_encode`; end-of-word markers become spaces."""
+    ex = encoded.select(
+        F.col(id_col), F.posexplode(F.col(ids_col)).alias("tpos", "token_id")
+    ).join(vocab, "token_id")
+    joined = F.concat_ws(
+        "",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("tpos", "token"))),
+            lambda s: s["token"],
+        ),
+    )
+    return ex.groupBy(id_col).agg(
+        F.trim(F.replace(joined, F.lit(EOW), F.lit(" "))).alias("text")
     )

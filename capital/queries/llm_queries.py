@@ -2246,6 +2246,164 @@ def llm_bpe_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Chunk length for id-level sequence packing (training seq_len).
+_BPE_SEQ_LEN = 64
+
+
+def _bpe_encode_ctes() -> str:
+    r"""Shared oracle suffix for the encode-to-ids queries: after the
+    K-step training chain, build the id table (sorted base alphabet
+    then merges in step order, MIN id on surface collisions), map
+    each final-state word to its ordered id list, and assemble each
+    document's id stream in word order. Mirrors llm/bpe.bpe_vocab /
+    word_token_ids / bpe_encode constant-for-constant."""
+    merge_rows = "\n        UNION ALL ".join(
+        f"SELECT {i} AS mstep, (SELECT lhs FROM t{i}) || (SELECT rhs FROM t{i}) AS mtok"
+        for i in range(1, _BPE_K + 1)
+    )
+    return rf"""alpha AS MATERIALIZED (
+      SELECT DISTINCT ch AS tok FROM (
+        SELECT unnest(string_split(word, '')) AS ch FROM wc)
+      WHERE ch <> ''
+      UNION SELECT '</w>'),
+    vbase AS MATERIALIZED (
+      SELECT tok, CAST(row_number() OVER (ORDER BY tok) - 1 AS INT)
+               AS tid
+      FROM alpha),
+    mt AS ({merge_rows}),
+    vocab AS MATERIALIZED (
+      SELECT tok, MIN(tid) AS tid FROM (
+        SELECT tok, tid FROM vbase
+        UNION ALL
+        SELECT mtok AS tok,
+               CAST((SELECT COUNT(*) FROM vbase) + mstep - 1 AS INT)
+                 AS tid
+        FROM mt)
+      GROUP BY tok),
+    wsym AS MATERIALIZED (
+      SELECT word, j AS spos, syms[j] AS stok
+      FROM (SELECT word,
+                   list_filter(string_split(sym, '|'), x -> x <> '')
+                     AS syms
+            FROM w{_BPE_K}),
+           unnest(range(1, len(syms) + 1)) AS u(j)),
+    wids AS MATERIALIZED (
+      SELECT word, list(tid ORDER BY spos) AS widlist
+      FROM wsym JOIN vocab ON wsym.stok = vocab.tok
+      GROUP BY word),
+    tkp AS (
+      SELECT doc_id, i AS wpos, toks[i] AS word
+      FROM (SELECT doc_id,
+                   string_split_regex(trim(text), '\s+') AS toks
+            FROM documents),
+           unnest(range(1, len(toks) + 1)) AS u(i)
+      WHERE NOT regexp_matches(toks[i], '[|<>]')),
+    enc AS MATERIALIZED (
+      SELECT doc_id, flatten(list(widlist ORDER BY wpos)) AS idseq
+      FROM tkp JOIN wids USING (word)
+      GROUP BY doc_id)"""
+
+
+def _bpe_encode_oracle() -> str:
+    return f"""
+    WITH {_bpe_cte_chain(_BPE_K)},
+    {_bpe_encode_ctes()}
+    SELECT doc_id, CAST(len(idseq) AS BIGINT) AS n_tokens,
+           COALESCE(array_to_string(idseq, ' '), '') AS ids_str
+    FROM enc
+    """
+
+
+@query("llm_bpe_encode_ids", memoize=False, oracle=_bpe_encode_oracle())
+def llm_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize documents to BPE token-ID sequences (llm/bpe.
+    bpe_encode): train K=8 merges, assign ids (sorted base alphabet
+    then merges in step order), map each vocabulary word to its id
+    list ONCE, and reassemble per-document id streams with one join —
+    the training-ready encode pass that completes tokenize → pack
+    (ids stringified for the atomic-column driver compare).
+    memoize=False: trains in-call."""
+    from capital.llm.bpe import bpe_encode, bpe_train, word_counts
+
+    d = load_table(spark, sf_dir, "documents")
+    rules, state = bpe_train(word_counts(d), merges=_BPE_K)
+    enc = bpe_encode(d, rules, state)
+    return enc.select(
+        "doc_id",
+        F.size("token_ids").cast("long").alias("n_tokens"),
+        F.coalesce(
+            F.array_join(F.col("token_ids").cast("array<string>"), " "),
+            F.lit(""),
+        ).alias("ids_str"),
+    )
+
+
+def _pack_token_ids_oracle() -> str:
+    seq = _BPE_SEQ_LEN
+    return f"""
+    WITH {_bpe_cte_chain(_BPE_K)},
+    {_bpe_encode_ctes()},
+    encs AS MATERIALIZED (
+      SELECT d.source AS source, e.doc_id AS doc_id, e.idseq AS idseq
+      FROM enc e JOIN documents d USING (doc_id)),
+    sp AS MATERIALIZED (
+      SELECT source, doc_id, idseq,
+             -- SUM over a window is HUGEINT in DuckDB; range()/'//'
+             -- need BIGINT
+             CAST(COALESCE(SUM(len(idseq)) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS prior
+      FROM encs WHERE len(idseq) > 0),
+    pieces AS MATERIALIZED (
+      SELECT source, c AS cid, prior,
+             idseq[(greatest(prior, c * {seq}) - prior + 1):
+                   (least(prior + len(idseq), (c + 1) * {seq}) - prior)]
+               AS piece
+      FROM sp,
+           unnest(range(prior // {seq},
+                        (prior + len(idseq) - 1) // {seq} + 1)) AS u(c))
+    SELECT source, CAST(cid AS BIGINT) AS chunk_id,
+           CAST(len(flatten(list(piece ORDER BY prior))) AS BIGINT)
+             AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           COALESCE(array_to_string(
+             flatten(list(piece ORDER BY prior)), ' '), '') AS ids_str
+    FROM pieces
+    GROUP BY source, cid
+    """
+
+
+@query("asm_pack_token_ids", memoize=False, oracle=_pack_token_ids_oracle())
+def asm_pack_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Id-level sequence packing (llm/assemble.pack_token_ids): the
+    K=8-merge BPE encode feeds fixed-length training chunks — docs
+    concatenate in doc_id order per source stream, cut every
+    {seq_len} ids, pieces reassemble per chunk with the document-
+    boundary count. Completes the tokenize → pack production path:
+    pack_chunks sizes chunks by cost, this emits the actual packed
+    id arrays. memoize=False: trains in-call."""
+    from capital.llm.assemble import pack_token_ids
+    from capital.llm.bpe import bpe_encode, bpe_train, word_counts
+
+    d = load_table(spark, sf_dir, "documents")
+    rules, state = bpe_train(word_counts(d), merges=_BPE_K)
+    enc = bpe_encode(d, rules, state).join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    packed = pack_token_ids(enc, seq_len=_BPE_SEQ_LEN)
+    return packed.select(
+        "source",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "n_tokens",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.coalesce(
+            F.array_join(F.col("token_ids").cast("array<string>"), " "),
+            F.lit(""),
+        ).alias("ids_str"),
+    )
+
+
 # --- Kneser-Ney smoothed bigram LM ---------------------------------------
 
 #: Absolute discount shared with the oracle (exactly representable:

@@ -141,3 +141,96 @@ def test_bpe_unknown_mode_raises(spark):
 def test_sym_init_shape(spark):
     row = spark.range(1).select(sym_init(F.lit("ab")).alias("s")).collect()
     assert row[0].s == "||a||b||</w>||"
+
+
+def test_apply_merges_reproduces_training_state(spark, sf_dir):
+    """apply_merges over the corpus vocabulary must equal training's
+    final_state syms bit-for-bit — the OOV path shares the training
+    semantics (sequential in-order replace)."""
+    from capital.io import load_table
+    from capital.llm.bpe import apply_merges
+
+    d = load_table(spark, sf_dir, "documents")
+    wc = word_counts(d)
+    rules, state = bpe_train(wc, merges=12)
+    applied = apply_merges(wc, rules, batch=5)  # force batch barriers
+    got = {r.word: r.sym for r in applied.collect()}
+    want = {r.word: r.sym for r in state.collect()}
+    assert got == want and len(want) > 0
+
+
+def test_bpe_vocab_ids_dense_and_collision_min(spark):
+    """Base alphabet sorted first, merges appended in step order;
+    a merged token colliding with an earlier surface keeps MIN id."""
+    from capital.llm.bpe import bpe_vocab
+
+    vocab = {"aab": 4, "ab": 3}
+    rules, state = bpe_train(_vocab(spark, vocab), merges=3)
+    v = {r.token: r.token_id for r in bpe_vocab(rules, state).collect()}
+    # alphabet: '</w>' < 'a' < 'b'
+    assert v[EOW] == 0 and v["a"] == 1 and v["b"] == 2
+    # every merged surface has an id >= base size or collided to min
+    for i, r in enumerate(rules):
+        assert r["merged"] in v
+        assert v[r["merged"]] <= 3 + i
+
+
+def test_bpe_encode_decode_roundtrip(spark, sf_dir):
+    """decode(encode(x)) == x's clean pretokens joined by single
+    spaces — the id table and per-word id sequences are lossless."""
+    from capital.io import load_table
+    from capital.llm.bpe import bpe_decode, bpe_encode, bpe_vocab
+    from capital.llm.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    rules, state = bpe_train(word_counts(d), merges=8)
+    enc = bpe_encode(d, rules, state)
+    dec = bpe_decode(enc, bpe_vocab(rules, state))
+    got = {r.doc_id: r.text for r in dec.collect()}
+    want = {
+        r.doc_id: r.t
+        for r in d.select(
+            "doc_id",
+            F.array_join(
+                F.filter(
+                    tokens(F.col("text")),
+                    lambda x: ~x.rlike("[|<>]"),
+                ),
+                " ",
+            ).alias("t"),
+        ).collect()
+        if r.t  # docs with zero clean words drop out of encode
+    }
+    assert got == want and len(got) > 0
+
+
+def test_pack_token_ids_reassembles_stream_exactly(spark):
+    """Chunks must re-concatenate to the exact per-partition id
+    stream: seq_len-sized chunks (short final), document pieces in
+    order, and n_docs counts the docs each chunk draws from."""
+    from capital.llm.assemble import pack_token_ids
+
+    rows = [
+        ("s1", 1, list(range(0, 5))),
+        ("s1", 2, list(range(5, 12))),
+        ("s1", 3, []),  # empty doc contributes nothing
+        ("s1", 4, list(range(12, 14))),
+        ("s2", 5, list(range(100, 103))),
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, doc_id long, token_ids array<int>"
+    )
+    out = pack_token_ids(df, seq_len=4).collect()
+    chunks = {(r.source, r.chunk_id): r for r in out}
+    s1 = [
+        chunks[("s1", c)].token_ids
+        for c in sorted(c for s, c in chunks if s == "s1")
+    ]
+    assert [len(x) for x in s1] == [4, 4, 4, 2]
+    flat = [i for ch in s1 for i in ch]
+    assert flat == list(range(14))
+    # doc 1 spans chunks 0-1, doc 2 spans 1-2, doc 4 spans 3
+    assert chunks[("s1", 0)].n_docs == 1
+    assert chunks[("s1", 1)].n_docs == 2
+    assert chunks[("s1", 3)].n_docs == 1
+    assert chunks[("s2", 0)].token_ids == [100, 101, 102]
