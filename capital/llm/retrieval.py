@@ -19,8 +19,10 @@ Shape (all Catalyst, no Python in the hot path):
 3. document frequencies ``df`` aggregate over the *pruned* relation
    (only query terms — correct because df counts docs per term, and
    pruning drops whole terms, never docs within a kept term);
-4. doc lengths reuse the tf aggregate (groupBy on a key subset — no
-   extra exchange); ``N``/``avgdl`` are a broadcast scalar;
+4. doc length is a NARROW per-doc property (token count) carried
+   through the tf groupBy as a functionally-dependent key — no dl
+   aggregation, no doc_id join-back; ``N``/``avgdl`` are a broadcast
+   scalar straight off the corpus scan;
 5. per-term partial scores sum per (query, doc) as DECIMAL(28,6)
    (order-independent float parity — the repo's never-SUM-raw-doubles
    discipline), then a per-query top-k window.
@@ -98,18 +100,29 @@ def bm25_topk(
         queries = BM25_QUERIES
     spark = docs.sparkSession
 
-    toks = parallelize_narrow(docs).select(
+    # dl is a NARROW per-doc property (total token count == the sum
+    # of its tf values), so it rides the explode and the tf groupBy
+    # as a functionally-dependent grouping key — no dl re-aggregation
+    # of tf and no doc_id join-back (round 11: the hybrid query's ~8
+    # sequential lexical stages each paid the local stage floor; this
+    # removes the dl shuffle AND the dl join exchange). Corpus
+    # scalars likewise come straight off the corpus scan, not the tf
+    # lineage.
+    narrow = parallelize_narrow(docs)
+    toks = narrow.select(
         F.col(id_col).alias("doc_id"),
+        F.size(tokens(normalized(F.col(text_col)))).alias("dl"),
         F.explode(tokens(normalized(F.col(text_col)))).alias("token"),
     )
-    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-
-    # Doc lengths + corpus scalars from the tf aggregate (subset-key
-    # groupBy — no extra exchange vs re-scanning the corpus).
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    scalars = dl.agg(
+    tf = toks.groupBy("doc_id", "dl", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    scalars = narrow.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        (
+            F.sum(F.size(tokens(normalized(F.col(text_col))))).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
     )
 
     qdf = spark.createDataFrame(queries, ["query_id", "qtext"])
@@ -135,7 +148,6 @@ def bm25_topk(
     scored = (
         tfq.join(F.broadcast(dfreq), "token")
         .join(F.broadcast(qterms), "token")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(scalars))
     )
     idf = F.log(

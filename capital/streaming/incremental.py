@@ -769,3 +769,177 @@ def kmeans_state_centroids(
     for r in rows:
         nxt[r["cell"]][r["__i"]] = r["m"]
     return nxt
+
+
+def semdedup_write_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    centroids: list[list[float]],
+    members_dir: str,
+    flags_dir: str,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """One micro-batch of the incremental SemDeDup probe (the body of
+    :func:`incremental_semdedup_run`, module-level so a replayed batch
+    is directly testable): label the batch against the FROZEN
+    centroids, flag each vector against its cell's stored members
+    (``batch_id < N`` only) plus its smaller-id batchmates, write
+    flags and members as ``batch_id=`` dynamic-overwrite partitions.
+    Idempotent given the durable state: a replay reads the same prior
+    members and rewrites its own partitions to the same bytes."""
+    from pyspark.errors import AnalysisException
+
+    from capital.llm.ivf import assign_cells
+    from capital.llm.similarity import _norm, cosine_with_norms
+    from capital.operators.skew import chunked_pair_join
+
+    labeled = assign_cells(batch_df, centroids, vec_col=vec_col).select(
+        F.col(id_col),
+        "cell",
+        F.col(vec_col),
+        _norm(F.col(vec_col)).alias("nrm"),
+    ).localCheckpoint(eager=True)  # consumed 3x below
+    # Missing member dir = first batch; any other read failure must
+    # propagate (the Bloom-run contract: silently scoring against an
+    # empty store emits wrong keep flags, no error).
+    try:
+        prior = spark.read.parquet(members_dir).filter(
+            F.col("batch_id") < batch_id
+        )
+    except AnalysisException:  # PATH_NOT_FOUND: no members yet
+        prior = spark.createDataFrame(
+            [],
+            labeled.withColumn("batch_id", F.lit(0)).schema,
+        )
+    hist_hits = (
+        labeled.alias("b")
+        .join(prior.alias("h"), "cell")
+        .filter(
+            cosine_with_norms(
+                F.col(f"b.{vec_col}"), F.col(f"h.{vec_col}"),
+                F.col("b.nrm"), F.col("h.nrm"),
+            )
+            >= threshold
+        )
+        .select(
+            F.col(f"b.{id_col}").alias(id_col),
+            F.col(f"h.{id_col}").alias("hit_id"),
+        )
+    )
+    intra_pairs = chunked_pair_join(
+        labeled, ["cell"], id_col, payload_cols=[vec_col, "nrm"]
+    )
+    intra_hits = (
+        intra_pairs.filter(
+            cosine_with_norms(
+                F.col(f"{vec_col}_a"), F.col(f"{vec_col}_b"),
+                F.col("nrm_a"), F.col("nrm_b"),
+            )
+            >= threshold
+        )
+        .select(F.col("id_b").alias(id_col), F.col("id_a").alias("hit_id"))
+    )
+    hits = (
+        hist_hits.unionByName(intra_hits)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.min("hit_id").alias("first_hit_id"),
+        )
+    )
+    flags = (
+        labeled.select(id_col, "cell")
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            "cell",
+            F.col("n_hits").isNull().alias("is_kept"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            "first_hit_id",
+        )
+        .withColumn("batch_id", F.lit(batch_id))
+    )
+    flags.write.mode("overwrite").partitionBy("batch_id").option(
+        "partitionOverwriteMode", "dynamic"
+    ).parquet(flags_dir)
+    members = labeled.withColumn("batch_id", F.lit(batch_id))
+    members.write.mode("overwrite").partitionBy("batch_id").option(
+        "partitionOverwriteMode", "dynamic"
+    ).parquet(members_dir)
+
+
+def incremental_semdedup_run(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    centroids: list[list[float]],
+    members_dir: str,
+    flags_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Incremental SemDeDup (round 11): keep a growing embedding lake
+    semantically deduplicated without re-scanning history — the
+    streaming member of the ``llm/kmeans.semdedup_flags`` family,
+    composing the frozen-centroid assignment of
+    :func:`incremental_kmeans_run` with the stored-index probe shape
+    of ``llm/dedup.incremental_neardup_flags``.
+
+    Per micro-batch, with the trained centroids FROZEN as broadcast
+    literals:
+
+    - new vectors are labeled with their nearest cell (the exact
+      ``llm/ivf.assign_cells`` expression) and their norms
+      precomputed once (the round-4 keying rule);
+    - each batch vector is flagged against (a) its cell's STORED
+      members — prior batches only, ``batch_id < N`` partition
+      pruning, the Bloom-run replay discipline — and (b) its cell's
+      SMALLER-ID batchmates (through ``chunked_pair_join``, so a
+      degenerate within-batch cell stays task-bounded);
+    - flags land as ``batch_id=`` partitions (dynamic overwrite) and
+      the batch's labeled vectors append to the member store the
+      same way, so a replayed batch scores against exactly the same
+      prior state and rewrites its own partitions to the same bytes.
+
+    With id-ordered arrival (ingest order — the streaming analogue of
+    the batch operator's min-id-wins rule) the accumulated flags
+    equal ``semdedup_flags`` run over everything at once
+    (stream-vs-batch tested); the batch twin ``dedup_semdedup_prune``
+    carries the oracle. ALL vectors join the member store, kept or
+    not — the batch rule drops v when ANY smaller-id u collides,
+    including an u that was itself dropped (near-dup is not
+    transitive; storing only keepers would diverge).
+
+    Scale: the history probe is a (batch × members) equi-join on
+    ``cell`` — per-cell cost is batch-occupancy × member-occupancy,
+    the same pair space the batch operator pays, amortized over
+    batches; AQE's skew split bounds per-task INPUT, and a
+    boilerplate-hot cell's pair OUTPUT is bounded by bucketing the
+    member store on (cell, member-chunk) — at lake scale partition
+    ``members_dir`` by cell (on top of the batch_id replay
+    partitioning) so the probe prunes to the batch's cells.
+    """
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        semdedup_write_batch(
+            spark, batch_df, batch_id, centroids,
+            members_dir, flags_dir, threshold, id_col, vec_col,
+        )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return (
+        reader.format(fmt)
+        .load(source_dir)
+        .writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -670,3 +670,79 @@ def test_incremental_kmeans_stream_matches_batch(spark, sf_dir, tmp_path):
         "partitionOverwriteMode", "dynamic"
     ).parquet(state)
     assert kmeans_state_centroids(spark, state, cents) == full
+
+
+def test_incremental_semdedup_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Round-11 streaming SemDeDup: id-ordered micro-batches scored
+    against the stored member index (prior batches only) plus
+    smaller-id batchmates must reproduce the batch operator's
+    min-id-wins keep flags over everything at once; and directly
+    replaying a batch (the crash-between-sink-and-checkpoint case)
+    must rewrite its flags and members to the same rows."""
+    from capital.llm.kmeans import lloyd_kmeans, semdedup_flags
+    from capital.streaming.incremental import (
+        incremental_semdedup_run,
+        semdedup_write_batch,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    schema = emb.schema
+    _, cents = lloyd_kmeans(emb, k=4, iterations=1)
+    mid = emb.approxQuantile("vec_id", [0.5], 0.0)[0]
+
+    src = str(tmp_path / "src")
+    members = str(tmp_path / "members")
+    flags_dir = str(tmp_path / "flags")
+    ckpt = str(tmp_path / "ckpt")
+    # id-ordered arrival: batch 1 = low ids, batch 2 = high ids
+    emb.filter(F.col("vec_id") <= mid).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    emb.filter(F.col("vec_id") > mid).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = incremental_semdedup_run(
+        spark, src, schema, cents, members, flags_dir, ckpt,
+        threshold=0.35, max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+
+    streamed = {
+        r.vec_id: (r.cell, r.is_kept)
+        for r in spark.read.parquet(flags_dir).collect()
+    }
+    batch = {
+        r.vec_id: (r.cell, r.is_kept)
+        for r in semdedup_flags(
+            emb, k=4, iterations=1, threshold=0.35
+        ).collect()
+    }
+    assert streamed == batch and len(batch) > 0
+    assert any(not kept for _, kept in batch.values())  # real drops
+    assert any(kept for _, kept in batch.values())
+
+    # Replay the LAST batch directly: same prior state (batch_id < N
+    # partition pruning), dynamic overwrite -> identical rows after.
+    before_flags = sorted(
+        map(tuple, spark.read.parquet(flags_dir).collect())
+    )
+    before_members = sorted(
+        map(tuple, spark.read.parquet(members).drop("embedding").collect())
+    )
+    bids = sorted(
+        r[0]
+        for r in spark.read.parquet(flags_dir)
+        .select("batch_id").distinct().collect()
+    )
+    assert len(bids) == 2
+    replay_src = emb.filter(F.col("vec_id") > mid)
+    semdedup_write_batch(
+        spark, replay_src, bids[-1], cents, members, flags_dir,
+        threshold=0.35,
+    )
+    assert sorted(
+        map(tuple, spark.read.parquet(flags_dir).collect())
+    ) == before_flags
+    assert sorted(
+        map(tuple, spark.read.parquet(members).drop("embedding").collect())
+    ) == before_members

@@ -121,6 +121,25 @@ def main() -> None:
         )
         for n in stale_next:
             print(f"#   {n} (r{nxt.get(n, 0)})")
+        # Gate-capacity account (round-10 verdict ask #6): the window
+        # sustains at most GATE_SLOTS x MAX_EVIDENCE_AGE oracle-paired
+        # queries before some query MUST age past the freshness cap
+        # no matter how the rotation is scheduled.
+        n_oracles = len(all_oracles())
+        ceiling = GATE_SLOTS * MAX_EVIDENCE_AGE
+        print(
+            f"# capacity: {n_oracles} oracle-paired queries vs the "
+            f"{GATE_SLOTS}x{MAX_EVIDENCE_AGE}-round ceiling of "
+            f"{ceiling} (slack {ceiling - n_oracles})"
+        )
+        if n_oracles > ceiling - 5:
+            print(
+                "# capacity POLICY NEEDED: within 5 of the ceiling — "
+                "adopt evidence-slot sharing (a hash-oracled query "
+                "carries its declared twins, the rows-only-ANN "
+                "precedent) or raise MAX_EVIDENCE_AGE in both this "
+                "tool and test_rotation_freshness."
+            )
 
 
 if __name__ == "__main__":
