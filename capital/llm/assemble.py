@@ -220,9 +220,11 @@ def pack_token_ids(
     contributes a piece to each chunk it spans. Output: one row per
     ``(partition, chunk_id)`` with the packed ``token_ids``
     (``seq_len`` ids except the stream's final chunk), ``n_tokens``,
-    and ``n_docs`` — the document-boundary count (how many docs the
-    chunk draws from, the attention-mask/boundary information a
-    pretraining loader needs).
+    ``n_docs`` (how many docs the chunk draws from) and
+    ``doc_starts`` — the in-chunk offsets where documents BEGIN
+    (empty when the chunk is entirely mid-document), exactly the
+    boundary information a pretraining loader needs to reset
+    attention masks / position ids at document starts.
 
     Shape: the window running-sum assigns each doc its exclusive
     global offset (per-partition sort, parallel across partitions —
@@ -265,12 +267,17 @@ def pack_token_ids(
         (gs - F.col("__prior") + 1).cast("int"),
         (ge - gs).cast("int"),
     )
+    start_off = F.when(
+        F.col("__prior") >= F.col("chunk_id") * L,
+        (F.col("__prior") - F.col("chunk_id") * L).cast("int"),
+    )
     return (
         ex.select(
             partition_col,
             "chunk_id",
             F.col("__prior"),
             piece.alias("__piece"),
+            start_off.alias("__start_off"),
         )
         .groupBy(partition_col, "chunk_id")
         .agg(
@@ -281,6 +288,9 @@ def pack_token_ids(
                 )
             ).alias("token_ids"),
             F.count(F.lit(1)).alias("n_docs"),
+            # collect_list skips nulls: only docs that BEGIN in this
+            # chunk contribute an offset
+            F.sort_array(F.collect_list("__start_off")).alias("doc_starts"),
         )
         .withColumn("n_tokens", F.size("token_ids").cast("long"))
     )

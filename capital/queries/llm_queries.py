@@ -2246,6 +2246,74 @@ def llm_bpe_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_fertility_oracle() -> str:
+    return rf"""
+    WITH {_bpe_cte_chain(_BPE_K)},
+    ws AS MATERIALIZED (
+      SELECT word,
+             len(list_filter(string_split(sym, '|'), x -> x <> ''))
+               AS nsub
+      FROM w{_BPE_K}),
+    tk AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\s+')) AS word
+      FROM documents)
+    SELECT d.source AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(ws.nsub) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(len(tk.word)) AS BIGINT) AS n_chars,
+           floor(CAST(SUM(ws.nsub) AS DOUBLE) / COUNT(*)
+                 * 1e6 + 0.5e0) / 1e6 AS fertility,
+           floor(CAST(SUM(len(tk.word)) AS DOUBLE)
+                 / CAST(SUM(ws.nsub) AS DOUBLE)
+                 * 1e6 + 0.5e0) / 1e6 AS chars_per_token
+    FROM tk
+    JOIN ws USING (word)
+    JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """
+
+
+@query("llm_bpe_fertility", memoize=False, oracle=_bpe_fertility_oracle())
+def llm_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility evaluation per corpus stratum: after
+    training the K=8 merge table, score each source on
+    subtokens-per-word (fertility) and characters-per-subtoken
+    (compression) — the standard tokenizer-quality report a pipeline
+    runs per language/source before committing a vocab to a 100 TB
+    tokenize pass (high-fertility strata signal vocabulary mismatch).
+    All counts are exact integer aggregates over the vocabulary join;
+    the two ratios are single int->double divisions under the
+    floor-stable rounding shared with the oracle. memoize=False:
+    trains in-call."""
+    from capital.llm.bpe import bpe_train, symbol_count, word_counts
+    from capital.llm.text import round6_stable, tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    _rules, state = bpe_train(word_counts(d), merges=_BPE_K)
+    ws = state.select("word", symbol_count(F.col("sym")).alias("nsub"))
+    tk = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("word")
+    )
+    return (
+        tk.join(ws, "word")
+        .join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("nsub").alias("n_bpe_tokens"),
+            F.sum(F.length("word")).alias("n_chars"),
+            round6_stable(
+                F.sum("nsub").cast("double") / F.count(F.lit(1))
+            ).alias("fertility"),
+            round6_stable(
+                F.sum(F.length("word")).cast("double")
+                / F.sum("nsub").cast("double")
+            ).alias("chars_per_token"),
+        )
+    )
+
+
 #: Chunk length for id-level sequence packing (training seq_len).
 _BPE_SEQ_LEN = 64
 
@@ -2359,7 +2427,9 @@ def _pack_token_ids_oracle() -> str:
       SELECT source, c AS cid, prior,
              idseq[(greatest(prior, c * {seq}) - prior + 1):
                    (least(prior + len(idseq), (c + 1) * {seq}) - prior)]
-               AS piece
+               AS piece,
+             CASE WHEN prior >= c * {seq}
+                  THEN CAST(prior - c * {seq} AS INT) END AS start_off
       FROM sp,
            unnest(range(prior // {seq},
                         (prior + len(idseq) - 1) // {seq} + 1)) AS u(c))
@@ -2368,7 +2438,10 @@ def _pack_token_ids_oracle() -> str:
              AS n_tokens,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            COALESCE(array_to_string(
-             flatten(list(piece ORDER BY prior)), ' '), '') AS ids_str
+             flatten(list(piece ORDER BY prior)), ' '), '') AS ids_str,
+           COALESCE(array_to_string(
+             list(start_off ORDER BY start_off)
+               FILTER (start_off IS NOT NULL), ' '), '') AS starts_str
     FROM pieces
     GROUP BY source, cid
     """
@@ -2401,6 +2474,10 @@ def asm_pack_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.col("token_ids").cast("array<string>"), " "),
             F.lit(""),
         ).alias("ids_str"),
+        F.coalesce(
+            F.array_join(F.col("doc_starts").cast("array<string>"), " "),
+            F.lit(""),
+        ).alias("starts_str"),
     )
 
 

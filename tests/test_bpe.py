@@ -234,3 +234,11 @@ def test_pack_token_ids_reassembles_stream_exactly(spark):
     assert chunks[("s1", 1)].n_docs == 2
     assert chunks[("s1", 3)].n_docs == 1
     assert chunks[("s2", 0)].token_ids == [100, 101, 102]
+    # doc-start offsets: doc1 starts chunk0 at 0; doc2 starts chunk1
+    # at offset 1 (gpos 5); chunk2 is entirely mid-doc2 (no starts);
+    # doc4 starts chunk3 at 0
+    assert chunks[("s1", 0)].doc_starts == [0]
+    assert chunks[("s1", 1)].doc_starts == [1]
+    assert chunks[("s1", 2)].doc_starts == []
+    assert chunks[("s1", 3)].doc_starts == [0]
+    assert chunks[("s2", 0)].doc_starts == [0]
