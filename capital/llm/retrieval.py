@@ -94,7 +94,6 @@ def bm25_topk(
     # imports this one (registry import at module scope would cycle).
     from capital.io import parallelize_narrow
     from capital.llm.text import normalized, tokens
-    from capital.queries.registry import decimal_sum
 
     if queries is None:
         queries = BM25_QUERIES
@@ -144,6 +143,24 @@ def bm25_topk(
 
     tfq = tf.join(F.broadcast(qtok), "token")
     dfreq = tfq.groupBy("token").agg(F.count(F.lit(1)).alias("dfc"))
+    return _score_topk(tfq, qterms, dfreq, scalars, k1, b, topk, exclude_self)
+
+
+def _score_topk(
+    tfq: DataFrame,
+    qterms: DataFrame,
+    dfreq: DataFrame,
+    scalars: DataFrame,
+    k1: float,
+    b: float,
+    topk: int,
+    exclude_self: bool,
+) -> DataFrame:
+    """The BM25 scoring tail shared by the in-call and stored-index
+    paths: ``tfq`` is the query-term-pruned (doc_id, dl, token, tf)
+    relation, ``dfreq`` (token, dfc), ``scalars`` one (n_docs, avgdl)
+    row. Expression tree is byte-stable (oracle float parity)."""
+    from capital.queries.registry import decimal_sum
 
     scored = (
         tfq.join(F.broadcast(dfreq), "token")
@@ -248,4 +265,177 @@ def rrf_fuse(
             ),
             "n_lists",
         )
+    )
+
+
+def _query_terms(spark, queries: list[tuple[int, str]]) -> DataFrame:
+    """Query workload → weighted (query_id, token, qtf) terms — the
+    qtf-weighting discipline shared by the in-call and stored paths."""
+    from capital.llm.text import normalized, tokens
+
+    qdf = spark.createDataFrame(queries, ["query_id", "qtext"])
+    return (
+        qdf.select(
+            "query_id",
+            F.explode(tokens(normalized(F.col("qtext")))).alias("token"),
+        )
+        .groupBy("query_id", "token")
+        .agg(F.count(F.lit(1)).alias("qtf"))
+    )
+
+
+def bm25_index_write_batch(
+    docs: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Write one batch's BM25 index partials under ``index_dir`` —
+    three additive tables, each ``batch_id=``-partitioned with
+    dynamic overwrite (the engine's replay-convergence discipline):
+
+    - ``tf/``: (doc_id, dl, token, tf) posting rows — batches hold
+      DISJOINT documents, so the fold is a plain union;
+    - ``df/``: per-batch (token, dfc) document frequencies — additive
+      across batches exactly because documents are disjoint;
+    - ``stats/``: one (n_docs, dl_sum) row — integer partials, so the
+      read-time avgdl division is bit-identical to the in-call one.
+
+    At lake scale, bucket ``tf/`` by ``token`` so stored-index
+    queries prune to posting lists (the band_key/IVF stored-index
+    posture); the additive df/stats folds are vocabulary-sized and
+    tiny respectively.
+    """
+    from capital.io import parallelize_narrow
+    from capital.llm.text import normalized, tokens
+
+    narrow = parallelize_narrow(docs)
+    toks = narrow.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(normalized(F.col(text_col)))).alias("dl"),
+        F.explode(tokens(normalized(F.col(text_col)))).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "dl", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).localCheckpoint(eager=True)  # consumed twice (tf write + df)
+    tf.withColumn("batch_id", F.lit(batch_id)).write.mode(
+        "overwrite"
+    ).partitionBy("batch_id").option(
+        "partitionOverwriteMode", "dynamic"
+    ).parquet(f"{index_dir}/tf")
+    df_part = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfc"))
+    df_part.withColumn("batch_id", F.lit(batch_id)).write.mode(
+        "overwrite"
+    ).partitionBy("batch_id").option(
+        "partitionOverwriteMode", "dynamic"
+    ).parquet(f"{index_dir}/df")
+    stats = narrow.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(normalized(F.col(text_col)))))
+        .cast("long")
+        .alias("dl_sum"),
+    )
+    stats.withColumn("batch_id", F.lit(batch_id)).write.mode(
+        "overwrite"
+    ).partitionBy("batch_id").option(
+        "partitionOverwriteMode", "dynamic"
+    ).parquet(f"{index_dir}/stats")
+
+
+def write_bm25_index(
+    docs: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Build a stored BM25 index over a corpus in one pass — the
+    lexical member of the engine's stored-index family (LSH band
+    table, IVF/PQ lakes): postings, document frequencies and corpus
+    stats persisted so queries never re-scan or re-tokenize the
+    corpus. One full-corpus "batch 0" of
+    :func:`bm25_index_write_batch`; grow it incrementally with
+    :func:`incremental_bm25_index_run`."""
+    bm25_index_write_batch(docs, 0, index_dir, id_col, text_col)
+
+
+def bm25_topk_stored(
+    spark,
+    index_dir: str,
+    queries: list[tuple[int, str]] | None = None,
+    *,
+    k1: float = K1,
+    b: float = B,
+    topk: int = 10,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Top-``topk`` BM25 against a STORED index — byte-identical
+    scores to :func:`bm25_topk` over the same corpus (shared scoring
+    tail, integer-partial stats fold, tested + oracle-pinned), with
+    the corpus never touched: postings prune to query terms at the
+    scan, df comes from the additive stored table instead of a
+    recount, and the stats fold's single int→double division matches
+    the in-call expression bit-for-bit."""
+    if queries is None:
+        queries = BM25_QUERIES
+    qterms = _query_terms(spark, queries)
+    qtok = qterms.select("token").distinct()
+    tf = spark.read.parquet(f"{index_dir}/tf").drop("batch_id")
+    tfq = tf.join(F.broadcast(qtok), "token")
+    dfreq = (
+        spark.read.parquet(f"{index_dir}/df")
+        .join(F.broadcast(qtok), "token")
+        .groupBy("token")
+        .agg(F.sum("dfc").alias("dfc"))
+    )
+    scalars = (
+        spark.read.parquet(f"{index_dir}/stats")
+        .agg(
+            F.sum("n_docs").alias("__n"),
+            F.sum("dl_sum").alias("__dl"),
+        )
+        .select(
+            F.col("__n").alias("n_docs"),
+            (F.col("__dl").cast("double") / F.col("__n")).alias("avgdl"),
+        )
+    )
+    return _score_topk(tfq, qterms, dfreq, scalars, k1, b, topk, exclude_self)
+
+
+def incremental_bm25_index_run(
+    spark,
+    source_dir: str,
+    schema,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+):
+    """Grow a stored BM25 index incrementally — index one day's crawl
+    without re-tokenizing the lake (the incremental-LSH/IVF posture
+    applied to lexical retrieval). Each micro-batch lands its
+    posting/df/stats PARTIALS as ``batch_id=`` partitions
+    (:func:`bm25_index_write_batch`); :func:`bm25_topk_stored` folds
+    them at read time (union / additive sum / integer-ratio), so a
+    query over the grown index equals :func:`bm25_topk` over the
+    union corpus exactly (tested), and a replayed batch rewrites its
+    own partitions to the same bytes. Batches must hold disjoint
+    documents (the file-stream contract — each file is ingested
+    once)."""
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bm25_index_write_batch(batch_df, batch_id, index_dir, id_col, text_col)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return (
+        reader.format(fmt)
+        .load(source_dir)
+        .writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
     )

@@ -37,9 +37,9 @@ _QTOKS = (
 )
 
 
-@query(
-    "ret_bm25_topk",
-    oracle=f"""
+#: Shared by the in-call query and its stored-index twin: the score
+#: is defined by the corpus + workload, not by where postings live.
+_BM25_ORACLE = f"""
     WITH q(query_id, qtext) AS (VALUES {_QVALUES}),
     qterms AS (
       SELECT query_id, token, COUNT(*) AS qtf FROM (
@@ -81,8 +81,10 @@ _QTOKS = (
       FROM tot)
     SELECT query_id, doc_id, bm25, CAST(rn AS INTEGER) AS rank
     FROM ranked WHERE rn <= {_RET_TOPK}
-    """,
-)
+    """
+
+
+@query("ret_bm25_topk", oracle=_BM25_ORACLE)
 def ret_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-10 per query over the fixed literal query
     workload — the lexical first-stage retriever next to the dense
@@ -90,6 +92,33 @@ def ret_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast query-term prune before any non-corpus shuffle)."""
     d = load_table(spark, sf_dir, "documents")
     return bm25_topk(d, topk=_RET_TOPK)
+
+
+@query("ret_bm25_stored", memoize=False, oracle=_BM25_ORACLE)
+def ret_bm25_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 against a STORED index (llm/retrieval.write_bm25_index /
+    bm25_topk_stored) — the lexical member of the stored-index family
+    (LSH band table, IVF/PQ lakes): postings, document frequencies
+    and integer corpus-stat partials persisted once, queries served
+    without re-tokenizing the corpus. The whole build→write→fold→
+    score path must hash-match the SAME oracle as the in-call
+    ret_bm25_topk (shared scoring tail; the stats fold's single
+    int→double division is the in-call expression bit-for-bit).
+    memoize=False: writes the index eagerly per call."""
+    import os
+    import tempfile
+
+    from capital.llm.retrieval import bm25_topk_stored, write_bm25_index
+
+    d = load_table(spark, sf_dir, "documents")
+    # Fixed per-sf path + dynamic overwrite (the sim_ivf_stored
+    # convention): repeated runs reuse one directory.
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"capital_bm25_index_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    write_bm25_index(d, path)
+    return bm25_topk_stored(spark, path, topk=_RET_TOPK)
 
 
 _DSIR_QUOTA = 100

@@ -17,6 +17,7 @@ from capital.llm.dsir import (
     dsir_resample,
     dsir_weights,
 )
+from capital.io import load_table
 from capital.llm.retrieval import B, K1, bm25_topk
 
 
@@ -241,3 +242,84 @@ def test_bm25_exclude_self_drops_trivial_match(spark, sf_dir):
     assert ws[0] == 3          # self-match dominates BM25
     assert 3 not in wo
     assert wo[:4] == ws[1:5]   # the rest of the ordering is unchanged
+
+
+def test_bm25_stored_index_equals_incall(spark, sf_dir, tmp_path):
+    """The stored-index path must reproduce the in-call scorer
+    byte-for-byte: shared scoring tail, additive df fold, integer
+    stats partials whose read-time division is the same expression."""
+    from capital.llm.retrieval import (
+        bm25_topk,
+        bm25_topk_stored,
+        write_bm25_index,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    idx = str(tmp_path / "bm25idx")
+    write_bm25_index(d, idx)
+    stored = sorted(map(tuple, bm25_topk_stored(spark, idx).collect()))
+    incall = sorted(map(tuple, bm25_topk(d).collect()))
+    assert stored == incall and len(incall) > 0
+
+
+def test_bm25_incremental_index_grows_and_replays(spark, sf_dir, tmp_path):
+    """Round-11 incremental lexical index: two disjoint micro-batches
+    land posting/df/stats partials; the folded stored query must
+    equal the in-call scorer over the UNION corpus, and directly
+    replaying a batch must rewrite its partitions to the same rows."""
+    from capital.llm.retrieval import (
+        bm25_index_write_batch,
+        bm25_topk,
+        bm25_topk_stored,
+        incremental_bm25_index_run,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    schema = d.schema
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    d.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    d.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = incremental_bm25_index_run(
+        spark, src, schema, idx, ckpt, max_files_per_trigger=1
+    )
+    q.awaitTermination(120)
+
+    stored = sorted(map(tuple, bm25_topk_stored(spark, idx).collect()))
+    incall = sorted(map(tuple, bm25_topk(d).collect()))
+    assert stored == incall and len(incall) > 0
+
+    # Replay one batch directly (crash between sink write and
+    # checkpoint commit): partials rewrite to the same rows.
+    bids = sorted(
+        r[0]
+        for r in spark.read.parquet(f"{idx}/stats")
+        .select("batch_id").distinct().collect()
+    )
+    assert len(bids) == 2
+    # batch N held one parity; recover which by checking a doc id
+    some_doc = (
+        spark.read.parquet(f"{idx}/tf")
+        .filter(F.col("batch_id") == bids[-1])
+        .select("doc_id").first()[0]
+    )
+    replay_df = d.filter(F.col("doc_id") % 2 == some_doc % 2)
+    before = {
+        part: sorted(
+            map(tuple, spark.read.parquet(f"{idx}/{part}").collect())
+        )
+        for part in ("tf", "df", "stats")
+    }
+    bm25_index_write_batch(replay_df, bids[-1], idx)
+    after = {
+        part: sorted(
+            map(tuple, spark.read.parquet(f"{idx}/{part}").collect())
+        )
+        for part in ("tf", "df", "stats")
+    }
+    assert after == before
