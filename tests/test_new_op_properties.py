@@ -177,3 +177,73 @@ def test_bloom_never_false_negative_and_merge_associative(
     assert {tuple(r) for r in merged.collect()} == {
         tuple(r) for r in words.collect()
     }
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["sA", "sB"]),
+            st.lists(st.integers(0, 99), min_size=0, max_size=17),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    seq_len=st.integers(1, 9),
+)
+@_slow
+def test_pack_token_ids_stream_property(spark, docs, seq_len):
+    """For ANY corpus and seq_len: per-partition chunks reassemble to
+    the exact doc-order id stream, every chunk except the last is
+    exactly seq_len ids, and doc_starts lists exactly the offsets
+    where documents begin in that chunk."""
+    from capital.llm.assemble import pack_token_ids
+
+    rows = [(src, i, ids) for i, (src, ids) in enumerate(docs)]
+    df = spark.createDataFrame(
+        rows, "source string, doc_id long, token_ids array<int>"
+    )
+    out = pack_token_ids(df, seq_len=seq_len).collect()
+    chunks = {(r.source, r.chunk_id): r for r in out}
+    for src in {s for s, _ in docs}:
+        stream, starts = [], []
+        for s, i, ids in sorted(rows, key=lambda r: r[1]):
+            if s == src:
+                if ids:
+                    starts.append(len(stream))
+                stream.extend(ids)
+        cids = sorted(c for s, c in chunks if s == src)
+        if not stream:
+            assert cids == []
+            continue
+        assert cids == list(range((len(stream) + seq_len - 1) // seq_len))
+        got = []
+        for c in cids:
+            r = chunks[(src, c)]
+            assert r.n_tokens == len(r.token_ids)
+            if c < cids[-1]:
+                assert len(r.token_ids) == seq_len
+            got.extend(r.token_ids)
+            want_starts = sorted(
+                o - c * seq_len
+                for o in starts
+                if c * seq_len <= o < (c + 1) * seq_len
+            )
+            assert r.doc_starts == want_starts
+            assert r.n_docs == sum(
+                1
+                for s, i, ids in rows
+                if s == src
+                and ids
+                and max(_prior(rows, src, i), c * seq_len)
+                < min(_prior(rows, src, i) + len(ids), (c + 1) * seq_len)
+            )
+        assert got == stream
+
+
+def _prior(rows, src, doc_i):
+    """Exclusive running id-count before doc_i within src (doc order)."""
+    return sum(
+        len(ids)
+        for s, i, ids in rows
+        if s == src and i < doc_i
+    )

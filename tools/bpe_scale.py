@@ -59,6 +59,8 @@ def build_vocab(spark):
 
 
 def main() -> None:
+    from pyspark.sql import functions as F
+
     from capital.llm.bpe import bpe_train
     from capital.session import get_spark
 
@@ -90,6 +92,34 @@ def main() -> None:
     )
     assert rules[:8] == r8, "local/distributed disagree on shared prefix"
     print("prefix equivalence: OK (first 8 merges identical)")
+
+    # Round 11: the production tokenize pass at the same realistic K —
+    # group the vocabulary into pseudo-docs and run bpe_encode (id
+    # table + per-word id sequences built once, corpus encoded via one
+    # join + ordered flatten; no per-document merge loop at any K).
+    from capital.llm.bpe import bpe_encode
+
+    docs = (
+        vocab.select(
+            F.pmod(F.xxhash64("word"), F.lit(20_000)).alias("doc_id"), "word"
+        )
+        .groupBy("doc_id")
+        .agg(F.concat_ws(" ", F.collect_list("word")).alias("text"))
+        .persist()
+    )
+    n_docs = docs.count()
+    t0 = time.monotonic()
+    enc = bpe_encode(docs, rules, state)
+    stats = enc.agg(
+        F.count(F.lit(1)), F.sum(F.size("token_ids"))
+    ).collect()[0]
+    dt_enc = time.monotonic() - t0
+    print(
+        f"encode at K={len(rules)}: {n_docs:,} docs -> "
+        f"{stats[1]:,} token ids in {dt_enc:.1f} s "
+        f"({stats[0]:,} docs encoded)"
+    )
+    assert stats[0] == n_docs
 
 
 if __name__ == "__main__":
