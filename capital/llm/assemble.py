@@ -52,6 +52,46 @@ def hash_bucket(key: Column, seed: str, n: int) -> Column:
     )
 
 
+def epoch_shuffle(
+    df: DataFrame,
+    epoch: int,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    seed: str = "shuffle",
+) -> DataFrame:
+    """Deterministic per-epoch training order — the shuffle step
+    between packing and sharding: every epoch reads the corpus in a
+    different pseudorandom order, every rerun of the same epoch reads
+    it in the SAME order (job restarts resume mid-epoch; data order
+    is part of a training run's reproducibility contract).
+
+    Each row gets a ``shard`` (md5 bucket — which output file/worker
+    group serves it) and a 1-based ``position`` within its shard
+    (row_number over the md5 digest of ``seed:epoch:id``, ties —
+    impossible in practice for distinct ids — broken by id). Both
+    derive only from (id, epoch, seed): membership-stable as the
+    corpus grows, engine-independent (the md5 twins the oracle), and
+    orderable without any stored state.
+
+    Scale: one hash projection (narrow) + per-shard window sorts that
+    run in parallel — no global sort. Pick ``n_shards`` so a shard
+    sorts within executor memory at the target corpus (or skip the
+    position column and ``sortWithinPartitions(shard, hash)`` when
+    writing — the order, not the ordinal, is what the loader needs).
+    """
+    ekey = f"{seed}:{epoch}"
+    h = F.md5(F.concat(F.lit(f"{ekey}:"), F.col(id_col).cast("string")))
+    out = df.withColumn("__h", h).withColumn(
+        "shard", hash_bucket(F.col(id_col), f"{ekey}:shard", n_shards)
+    )
+    w = Window.partitionBy("shard").orderBy("__h", id_col)
+    return (
+        out.withColumn("epoch", F.lit(int(epoch)))
+        .withColumn("position", F.row_number().over(w).cast("long"))
+        .drop("__h")
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     rates: dict[str, float],

@@ -236,6 +236,54 @@ def asm_shard_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EPOCH_SEED, _EPOCH_SHARDS = "eporder", 4
+
+
+def _epoch_sql(epoch: int) -> str:
+    ekey = f"{_EPOCH_SEED}:{epoch}"
+    return f"""
+      SELECT doc_id, CAST({epoch} AS BIGINT) AS epoch,
+             {_bucket_sql(f"{ekey}:shard", _EPOCH_SHARDS)} AS shard,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY {_bucket_sql(f"{ekey}:shard", _EPOCH_SHARDS)}
+               ORDER BY md5('{ekey}:' || CAST(doc_id AS VARCHAR)), doc_id)
+               AS BIGINT) AS position
+      FROM documents"""
+
+
+@query(
+    "asm_epoch_shuffle",
+    oracle=f"""
+    {_epoch_sql(0)}
+    UNION ALL
+    {_epoch_sql(1)}
+    """,
+)
+def asm_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch deterministic training order (llm/assemble.
+    epoch_shuffle): every epoch reads the corpus in a different
+    md5-derived pseudorandom order, every rerun of the same epoch in
+    the SAME order — restart-reproducible mid-epoch resume, the
+    reproducibility contract a training run needs. Emits (doc, epoch,
+    shard, dense in-shard position) for epochs 0 and 1; per-shard
+    window sorts run in parallel, no global sort."""
+    from capital.llm.assemble import epoch_shuffle
+
+    d = load_table(spark, sf_dir, "documents")
+    parts = [
+        epoch_shuffle(
+            d, ep, n_shards=_EPOCH_SHARDS, seed=_EPOCH_SEED
+        ).select(
+            "doc_id",
+            F.col("epoch").cast("long").alias("epoch"),
+            F.col("shard").cast("long").alias("shard"),
+            "position",
+        )
+        for ep in (0, 1)
+    ]
+    return parts[0].unionByName(parts[1])
+
+
 _TMIX_ALPHA, _TMIX_TARGET, _TMIX_SEED = 0.5, 600, "tmix1"
 
 

@@ -330,3 +330,34 @@ def test_unimax_non_default_source_col(spark):
     want = _unimax_brute({"web": 4000.0, "wiki": 400.0}, 0.5 * 4400.0)
     for s in ("web", "wiki"):
         assert abs(rows[s].alloc_tokens - want[s]) < 1e-3
+
+
+def test_epoch_shuffle_permutation_properties(spark, sf_dir):
+    """Each epoch's (shard, position) is a dense permutation of the
+    corpus; different epochs order differently; the same epoch is
+    bit-stable across reruns (restart-reproducible mid-epoch)."""
+    from capital.llm.assemble import epoch_shuffle
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    e0 = epoch_shuffle(d, 0, n_shards=4)
+    rows0 = {(r.shard, r.position): r.doc_id for r in e0.collect()}
+    n = d.count()
+    assert len(rows0) == n  # every doc exactly once, no slot collision
+    from collections import Counter
+
+    per_shard = Counter(s for s, _ in rows0)
+    for s, cnt in per_shard.items():
+        # dense 1..cnt positions within each shard
+        assert sorted(p for sh, p in rows0 if sh == s) == list(
+            range(1, cnt + 1)
+        )
+    rows0_again = {
+        (r.shard, r.position): r.doc_id
+        for r in epoch_shuffle(d, 0, n_shards=4).collect()
+    }
+    assert rows0_again == rows0  # same-epoch rerun is identical
+    order1 = {
+        (r.shard, r.position): r.doc_id
+        for r in epoch_shuffle(d, 1, n_shards=4).collect()
+    }
+    assert len(order1) == n and order1 != rows0  # epochs reorder
