@@ -28,7 +28,7 @@ def _dsum(col, alias):
 
 def grouped_pearson(
     df: DataFrame,
-    group_col: str,
+    group_col: str | list[str],
     x_col: str,
     y_col: str,
 ) -> DataFrame:
@@ -38,11 +38,14 @@ def grouped_pearson(
 
     One map-side-combined aggregate per group; null when either
     variance term is ≤ 0 (constant column). Returns
-    ``(group, n, corr)`` with ``corr`` stable-rounded to 6."""
+    ``(group, n, corr)`` with ``corr`` stable-rounded to 6.
+    ``group_col`` may be a list (composite group — the pairwise
+    correlation matrix groups on both series ids)."""
     from capital.llm.text import round6_stable
 
+    groups = [group_col] if isinstance(group_col, str) else list(group_col)
     x, y = F.col(x_col), F.col(y_col)
-    m = df.groupBy(F.col(group_col)).agg(
+    m = df.groupBy(*[F.col(g) for g in groups]).agg(
         F.count(F.lit(1)).cast("double").alias("__n"),
         _dsum(x, "__sx"),
         _dsum(y, "__sy"),
@@ -56,10 +59,63 @@ def grouped_pearson(
     cov = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
     r = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
     return m.select(
-        group_col,
+        *groups,
         n.cast("long").alias("n"),
         round6_stable(r).alias("corr"),
     )
+
+
+def pairwise_correlation(
+    df: DataFrame,
+    key_col: str,
+    series_col: str,
+    value_col: str,
+    chunk_target: int = 1024,
+    total_rows_hint: int | None = None,
+) -> DataFrame:
+    """Correlation MATRIX across aligned series — the classic
+    cross-sectional workload (pairwise correlation of per-day returns
+    across tickers, of per-day event-type volumes, …): for every
+    unordered series pair, Pearson r over the keys where BOTH series
+    have a value (pairwise-complete observations — the standard
+    pairwise-deletion convention).
+
+    Contract: at most one row per (key, series) — pre-aggregate the
+    panel first (a duplicate key would multiply through the pair
+    enumeration).
+
+    Shape: within-key pair enumeration through
+    :func:`~capital.operators.skew.chunked_pair_join` (each key is a
+    block — so a fat cross-section, thousands of series on one day,
+    stays task-bounded instead of exploding one join task), then ONE
+    map-side-combined decimal-moment aggregate per series pair
+    (:func:`grouped_pearson` on the composite group). Output is the
+    upper triangle (``series_a < series_b``), n keys per pair, r
+    stable-rounded.
+    """
+    from capital.operators.caching import scoped_persist
+    from capital.operators.skew import chunked_pair_join
+
+    panel = df.select(key_col, series_col, value_col)
+    if total_rows_hint is None:
+        # The skew probe is an eager count over the panel; persist so
+        # the probe and the pair join share one evaluation of the
+        # caller's (often aggregate-shaped) lineage.
+        panel = scoped_persist(panel, None)
+    pairs = chunked_pair_join(
+        panel,
+        [key_col],
+        series_col,
+        payload_cols=[value_col],
+        chunk_target=chunk_target,
+        total_rows_hint=total_rows_hint,
+    ).select(
+        F.col("id_a").alias("series_a"),
+        F.col("id_b").alias("series_b"),
+        F.col(f"{value_col}_a").alias("__x"),
+        F.col(f"{value_col}_b").alias("__y"),
+    )
+    return grouped_pearson(pairs, ["series_a", "series_b"], "__x", "__y")
 
 
 def quantile_bins(

@@ -1018,6 +1018,59 @@ def a10_grouped_pearson(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a12_pairwise_corr",
+    memoize=False,
+    oracle="""
+    WITH daily AS MATERIALIZED (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2),
+    p AS (
+      SELECT a.event_type AS series_a, b.event_type AS series_b,
+             a.v AS x, b.v AS y
+      FROM daily a JOIN daily b
+        ON a.day = b.day AND a.event_type < b.event_type),
+    m AS (
+      SELECT series_a, series_b,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * y AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(28,6))) AS DOUBLE) AS syy
+      FROM p GROUP BY series_a, series_b)
+    SELECT series_a, series_b,
+           CAST(n AS BIGINT) AS n,
+           floor(CASE WHEN (n * sxx - sx * sx) > 0e0
+                       AND (n * syy - sy * sy) > 0e0
+                      THEN (n * sxy - sx * sy)
+                           / sqrt((n * sxx - sx * sx)
+                                  * (n * syy - sy * sy)) END
+                 * 1e6 + 0.5e0) / 1e6 AS corr
+    FROM m
+    """,
+)
+def a12_pairwise_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-sectional correlation matrix (operators/stats.
+    pairwise_correlation): daily per-event-type value sums aligned on
+    day, every unordered series pair scored with exact-decimal-moment
+    Pearson r over the days where BOTH series traded — the classic
+    returns-correlation-matrix workload. Pair enumeration rides the
+    skew-chunked within-key join (a fat cross-section cannot capsize
+    one task); the moment aggregate is the a10-pinned formula on a
+    composite (series_a, series_b) group. memoize=False: the chunked
+    join's skew probe is an eager count job."""
+    from capital.operators.stats import pairwise_correlation
+    from capital.queries.registry import decimal_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(decimal_sum(F.col("value"), "v"))
+    return pairwise_correlation(daily, "day", "event_type", "v")
+
+
+@query(
     "a11_quantile_bins",
     oracle="""
     WITH ed AS (

@@ -104,3 +104,60 @@ def test_mutual_information_symmetric(spark):
         ).collect()
     )
     assert abs(xy - yx) < 1e-9 and xy > 0.01
+
+
+def test_pairwise_correlation_matches_hand_computed(spark):
+    """Three aligned series: A and B perfectly correlated, C
+    anti-correlated with A; D overlaps A on only two keys (pairwise
+    deletion) — constant over that overlap, so corr is null."""
+    import math
+
+    rows = []
+    for k in range(1, 6):
+        rows += [
+            (k, "A", float(k)),
+            (k, "B", 2.0 * k + 1.0),
+            (k, "C", -3.0 * k),
+        ]
+    rows += [(1, "D", 7.0), (2, "D", 7.0)]
+    df = spark.createDataFrame(rows, "k long, series string, v double")
+    from capital.operators.stats import pairwise_correlation
+
+    out = {
+        (r.series_a, r.series_b): r
+        for r in pairwise_correlation(df, "k", "series", "v").collect()
+    }
+    assert set(out) == {
+        ("A", "B"), ("A", "C"), ("B", "C"), ("A", "D"), ("B", "D"),
+        ("C", "D"),
+    }
+    assert out[("A", "B")].corr == 1.0 and out[("A", "B")].n == 5
+    assert out[("A", "C")].corr == -1.0
+    assert out[("B", "C")].corr == -1.0
+    # D is constant over its 2-key overlap: zero variance -> null
+    assert out[("A", "D")].n == 2 and out[("A", "D")].corr is None
+    assert not math.isnan(out[("A", "D")].corr or 0.0)
+
+
+def test_pairwise_correlation_chunked_equals_plain(spark):
+    """Forcing the chunked within-key pair enumeration must not
+    change the matrix (a fat cross-section is just a skewed block)."""
+    from capital.operators.stats import pairwise_correlation
+
+    rows = [
+        (k, f"s{j}", float((k * 7 + j * 3) % 11))
+        for k in range(1, 9)
+        for j in range(6)
+    ]
+    df = spark.createDataFrame(rows, "k long, series string, v double")
+    plain = sorted(
+        map(tuple, pairwise_correlation(
+            df, "k", "series", "v", total_rows_hint=48
+        ).collect())
+    )
+    chunked = sorted(
+        map(tuple, pairwise_correlation(
+            df, "k", "series", "v", chunk_target=2
+        ).collect())
+    )
+    assert plain == chunked and len(plain) == 15  # C(6,2)
