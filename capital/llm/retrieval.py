@@ -268,6 +268,15 @@ def rrf_fuse(
     )
 
 
+#: Posting-list hash partitioning: tf/ is Hive-partitioned by
+#: pbucket = xxhash64(token) mod this, so stored-index probes prune
+#: to the workload's buckets at plan time (static partition pruning,
+#: the stored-IVF posture). 64 keeps directories manageable while a
+#: single-digit-token workload prunes ~9/10 of the postings even at
+#: this width; widen for a real lake.
+N_POSTING_BUCKETS = 64
+
+
 def _query_terms(spark, queries: list[tuple[int, str]]) -> DataFrame:
     """Query workload → weighted (query_id, token, qtf) terms — the
     qtf-weighting discipline shared by the in-call and stored paths."""
@@ -302,10 +311,13 @@ def bm25_index_write_batch(
     - ``stats/``: one (n_docs, dl_sum) row — integer partials, so the
       read-time avgdl division is bit-identical to the in-call one.
 
-    At lake scale, bucket ``tf/`` by ``token`` so stored-index
-    queries prune to posting lists (the band_key/IVF stored-index
-    posture); the additive df/stats folds are vocabulary-sized and
-    tiny respectively.
+    Postings are additionally hash-partitioned by ``pbucket =
+    xxhash64(token) mod N_POSTING_BUCKETS`` — the stored-IVF static-
+    pruning posture: a query workload touches a handful of tokens, so
+    the probe collects their (tiny) pbucket set and the postings scan
+    prunes to those Hive partitions at PLAN time (``PartitionFilters``,
+    plan-tested). Pruning is an optimization only — the broadcast
+    token join still enforces membership.
     """
     from capital.io import parallelize_narrow
     from capital.llm.text import normalized, tokens
@@ -319,9 +331,9 @@ def bm25_index_write_batch(
     tf = toks.groupBy("doc_id", "dl", "token").agg(
         F.count(F.lit(1)).alias("tf")
     ).localCheckpoint(eager=True)  # consumed twice (tf write + df)
-    tf.withColumn("batch_id", F.lit(batch_id)).write.mode(
-        "overwrite"
-    ).partitionBy("batch_id").option(
+    tf.withColumn("batch_id", F.lit(batch_id)).withColumn(
+        "pbucket", F.pmod(F.xxhash64("token"), F.lit(N_POSTING_BUCKETS))
+    ).write.mode("overwrite").partitionBy("batch_id", "pbucket").option(
         "partitionOverwriteMode", "dynamic"
     ).parquet(f"{index_dir}/tf")
     df_part = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfc"))
@@ -380,7 +392,23 @@ def bm25_topk_stored(
         queries = BM25_QUERIES
     qterms = _query_terms(spark, queries)
     qtok = qterms.select("token").distinct()
-    tf = spark.read.parquet(f"{index_dir}/tf").drop("batch_id")
+    # The workload's pbucket set: a deliberate tiny collect (bounded
+    # by the query token count — the IVF probed-cells precedent) that
+    # buys PLAN-time PartitionFilters on the postings scan; the
+    # broadcast token join below still enforces exact membership.
+    pbuckets = [
+        r[0]
+        for r in qtok.select(
+            F.pmod(F.xxhash64("token"), F.lit(N_POSTING_BUCKETS)).alias("pb")
+        )
+        .distinct()
+        .collect()
+    ]
+    tf = (
+        spark.read.parquet(f"{index_dir}/tf")
+        .filter(F.col("pbucket").isin(pbuckets))
+        .drop("batch_id", "pbucket")
+    )
     tfq = tf.join(F.broadcast(qtok), "token")
     dfreq = (
         spark.read.parquet(f"{index_dir}/df")

@@ -323,3 +323,30 @@ def test_bm25_incremental_index_grows_and_replays(spark, sf_dir, tmp_path):
         for part in ("tf", "df", "stats")
     }
     assert after == before
+
+
+def test_bm25_stored_probe_prunes_posting_partitions(spark, sf_dir, tmp_path):
+    """The stored probe must reach the postings scan with PLAN-time
+    PartitionFilters on pbucket (static pruning, the stored-IVF
+    posture) — reading every posting partition for a handful of query
+    tokens would be the classic full-scan mistake."""
+    from capital.llm.retrieval import bm25_topk_stored, write_bm25_index
+
+    d = load_table(spark, sf_dir, "documents")
+    idx = str(tmp_path / "bm25idx_prune")
+    write_bm25_index(d, idx)
+    plan = (
+        bm25_topk_stored(spark, idx)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # (matching on the path is unreliable — long pytest tmp paths get
+    # ellipsized in the plan string; the pbucket INSET filter can only
+    # come from the postings scan)
+    pruned = [
+        line
+        for line in plan.splitlines()
+        if "PartitionFilters: [pbucket" in line and " INSET " in line
+    ]
+    assert pruned, plan[:2000]
