@@ -2406,12 +2406,11 @@ def llm_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pack_token_ids_oracle() -> str:
+def _pack_ctes() -> str:
+    """Shared oracle middle: encode output -> per-chunk pieces (used
+    by the pack query and the composed training-export pipeline)."""
     seq = _BPE_SEQ_LEN
-    return f"""
-    WITH {_bpe_cte_chain(_BPE_K)},
-    {_bpe_encode_ctes()},
-    encs AS MATERIALIZED (
+    return f"""encs AS MATERIALIZED (
       SELECT d.source AS source, e.doc_id AS doc_id, e.idseq AS idseq
       FROM enc e JOIN documents d USING (doc_id)),
     sp AS MATERIALIZED (
@@ -2432,7 +2431,14 @@ def _pack_token_ids_oracle() -> str:
                   THEN CAST(prior - c * {seq} AS INT) END AS start_off
       FROM sp,
            unnest(range(prior // {seq},
-                        (prior + len(idseq) - 1) // {seq} + 1)) AS u(c))
+                        (prior + len(idseq) - 1) // {seq} + 1)) AS u(c))"""
+
+
+def _pack_token_ids_oracle() -> str:
+    return f"""
+    WITH {_bpe_cte_chain(_BPE_K)},
+    {_bpe_encode_ctes()},
+    {_pack_ctes()}
     SELECT source, CAST(cid AS BIGINT) AS chunk_id,
            CAST(len(flatten(list(piece ORDER BY prior))) AS BIGINT)
              AS n_tokens,
@@ -2445,6 +2451,85 @@ def _pack_token_ids_oracle() -> str:
     FROM pieces
     GROUP BY source, cid
     """
+
+
+_EXPORT_SEED, _EXPORT_SHARDS = "export", 4
+
+
+def _training_export_oracle() -> str:
+    ekey = f"{_EXPORT_SEED}:0"
+    key = "source || ':' || CAST(cid AS VARCHAR)"
+    return f"""
+    WITH {_bpe_cte_chain(_BPE_K)},
+    {_bpe_encode_ctes()},
+    {_pack_ctes()},
+    chunks AS MATERIALIZED (
+      SELECT source, cid,
+             CAST(len(flatten(list(piece ORDER BY prior))) AS BIGINT)
+               AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM pieces GROUP BY source, cid),
+    keyed AS (
+      SELECT source, cid, n_tokens, n_docs,
+             {_bucket_sql_export(f"{ekey}:shard", key)} AS shard,
+             md5('{ekey}:' || {key}) AS okey,
+             {key} AS ckey
+      FROM chunks)
+    SELECT source, CAST(cid AS BIGINT) AS chunk_id, n_tokens, n_docs,
+           shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                                   ORDER BY okey, ckey) AS BIGINT)
+             AS position
+    FROM keyed
+    """
+
+
+def _bucket_sql_export(seed: str, key_expr: str) -> str:
+    """_bucket_sql over an arbitrary key expression (it defaults the
+    key to a column name)."""
+    return (
+        f"CAST(('0x' || substr(md5('{seed}:' || CAST({key_expr} AS "
+        f"VARCHAR)), 1, 8))::UBIGINT % {_EXPORT_SHARDS} AS BIGINT)"
+    )
+
+
+@query(
+    "pipe_training_export", memoize=False, oracle=_training_export_oracle()
+)
+def pipe_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE training-export pipeline in one verified query:
+    train the K=8 BPE table, encode documents to token ids, pack
+    per-source id streams into seq_len=64 chunks with boundary
+    counts, and assign every chunk its epoch-0 deterministic shuffle
+    order (shard + dense in-shard position) — raw docs in, a
+    training-ready shuffled chunk manifest out. Composes four
+    independently-oracled operators (bpe_encode, pack_token_ids,
+    epoch_shuffle, plus the training chain) and the oracle checks the
+    whole composition end to end. memoize=False: trains in-call."""
+    from capital.llm.assemble import epoch_shuffle, pack_token_ids
+    from capital.llm.bpe import bpe_encode, bpe_train, word_counts
+
+    d = load_table(spark, sf_dir, "documents")
+    rules, state = bpe_train(word_counts(d), merges=_BPE_K)
+    enc = bpe_encode(d, rules, state).join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    chunks = pack_token_ids(enc, seq_len=_BPE_SEQ_LEN).withColumn(
+        "chunk_key",
+        F.concat_ws(":", "source", F.col("chunk_id").cast("string")),
+    )
+    ordered = epoch_shuffle(
+        chunks, 0, n_shards=_EXPORT_SHARDS,
+        id_col="chunk_key", seed=_EXPORT_SEED,
+    )
+    return ordered.select(
+        "source",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "n_tokens",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("shard").cast("long").alias("shard"),
+        "position",
+    )
 
 
 @query("asm_pack_token_ids", memoize=False, oracle=_pack_token_ids_oracle())
