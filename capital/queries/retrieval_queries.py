@@ -112,10 +112,14 @@ def ret_bm25_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     # Fixed per-sf path + dynamic overwrite (the sim_ivf_stored
-    # convention): repeated runs reuse one directory.
+    # convention): repeated runs reuse one directory. The layout
+    # version rides the path — a partitioning change (round 11 added
+    # pbucket) must never dynamic-overwrite into a stale differently-
+    # partitioned dir from an earlier round (observed: mixed layouts
+    # make the read fail).
     path = os.path.join(
         tempfile.gettempdir(),
-        f"capital_bm25_index_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"capital_bm25_index_v2_{os.path.basename(sf_dir.rstrip('/'))}",
     )
     write_bm25_index(d, path)
     return bm25_topk_stored(spark, path, topk=_RET_TOPK)
