@@ -276,6 +276,33 @@ def pack_token_ids(
     (≤ seq_len ids each). Offsets are exact longs (`div`, the
     pack_chunks 2^53 discipline).
     """
+    pieces = token_pieces(
+        df, seq_len, ids_col=ids_col, partition_col=partition_col,
+        order_col=order_col,
+    )
+    return packed_chunks_from_pieces(pieces, partition_col=partition_col)
+
+
+def token_pieces(
+    df: DataFrame,
+    seq_len: int,
+    ids_col: str = "token_ids",
+    partition_col: str = "source",
+    order_col: str = "doc_id",
+    base_offsets: DataFrame | None = None,
+) -> DataFrame:
+    """The pack's per-document piece rows, ungrouped: one row per
+    (doc, chunk it spans) with the chunk-local slice, the doc's
+    global stream offset and its chunk-start offset (null when the
+    doc continues from the previous chunk). This is the STORABLE
+    half of packing: an incremental packer appends each batch's
+    pieces and :func:`packed_chunks_from_pieces` reassembles — a
+    chunk that straddles a batch boundary merges at read.
+
+    ``base_offsets`` (``partition_col``, ``base``) shifts each
+    stream's start — the incremental continuation point (tokens
+    already packed for that stream by prior batches).
+    """
     L = int(seq_len)
     w = (
         Window.partitionBy(partition_col)
@@ -286,8 +313,12 @@ def pack_token_ids(
     prior = F.coalesce(
         F.sum(F.size(F.col(ids_col))).over(w), F.lit(0)
     ).cast("long")
+    base_df = df
+    if base_offsets is not None:
+        base_df = df.join(F.broadcast(base_offsets), partition_col, "left")
+        prior = prior + F.coalesce(F.col("base"), F.lit(0)).cast("long")
     spans = (
-        df.withColumn("__prior", prior)
+        base_df.withColumn("__prior", prior)
         .withColumn("__n", n)
         .filter(F.col("__n") > 0)
     )
@@ -311,15 +342,25 @@ def pack_token_ids(
         F.col("__prior") >= F.col("chunk_id") * L,
         (F.col("__prior") - F.col("chunk_id") * L).cast("int"),
     )
+    return ex.select(
+        partition_col,
+        "chunk_id",
+        F.col("__prior"),
+        piece.alias("__piece"),
+        start_off.alias("__start_off"),
+    )
+
+
+def packed_chunks_from_pieces(
+    pieces: DataFrame, partition_col: str = "source"
+) -> DataFrame:
+    """Reassemble piece rows (:func:`token_pieces` — one batch's or
+    a whole stored lake's) into final chunks: pieces order by the
+    doc's global offset inside each (partition, chunk) group, so
+    batch-straddling chunks merge correctly and the result equals
+    packing everything at once (tested)."""
     return (
-        ex.select(
-            partition_col,
-            "chunk_id",
-            F.col("__prior"),
-            piece.alias("__piece"),
-            start_off.alias("__start_off"),
-        )
-        .groupBy(partition_col, "chunk_id")
+        pieces.groupBy(partition_col, "chunk_id")
         .agg(
             F.flatten(
                 F.transform(

@@ -943,3 +943,115 @@ def incremental_semdedup_run(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def pack_write_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    seq_len: int,
+    pieces_dir: str,
+    state_dir: str,
+    ids_col: str = "token_ids",
+    partition_col: str = "source",
+    order_col: str = "doc_id",
+) -> None:
+    """One micro-batch of the incremental packer (module-level so a
+    replayed batch is directly testable): continue each stream from
+    the token offset accumulated by PRIOR batches (``batch_id < N``
+    state fold — the Bloom-run replay discipline), emit the batch's
+    chunk PIECES, and land pieces + per-stream token-count partials as
+    ``batch_id=`` dynamic-overwrite partitions. Idempotent given the
+    durable state."""
+    from pyspark.errors import AnalysisException
+
+    from capital.llm.assemble import token_pieces
+
+    try:
+        base = (
+            spark.read.parquet(state_dir)
+            .filter(F.col("batch_id") < batch_id)
+            .groupBy(partition_col)
+            .agg(F.sum("n_ids").cast("long").alias("base"))
+        )
+    except AnalysisException:  # PATH_NOT_FOUND: first batch
+        base = None
+    pieces = token_pieces(
+        batch_df,
+        seq_len,
+        ids_col=ids_col,
+        partition_col=partition_col,
+        order_col=order_col,
+        base_offsets=base,
+    )
+    pieces.withColumn("batch_id", F.lit(batch_id)).write.mode(
+        "overwrite"
+    ).partitionBy("batch_id").option(
+        "partitionOverwriteMode", "dynamic"
+    ).parquet(pieces_dir)
+    state = batch_df.groupBy(partition_col).agg(
+        F.sum(F.size(F.col(ids_col))).cast("long").alias("n_ids")
+    )
+    state.withColumn("batch_id", F.lit(batch_id)).write.mode(
+        "overwrite"
+    ).partitionBy("batch_id").option(
+        "partitionOverwriteMode", "dynamic"
+    ).parquet(state_dir)
+
+
+def incremental_pack_run(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    seq_len: int,
+    pieces_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    ids_col: str = "token_ids",
+    partition_col: str = "source",
+    order_col: str = "doc_id",
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Incremental id-level sequence packing (round 11): pack a
+    GROWING encoded corpus into fixed-length training chunks without
+    re-packing history — the streaming member of the
+    ``llm/assemble.pack_token_ids`` family, completing the
+    tokenize → pack path's incremental story next to the stored BM25
+    index and incremental SemDeDup.
+
+    Each micro-batch continues every stream exactly where prior
+    batches left it (per-stream token offsets folded from
+    ``batch_id < N`` integer partials — order-free sums, so a
+    replayed batch reads the same continuation point and rewrites its
+    partitions to the same bytes), and writes chunk PIECES rather
+    than final chunks: a chunk that straddles a batch boundary (the
+    short final chunk of batch N−1 plus batch N's continuation)
+    merges at read time via
+    ``llm/assemble.packed_chunks_from_pieces``, whose output equals
+    packing the whole corpus at once (stream-vs-batch tested) given
+    arrival in ``order_col`` order — the streaming analogue of the
+    batch operator's deterministic concatenation order.
+
+    Scale: per-batch state is one integer row per stream; pieces are
+    the batch's own doc-count×~2 array rows; the read-time group is
+    bounded at ≤ seq_len ids per chunk.
+    """
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        pack_write_batch(
+            spark, batch_df, batch_id, seq_len, pieces_dir, state_dir,
+            ids_col, partition_col, order_col,
+        )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return (
+        reader.format(fmt)
+        .load(source_dir)
+        .writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -746,3 +746,83 @@ def test_incremental_semdedup_stream_matches_batch(spark, sf_dir, tmp_path):
     assert sorted(
         map(tuple, spark.read.parquet(members).drop("embedding").collect())
     ) == before_members
+
+
+def test_incremental_pack_stream_matches_batch(spark, tmp_path):
+    """Round-11 incremental packer: id-ordered micro-batches of
+    encoded docs, packed continuing each stream's stored offset, must
+    reassemble (pieces -> chunks) to EXACTLY the at-once
+    pack_token_ids result — including the chunk straddling the batch
+    boundary — and directly replaying a batch must rewrite its pieces
+    and state to the same rows."""
+    from capital.llm.assemble import (
+        pack_token_ids,
+        packed_chunks_from_pieces,
+    )
+    from capital.streaming.incremental import (
+        incremental_pack_run,
+        pack_write_batch,
+    )
+
+    rows = [
+        ("s1", 1, list(range(0, 5))),
+        ("s1", 2, list(range(5, 11))),   # ends mid-chunk 2: batch 1
+        ("s2", 3, list(range(100, 103))),
+        ("s1", 4, list(range(11, 13))),  # batch 2 continues chunk 2
+        ("s1", 5, list(range(13, 22))),
+        ("s2", 6, list(range(103, 110))),
+    ]
+    schema = "source string, doc_id long, token_ids array<int>"
+    df = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "src")
+    pieces_dir = str(tmp_path / "pieces")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    df.filter(F.col("doc_id") <= 3).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    df.filter(F.col("doc_id") > 3).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = incremental_pack_run(
+        spark, src, df.schema, 4, pieces_dir, state, ckpt,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    def chunkmap(out):
+        return {
+            (r.source, r.chunk_id): (
+                r.token_ids, r.n_tokens, r.n_docs, r.doc_starts
+            )
+            for r in out.collect()
+        }
+
+    streamed = chunkmap(
+        packed_chunks_from_pieces(
+            spark.read.parquet(pieces_dir).drop("batch_id")
+        )
+    )
+    batch = chunkmap(pack_token_ids(df, seq_len=4))
+    assert streamed == batch and len(batch) > 0
+    # the boundary chunk genuinely straddled batches (doc 2 + doc 4)
+    assert batch[("s1", 2)][2] == 2
+
+    before_p = sorted(
+        map(tuple, spark.read.parquet(pieces_dir).collect())
+    )
+    before_s = sorted(map(tuple, spark.read.parquet(state).collect()))
+    bids = sorted(
+        r[0]
+        for r in spark.read.parquet(state)
+        .select("batch_id").distinct().collect()
+    )
+    assert len(bids) == 2
+    pack_write_batch(
+        spark, df.filter(F.col("doc_id") > 3), bids[-1], 4,
+        pieces_dir, state,
+    )
+    assert sorted(
+        map(tuple, spark.read.parquet(pieces_dir).collect())
+    ) == before_p
+    assert sorted(map(tuple, spark.read.parquet(state).collect())) == before_s
