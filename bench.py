@@ -136,6 +136,10 @@ def headline_names(all_names) -> list[str]:
         "dedup_substring_multiscale",
         "mm_neardup_pairs",
         "mon_lsh_recall_probe",
+        # --- added round 11 (anchor 0.44 s; the round's other new
+        # queries are BPE-training-floor or DuckDB-floor rows,
+        # dispositioned in BASELINE.md) ---
+        "asm_decontaminate_spans",
     ]
     return [n for n in preferred if n in all_names] or sorted(all_names)[:8]
 

@@ -453,6 +453,90 @@ def decontaminate(
     return train.join(hits.select(id_col), id_col, "left_anti")
 
 
+def decontaminate_spans(
+    train: DataFrame,
+    benchmark: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SURGICAL decontamination: instead of dropping every document
+    that overlaps the benchmark (:func:`decontaminate` — which throws
+    away a whole book for one quoted test question), remove only the
+    token spans covered by a benchmark k-gram and keep the rest — the
+    span-removal posture of FLAN/Llama-style decontamination.
+
+    A token position is contaminated iff some stride-1 k-gram window
+    containing it (over the NORMALIZED tokens, the contamination
+    convention) appears in the benchmark's k-gram set. Output: one
+    row per training doc — ``n_tokens``, ``n_removed_tokens``, and
+    ``clean_md5`` (digest of the surviving tokens joined by single
+    spaces, the span_dedup_stats atomic-surrogate convention; rebuild
+    the text by dropping ``md5`` from the aggregate).
+
+    Shape: benchmark grams deduplicate to an eval-suite-sized set and
+    **broadcast** (the contamination posture — the 100 TB side is a
+    map-side semi-probe); matched gram starts explode to covered
+    positions (k rows per HIT, contamination-volume not corpus-
+    volume); the rebuild is one anti-join on (doc, pos) + a per-doc
+    ordered fold bounded by document length.
+    """
+    from capital.io import parallelize_narrow
+
+    toks = tokens(normalized(F.col(text_col)))
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    t_pos = parallelize_narrow(train).select(
+        F.col(id_col), F.posexplode(toks).alias("pos", "tok")
+    )
+    t_grams = (
+        parallelize_narrow(train)
+        .filter(n >= k)
+        .select(F.col(id_col), F.posexplode(grams).alias("gpos", "g"))
+    )
+    b_sh = (
+        benchmark.select(
+            F.explode(shingle_set(F.col(text_col), k)).alias("g")
+        )
+        .distinct()
+    )
+    marked = (
+        t_grams.join(F.broadcast(b_sh), "g")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("gpos"), F.col("gpos") + F.lit(k - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = t_pos.join(marked, [id_col, "pos"], "left_anti")
+    clean = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            )
+        ).alias("clean_md5"),
+    )
+    totals = t_pos.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tokens"))
+    return totals.join(clean, id_col, "left").select(
+        F.col(id_col),
+        "n_tokens",
+        (
+            F.col("n_tokens") - F.coalesce("__n_kept", F.lit(0))
+        ).alias("n_removed_tokens"),
+        F.coalesce("clean_md5", F.md5(F.lit(""))).alias("clean_md5"),
+    )
+
+
 def select_within_budget(
     df: DataFrame,
     budget: int,

@@ -236,6 +236,70 @@ def asm_shard_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DECON_SPAN_ORACLE = rf"""
+    WITH norm AS MATERIALIZED (
+      SELECT doc_id,
+             string_split_regex(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+               '\s+') AS t
+      FROM documents),
+    bench AS MATERIALIZED (
+      SELECT DISTINCT unnest(s) AS g FROM (
+        SELECT list_distinct(
+                 [array_to_string(t[i:i+{_DECON_K - 1}], ' ')
+                  FOR i IN range(1,
+                    greatest(len(t) - {_DECON_K - 1}, 1) + 1)]) AS s
+        FROM norm WHERE doc_id % {_DECON_MOD} = 0)),
+    train AS MATERIALIZED (
+      SELECT doc_id, t FROM norm WHERE doc_id % {_DECON_MOD} <> 0),
+    tg AS (
+      SELECT doc_id, i AS gpos,
+             array_to_string(t[i:i+{_DECON_K - 1}], ' ') AS g
+      FROM train, unnest(range(1, len(t) - {_DECON_K} + 2)) AS u(i)
+      WHERE len(t) >= {_DECON_K}),
+    marked AS MATERIALIZED (
+      SELECT DISTINCT doc_id, p AS pos
+      FROM (SELECT tg.doc_id AS doc_id, tg.gpos AS gpos
+            FROM tg JOIN bench USING (g)),
+           unnest(range(gpos, gpos + {_DECON_K})) AS v(p)),
+    tp AS MATERIALIZED (
+      SELECT doc_id, i AS pos, t[i] AS tok
+      FROM train, unnest(range(1, len(t) + 1)) AS u(i)),
+    kept AS (
+      SELECT doc_id, pos, tok FROM tp
+      ANTI JOIN marked USING (doc_id, pos)),
+    clean AS MATERIALIZED (
+      SELECT doc_id, COUNT(*) AS nk,
+             md5(array_to_string(list(tok ORDER BY pos), ' '))
+               AS cmd5
+      FROM kept GROUP BY doc_id)
+    SELECT t2.doc_id AS doc_id,
+           CAST(len(t2.t) AS BIGINT) AS n_tokens,
+           CAST(len(t2.t) - COALESCE(clean.nk, 0) AS BIGINT)
+             AS n_removed_tokens,
+           COALESCE(clean.cmd5, md5('')) AS clean_md5
+    FROM train t2 LEFT JOIN clean USING (doc_id)
+    """
+
+
+@query("asm_decontaminate_spans", oracle=_DECON_SPAN_ORACLE)
+def asm_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURGICAL benchmark decontamination (llm/assemble.
+    decontaminate_spans): remove only the token spans covered by a
+    benchmark k-gram instead of dropping whole documents — the
+    FLAN/Llama span-removal posture next to asm_contamination's
+    doc-level flags. Benchmark grams broadcast (eval-suite-sized);
+    matched gram starts explode to covered positions (contamination
+    volume, not corpus volume); per-doc rebuild digest is the
+    span_dedup_stats atomic-surrogate convention."""
+    from capital.llm.assemble import decontaminate_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % _DECON_MOD == 0)
+    train = d.filter(F.col("doc_id") % _DECON_MOD != 0)
+    return decontaminate_spans(train, bench, k=_DECON_K)
+
+
 _EPOCH_SEED, _EPOCH_SHARDS = "eporder", 4
 
 

@@ -361,3 +361,38 @@ def test_epoch_shuffle_permutation_properties(spark, sf_dir):
         for r in epoch_shuffle(d, 1, n_shards=4).collect()
     }
     assert len(order1) == n and order1 != rows0  # epochs reorder
+
+
+def test_decontaminate_spans_hand_computed(spark):
+    """Span-surgical decontamination: only benchmark-covered windows
+    are removed, overlapping hits merge, fully-contaminated docs
+    yield the empty digest, clean docs lose nothing."""
+    import hashlib
+
+    from capital.llm.assemble import decontaminate_spans
+
+    bench = spark.createDataFrame(
+        [(0, "a b c d e")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "x x a b c d e y y"),        # middle window hit
+            (2, "a b c d q e"),              # near miss: nothing removed
+            (3, "a b c d e a b c d e"),      # two hits cover everything
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in decontaminate_spans(train, bench, k=5).collect()
+    }
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert out[1].n_tokens == 9 and out[1].n_removed_tokens == 5
+    assert out[1].clean_md5 == md5("x x y y")
+    assert out[2].n_removed_tokens == 0
+    assert out[2].clean_md5 == md5("a b c d q e")
+    assert out[3].n_removed_tokens == 10
+    assert out[3].clean_md5 == md5("")
