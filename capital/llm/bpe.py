@@ -482,6 +482,7 @@ def bpe_encode(
     state: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """Tokenize documents to BPE token-ID sequences: ``(id_col,
     token_ids array<int>)`` — the training-ready form the packing
@@ -495,6 +496,21 @@ def bpe_encode(
     from ``state`` are dropped by the inner join — cover the
     vocabulary rather than relying on that.
 
+    **Id-space contract (round-11 advice):** token ids are a function
+    of the id TABLE, and :func:`bpe_vocab` derives the base alphabet
+    (hence every id, merge ids included — they're offset by the
+    alphabet size) from the ``state`` it is handed. Encoding a new
+    corpus with a vocab rebuilt from the NEW corpus's state would
+    silently assign a different id space (a new character shifts all
+    ids), breaking the trained-model embedding mapping the ids exist
+    for. So: build the table ONCE from the training state —
+    ``bpe_vocab(rules, training_state)`` — store it like any other
+    model artifact, and pass it here via ``vocab`` for every corpus.
+    When ``vocab`` is None the table is derived from ``state``, which
+    is only correct when ``state`` IS the training state. Characters
+    unknown to the training vocab drop out of the encoded sequence
+    (the inner symbol join), the usual OOV-as-UNK posture.
+
     Shape: corpus → posexplode words (the token-count pass the
     engine already does) → join the vocabulary-sized ``(word, wids)``
     table → per-doc ordered flatten. One shuffle for the join, one
@@ -503,7 +519,8 @@ def bpe_encode(
     """
     from capital.llm.text import tokens
 
-    vocab = bpe_vocab(rules, state)
+    if vocab is None:
+        vocab = bpe_vocab(rules, state)
     wids = word_token_ids(state, vocab)
     tk = docs.select(
         F.col(id_col),

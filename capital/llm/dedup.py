@@ -1128,15 +1128,21 @@ def lsh_recall_probe(
     from capital.llm.text import round6_stable
     from capital.operators.caching import scoped_persist
 
-    sampled = scoped_persist(
-        df.filter(hash_fraction(F.col(id_col), seed) < sample_frac), scope
-    )
-    n_sample = sampled.count()
+    # Count the UNPERSISTED sample first (count() prunes the plan to
+    # the id hash — cheap), so the oversized frame the row cap exists
+    # to avoid is never materialized into cache, and nothing needs
+    # unpersisting when the cap tightens the fraction (round-11
+    # advice). Only the final (capped) sample is persisted — it is
+    # the frame consumed 3× below (truth pairs, semi-joins, report).
+    eff_frac = sample_frac
+    n_sample = df.filter(
+        hash_fraction(F.col(id_col), seed) < sample_frac
+    ).count()
     if max_sample_docs is not None and n_sample > max_sample_docs:
         eff_frac = sample_frac * (float(max_sample_docs) / float(n_sample))
-        sampled = scoped_persist(
-            df.filter(hash_fraction(F.col(id_col), seed) < eff_frac), scope
-        )
+    sampled = scoped_persist(
+        df.filter(hash_fraction(F.col(id_col), seed) < eff_frac), scope
+    )
     truth = scoped_persist(
         jaccard_pairs(
             sampled,

@@ -367,7 +367,21 @@ def write_bm25_index(
     stats persisted so queries never re-scan or re-tokenize the
     corpus. One full-corpus "batch 0" of
     :func:`bm25_index_write_batch`; grow it incrementally with
-    :func:`incremental_bm25_index_run`."""
+    :func:`incremental_bm25_index_run`.
+
+    This is a FULL REBUILD, so the target dir is deleted first
+    (round-11 advice): the batch writer's dynamic partition
+    overwrite is right for the incremental append path, but a
+    rebuild over a changed corpus must also drop ``pbucket``
+    partitions the new corpus doesn't hit — dynamic mode would leave
+    stale postings that score phantom docs with no loud failure (df/
+    and stats/ rewrite fully, so nothing errors). Local-fs delete,
+    the compact_partition posture: an object-store deployment swaps
+    the primitive, the protocol (drop-then-build, or build to a
+    run-keyed path) is unchanged."""
+    import shutil
+
+    shutil.rmtree(index_dir, ignore_errors=True)
     bm25_index_write_batch(docs, 0, index_dir, id_col, text_col)
 
 

@@ -16,8 +16,13 @@ monitored pipeline).
 
 from __future__ import annotations
 
+from typing import TYPE_CHECKING
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+if TYPE_CHECKING:
+    from capital.operators.caching import CacheScope
 
 
 def _dsum(col, alias):
@@ -72,6 +77,7 @@ def pairwise_correlation(
     value_col: str,
     chunk_target: int = 1024,
     total_rows_hint: int | None = None,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """Correlation MATRIX across aligned series — the classic
     cross-sectional workload (pairwise correlation of per-day returns
@@ -97,11 +103,19 @@ def pairwise_correlation(
     from capital.operators.skew import chunked_pair_join
 
     panel = df.select(key_col, series_col, value_col)
+    release_after_probe = False
     if total_rows_hint is None:
         # The skew probe is an eager count over the panel; persist so
         # the probe and the pair join share one evaluation of the
-        # caller's (often aggregate-shaped) lineage.
-        panel = scoped_persist(panel, None)
+        # caller's (often aggregate-shaped) lineage. Thread the
+        # caller's scope (CacheScope discipline); without one, release
+        # right after the probe has run — an untracked persist here
+        # leaks an InMemoryRelation per call into the shared
+        # local-mode driver heap (round-11 advice). The post-release
+        # consumption then re-evaluates the panel aggregate once,
+        # which is the cheap side of this operator.
+        panel = scoped_persist(panel, scope)
+        release_after_probe = scope is None
     pairs = chunked_pair_join(
         panel,
         [key_col],
@@ -115,6 +129,11 @@ def pairwise_correlation(
         F.col(f"{value_col}_a").alias("__x"),
         F.col(f"{value_col}_b").alias("__y"),
     )
+    if release_after_probe:
+        # chunked_pair_join's probe (its only eager job) has run by
+        # now; the returned plan stays valid — Spark recomputes the
+        # unpersisted panel when the result is consumed.
+        panel.unpersist()
     return grouped_pearson(pairs, ["series_a", "series_b"], "__x", "__y")
 
 

@@ -125,6 +125,53 @@ def ret_bm25_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk_stored(spark, path, topk=_RET_TOPK)
 
 
+def ensure_bm25_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once fixture for the probe-only stored-BM25 query: a
+    per-sf index dir (SEPARATE from ret_bm25_stored's rebuild path,
+    which deletes its dir every call) guarded by a content marker —
+    an empty ``_BUILT_n{doc_count}`` file keyed by the corpus row
+    count, so a regenerated corpus under the same sf basename
+    triggers a rebuild instead of probing stale postings (the
+    round-11 ret_bm25_stored hazard). The count is metadata-cheap on
+    parquet. Single-writer assumed (the driver is one process; the
+    lake posture is a versioned-index maintenance job)."""
+    import os
+    import tempfile
+
+    from capital.llm.retrieval import write_bm25_index
+
+    d = load_table(spark, sf_dir, "documents")
+    n = d.count()
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"capital_bm25_probe_index_v1_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    marker = os.path.join(path, f"_BUILT_n{n}")
+    if not os.path.exists(marker):
+        write_bm25_index(d, path)  # deletes any stale layout first
+        with open(marker, "w"):
+            pass
+    return path
+
+
+@query("ret_bm25_probe_only", memoize=False, oracle=_BM25_ORACLE)
+def ret_bm25_probe_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from a PREBUILT stored index (round-11 verdict
+    #2): :func:`ensure_bm25_index` builds the versioned index at most
+    once per corpus content, and the query itself is pure probe —
+    postings partition-pruned to the workload's pbuckets, df/stats
+    folded from the stored partials, corpus never touched. Same
+    oracle as ret_bm25_topk (the score is defined by corpus +
+    workload, not by where postings live); this row is the index
+    family's steady-state cost, next to ret_bm25_stored's
+    build+write+probe cost. memoize=False: the fixture check and the
+    pbucket collect are eager."""
+    from capital.llm.retrieval import bm25_topk_stored
+
+    path = ensure_bm25_index(spark, sf_dir)
+    return bm25_topk_stored(spark, path, topk=_RET_TOPK)
+
+
 _DSIR_QUOTA = 100
 _HS = 4294967296.0
 

@@ -25,6 +25,28 @@ from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 
 
+def read_prior_state(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a durable per-batch state store, returning ``None`` ONLY
+    when the directory genuinely does not exist yet (the first
+    batch). Every writer in this module creates the dir WITH data,
+    so any other read failure — an empty-but-existing dir, a schema
+    mismatch, a mixed-layout store — is state corruption and MUST
+    propagate: a blanket ``except AnalysisException`` would silently
+    score the batch against an empty prior and emit wrong flags with
+    no error (round-11 advice). Spark 4 tags a truly-missing path
+    ``PATH_NOT_FOUND``; everything else re-raises.
+    """
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as exc:
+        cond = exc.getCondition() if hasattr(exc, "getCondition") else None
+        if cond == "PATH_NOT_FOUND":
+            return None
+        raise
+
+
 def incremental_run(
     spark: SparkSession,
     source_dir: str,
@@ -586,19 +608,17 @@ def incremental_bloom_run(
 
     def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
         # Missing state dir = first batch; any OTHER read failure
-        # (corrupt parquet, permissions) must propagate — silently
-        # scoring against an empty filter would emit wrong
-        # seen_before=false flags with no error.
-        from pyspark.errors import AnalysisException
-
-        try:
+        # (empty dir, schema mismatch, corrupt parquet) propagates
+        # via read_prior_state — silently scoring against an empty
+        # filter would emit wrong seen_before=false flags, no error.
+        st = read_prior_state(spark, state_dir)
+        if st is not None:
             prior = (
-                spark.read.parquet(state_dir)
-                .filter(F.col("batch_id") < batch_id)
+                st.filter(F.col("batch_id") < batch_id)
                 .groupBy("word_idx")
                 .agg(F.bit_or("word").alias("word"))
             )
-        except AnalysisException:  # PATH_NOT_FOUND: no state yet
+        else:
             prior = spark.createDataFrame(
                 [], "word_idx bigint, word bigint"
             )
@@ -790,8 +810,6 @@ def semdedup_write_batch(
     flags and members as ``batch_id=`` dynamic-overwrite partitions.
     Idempotent given the durable state: a replay reads the same prior
     members and rewrites its own partitions to the same bytes."""
-    from pyspark.errors import AnalysisException
-
     from capital.llm.ivf import assign_cells
     from capital.llm.similarity import _norm, cosine_with_norms
     from capital.operators.skew import chunked_pair_join
@@ -802,14 +820,14 @@ def semdedup_write_batch(
         F.col(vec_col),
         _norm(F.col(vec_col)).alias("nrm"),
     ).localCheckpoint(eager=True)  # consumed 3x below
-    # Missing member dir = first batch; any other read failure must
-    # propagate (the Bloom-run contract: silently scoring against an
-    # empty store emits wrong keep flags, no error).
-    try:
-        prior = spark.read.parquet(members_dir).filter(
-            F.col("batch_id") < batch_id
-        )
-    except AnalysisException:  # PATH_NOT_FOUND: no members yet
+    # Missing member dir = first batch; any other read failure
+    # propagates via read_prior_state (the Bloom-run contract:
+    # silently scoring against an empty store emits wrong keep
+    # flags, no error).
+    mem = read_prior_state(spark, members_dir)
+    if mem is not None:
+        prior = mem.filter(F.col("batch_id") < batch_id)
+    else:
         prior = spark.createDataFrame(
             [],
             labeled.withColumn("batch_id", F.lit(0)).schema,
@@ -963,18 +981,16 @@ def pack_write_batch(
     chunk PIECES, and land pieces + per-stream token-count partials as
     ``batch_id=`` dynamic-overwrite partitions. Idempotent given the
     durable state."""
-    from pyspark.errors import AnalysisException
-
     from capital.llm.assemble import token_pieces
 
-    try:
+    st = read_prior_state(spark, state_dir)
+    if st is not None:
         base = (
-            spark.read.parquet(state_dir)
-            .filter(F.col("batch_id") < batch_id)
+            st.filter(F.col("batch_id") < batch_id)
             .groupBy(partition_col)
             .agg(F.sum("n_ids").cast("long").alias("base"))
         )
-    except AnalysisException:  # PATH_NOT_FOUND: first batch
+    else:  # PATH_NOT_FOUND: first batch
         base = None
     pieces = token_pieces(
         batch_df,

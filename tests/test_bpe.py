@@ -242,3 +242,42 @@ def test_pack_token_ids_reassembles_stream_exactly(spark):
     assert chunks[("s1", 2)].doc_starts == []
     assert chunks[("s1", 3)].doc_starts == [0]
     assert chunks[("s2", 0)].doc_starts == [0]
+
+
+def test_bpe_encode_cross_corpus_shares_training_id_space(spark):
+    """Round-11 advice (medium): ids are a function of the id TABLE,
+    and bpe_vocab derives the base alphabet (hence every id) from
+    the state it's handed. Encoding a new corpus must pass the
+    TRAINING vocab — a vocab rebuilt from the new corpus's state
+    (which has an extra character here) shifts ids silently."""
+    from capital.llm.bpe import apply_merges, bpe_encode, bpe_vocab
+
+    train_wc = _vocab(spark, {"low": 5, "lower": 2, "newest": 6})
+    rules, train_state = bpe_train(train_wc, merges=4)
+    train_vocab = bpe_vocab(rules, train_state)
+    tv = {r.token: r.token_id for r in train_vocab.collect()}
+
+    # new corpus introduces 'z' (< EOW? no: '</w>' < 'l' < ... < 'z';
+    # use 'a' which sorts before 'l' and shifts every id after it)
+    new_docs = spark.createDataFrame(
+        [(1, "low a newest")], "doc_id int, text string"
+    )
+    new_state = apply_merges(word_counts(new_docs), rules)
+
+    # correct path: training vocab passed explicitly
+    enc = bpe_encode(new_docs, rules, new_state, vocab=train_vocab)
+    ids = enc.collect()[0].token_ids
+    # 'low' fuses exactly as in training; its ids must be the
+    # training ids (word 'a' is OOV to the training charset except
+    # where chars collide — 'a' itself is absent from train_vocab,
+    # so its symbols drop out)
+    low_ids = [tv["lo"], tv["w"], tv[EOW]]
+    assert ids[: len(low_ids)] == low_ids
+    assert all(i in set(tv.values()) for i in ids)
+
+    # hazard pin: rebuilding the vocab from the NEW state assigns a
+    # DIFFERENT id space (the extra base char shifts ids)
+    nv = {r.token: r.token_id for r in bpe_vocab(rules, new_state).collect()}
+    assert nv["a"] is not None
+    shifted = [t for t in tv if t in nv and nv[t] != tv[t]]
+    assert shifted, "expected id shifts when the base alphabet grows"

@@ -826,3 +826,20 @@ def test_incremental_pack_stream_matches_batch(spark, tmp_path):
         map(tuple, spark.read.parquet(pieces_dir).collect())
     ) == before_p
     assert sorted(map(tuple, spark.read.parquet(state).collect())) == before_s
+
+
+def test_read_prior_state_corrupt_store_propagates(spark, tmp_path):
+    """Round-11 advice: the first-batch fallback must fire ONLY for a
+    genuinely missing state dir. An empty-but-existing dir (a
+    corrupted / half-initialized store) must raise, never silently
+    score against an empty prior."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from capital.streaming.incremental import read_prior_state
+
+    assert read_prior_state(spark, str(tmp_path / "nope")) is None
+    empty = tmp_path / "empty_state"
+    empty.mkdir()
+    with pytest.raises(AnalysisException):
+        read_prior_state(spark, str(empty))
