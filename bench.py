@@ -174,19 +174,25 @@ def main() -> None:
 
     clear_engine_cache(spark)
 
-    # Two timed passes, min per query (standard bench practice: the min
-    # is the least-interference estimate of the plan's cost — the
-    # queries run back-to-back in one JVM and GC/compilation noise from
-    # a heavy neighbor inflates single measurements 2-10× on sub-second
-    # queries). The second pass runs in REVERSE order so each query's
-    # two samples sit in different neighbor contexts — a query stuck
-    # behind the same heavy predecessor twice would otherwise inherit
-    # the same GC shadow in both samples. Caches are cleared between
-    # passes so both recompute.
+    # N timed passes (default 3, $SPARK_GRAFT_BENCH_PASSES), min per
+    # query (standard bench practice: the min is the least-
+    # interference estimate of the plan's cost — the queries run
+    # back-to-back in one JVM and GC/compilation noise from a heavy
+    # neighbor inflates single measurements 2-10× on sub-second
+    # queries, and this firecracker host drifts 2×+ between runs).
+    # Round 12: three passes so the DRIVER-FACING number is the
+    # contention-robust one — round 11's committed single-file
+    # artifact recorded a noisy pass while the defensible best-of-3
+    # lived only in BASELINE.md prose. Passes alternate direction so
+    # each query's samples sit in different neighbor contexts — a
+    # query stuck behind the same heavy predecessor every pass would
+    # inherit the same GC shadow in every sample. Caches are cleared
+    # between passes so each recomputes.
+    n_passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
-    for _pass in range(2):
-        for name in names if _pass == 0 else list(reversed(names)):
+    for _pass in range(n_passes):
+        for name in names if _pass % 2 == 0 else list(reversed(names)):
             try:
                 t0 = time.perf_counter()
                 df = queries[name](spark, sf_dir)
@@ -224,9 +230,10 @@ def main() -> None:
             sum(t for n, t in timings.items() if t >= 0 and n in _R4_SUBSET),
             4,
         ),
-        # Per-query min of the two timed passes (least-interference
+        # Per-query min of the timed passes (least-interference
         # estimate of plan cost on this contended host).
         "queries": timings,
+        "n_passes": n_passes,
         # Host-contention audit (round 7): same-code readings varied
         # 2×+ on this shared VM, so each query reports BOTH timed
         # passes. A wide spread marks a reading as noise-suspect.
@@ -248,6 +255,7 @@ def main() -> None:
         "value_r4_subset": detail["value_r4_subset"],
         "n_queries": len(names),
         "n_failed": len(failed),
+        "n_passes": n_passes,
         "sf": sf_val,
         "detail": "bench_detail.json",
     }
