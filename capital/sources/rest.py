@@ -168,6 +168,130 @@ class PaginatedRestSource:
         return spark.createDataFrame(rows, schema=schema)
 
 
+def requests_available() -> bool:
+    """Feature gate for the real-transport adapter (the protobuf-gate
+    pattern): True when the ``requests`` package imports."""
+    try:
+        import requests  # noqa: F401
+    except Exception:  # noqa: BLE001
+        return False
+    return True
+
+
+class TransientHTTPError(RuntimeError):
+    """A retryable HTTP failure (429/5xx): raised by
+    :func:`http_fetcher` so :class:`RetryPolicy` — whose default
+    ``retry_on=Exception`` already covers it — re-attempts the page,
+    while a 404 (raised as requests' own ``HTTPError``) can be
+    excluded by narrowing ``retry_on`` to this class."""
+
+
+def _retry_after_seconds(value: str | None, cap: float) -> float | None:
+    """Parse an HTTP ``Retry-After`` header: delta-seconds or an
+    HTTP-date (RFC 9110 §10.2.3), capped so a hostile/buggy server
+    cannot park the pipeline for hours."""
+    if not value:
+        return None
+    try:
+        return min(max(float(value), 0.0), cap)
+    except ValueError:
+        pass
+    try:
+        from email.utils import parsedate_to_datetime
+
+        dt = parsedate_to_datetime(value)
+        return min(max(dt.timestamp() - time.time(), 0.0), cap)
+    except Exception:  # noqa: BLE001 - malformed header ≠ fatal
+        return None
+
+
+def http_fetcher(
+    url_for: Callable[[int], str],
+    *,
+    method: str = "GET",
+    params_for: Callable[[int], dict] | None = None,
+    data_for: Callable[[int], dict] | None = None,
+    headers: dict | None = None,
+    timeout_s: float = 30.0,
+    encoding: str | None = None,
+    session=None,
+    sleeper: Callable[[float], None] = time.sleep,
+    max_retry_after_s: float = 120.0,
+    retry_statuses: Sequence[int] = (429, 502, 503, 504),
+) -> Fetcher:
+    """A REAL-transport :data:`Fetcher` backed by ``requests`` — the
+    adapter that plugs the reference's actual I/O behavior into the
+    transport-agnostic sources (round-11 verdict #7; the operator
+    loops it re-expresses: plugins/operators/bank_of_korea_operator
+    .py:60-98 GET pagination, dags/brz_kr_etf_daily/tasks.py:30-75
+    page loops, POST-form APIs per SURVEY §2.1 S3).
+
+    Semantics the injected test fetchers never exercised, now real:
+
+    - **Retry-After**: a 429/502/503/504 response sleeps the header's
+      delta-seconds or HTTP-date (capped at ``max_retry_after_s``)
+      before raising :class:`TransientHTTPError`, so a composed
+      :class:`RetryPolicy` re-attempt respects the server's own
+      back-pressure rather than only the fixed client delay.
+    - **Encoding**: ``encoding`` overrides requests' header-derived
+      charset before ``.json()`` (the reference's KRX scrapers force
+      EUC-KR on responses whose Content-Type lies).
+    - **Status discipline**: retryable statuses raise
+      :class:`TransientHTTPError`; anything else non-2xx raises
+      requests' ``HTTPError`` (a 404 is not a flaky 503 — narrow
+      ``RetryPolicy.retry_on`` to ``TransientHTTPError`` to encode
+      that).
+
+    ``session`` is injectable (a ``requests.Session`` or compatible —
+    e.g. a cloudscraper session in the reference's Naver scraper
+    deployment); by default one lazy Session is created per fetcher
+    and reused across pages for connection pooling. Driver-side only,
+    like every :class:`PaginatedRestSource` fetcher — the payloads
+    are control-plane-sized by contract.
+    """
+    if not requests_available():  # pragma: no cover - env-dependent
+        raise ImportError(
+            "http_fetcher needs the 'requests' package; inject a "
+            "custom Fetcher where it is unavailable"
+        )
+    import requests
+
+    sess = session
+
+    def fetch(cursor: int) -> dict:
+        nonlocal sess
+        if sess is None:
+            sess = requests.Session()
+        resp = sess.request(
+            method,
+            url_for(cursor),
+            params=params_for(cursor) if params_for else None,
+            data=data_for(cursor) if data_for else None,
+            headers=headers,
+            timeout=timeout_s,
+        )
+        if resp.status_code in retry_statuses:
+            wait = _retry_after_seconds(
+                resp.headers.get("Retry-After"), max_retry_after_s
+            )
+            if wait:
+                sleeper(wait)
+            raise TransientHTTPError(
+                f"HTTP {resp.status_code} for {resp.url}"
+            )
+        resp.raise_for_status()
+        if encoding is not None:
+            resp.encoding = encoding
+        payload = resp.json()
+        if not isinstance(payload, dict):
+            raise ValueError(
+                f"expected a JSON object payload, got {type(payload).__name__}"
+            )
+        return payload
+
+    return fetch
+
+
 def page_windows_udtf():
     """UD1: a Python UDTF generating pagination windows — the
     table-function form of the reference's offset loop

@@ -1,0 +1,233 @@
+"""Real-transport adapter (capital/sources/rest.http_fetcher): the
+requests-backed Fetcher exercised against a LIVE local HTTP server
+serving canned responses (round-11 verdict #7) — genuine sockets,
+genuine requests encoding/headers handling, zero external network.
+Covers the behaviors the injected test fetchers never reached:
+Retry-After back-pressure, forced response encoding, retryable-vs-
+fatal status discipline, POST-form APIs, and the end-to-end
+PaginatedRestSource composition."""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import pytest
+
+from capital.sources.rest import (
+    PaginatedRestSource,
+    RetryPolicy,
+    TransientHTTPError,
+    http_fetcher,
+    requests_available,
+)
+
+pytestmark = pytest.mark.skipif(
+    not requests_available(), reason="requests not installed"
+)
+
+#: Canned corpus: 5 records over page_size=2 → 3 pages.
+_RECORDS = [{"isin": f"KR{i:04d}", "price": 100 + i} for i in range(5)]
+_PAGE_SIZE = 2
+
+
+class _Handler(BaseHTTPRequestHandler):
+    flaky_hits = {}  # path → hit count (class-level; server is per-test)
+
+    def log_message(self, *a):  # silence test output
+        pass
+
+    def _json(self, obj, status=200, headers=None, body_bytes=None):
+        body = body_bytes or json.dumps(obj).encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        for k, v in (headers or {}).items():
+            self.send_header(k, v)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        url = urlparse(self.path)
+        qs = parse_qs(url.query)
+        if url.path == "/pages":
+            page = int(qs.get("page", ["0"])[0])
+            rows = _RECORDS[page * _PAGE_SIZE : (page + 1) * _PAGE_SIZE]
+            self._json({"items": rows, "totalCount": len(_RECORDS)})
+        elif url.path == "/flaky":
+            # first hit per page: 429 + Retry-After, then success
+            page = int(qs.get("page", ["0"])[0])
+            hits = _Handler.flaky_hits.get(page, 0)
+            _Handler.flaky_hits[page] = hits + 1
+            if hits == 0:
+                self._json(
+                    {"error": "slow down"},
+                    status=429,
+                    headers={"Retry-After": "7"},
+                )
+            else:
+                rows = _RECORDS[page * _PAGE_SIZE : (page + 1) * _PAGE_SIZE]
+                self._json({"items": rows, "totalCount": len(_RECORDS)})
+        elif url.path == "/euckr":
+            # Content-Type withholds the charset; the body is EUC-KR —
+            # the reference's KRX-scraper situation (forced encoding).
+            body = json.dumps(
+                {"items": [{"name": "삼성전자"}], "totalCount": 1},
+                ensure_ascii=False,
+            ).encode("euc-kr")
+            self._json(None, body_bytes=body)
+        else:
+            self._json({"error": "not found"}, status=404)
+
+    def do_POST(self):
+        n = int(self.headers.get("Content-Length", "0"))
+        form = parse_qs(self.rfile.read(n).decode())
+        if urlparse(self.path).path == "/form":
+            page = int(form.get("pageNo", ["0"])[0])
+            rows = _RECORDS[page * _PAGE_SIZE : (page + 1) * _PAGE_SIZE]
+            self._json(
+                {
+                    "items": rows,
+                    "totalCount": len(_RECORDS),
+                    "echo_market": form.get("market", [""])[0],
+                }
+            )
+        else:
+            self._json({"error": "not found"}, status=404)
+
+
+@pytest.fixture()
+def server():
+    _Handler.flaky_hits = {}
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield f"http://127.0.0.1:{srv.server_address[1]}"
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_http_fetcher_paginates_end_to_end(server, spark):
+    """GET pagination over real sockets: PaginatedRestSource drains
+    all pages through the requests transport and reconciles against
+    the API's own totalCount."""
+    src = PaginatedRestSource(
+        fetch_page=http_fetcher(
+            lambda page: f"{server}/pages",
+            params_for=lambda page: {"page": page},
+        ),
+        records_key="items",
+        total_key="totalCount",
+        page_size=_PAGE_SIZE,
+        mode="page",
+    )
+    rows = list(src.records())
+    assert rows == _RECORDS
+    df = PaginatedRestSource(
+        fetch_page=http_fetcher(
+            lambda page: f"{server}/pages",
+            params_for=lambda page: {"page": page},
+        ),
+        records_key="items",
+        total_key="totalCount",
+        page_size=_PAGE_SIZE,
+        mode="page",
+    ).to_dataframe(spark, "isin string, price long")
+    assert df.count() == len(_RECORDS)
+
+
+def test_http_fetcher_honors_retry_after_then_retry_succeeds(server):
+    """429 + Retry-After: the fetcher sleeps the SERVER's delay (via
+    the injected sleeper) and raises TransientHTTPError; a composed
+    RetryPolicy narrowed to that class re-attempts and the second hit
+    succeeds — the reference's scheduler-level retries, now at the
+    fetch boundary and respecting server back-pressure."""
+    slept = []
+    fetch = http_fetcher(
+        lambda page: f"{server}/flaky",
+        params_for=lambda page: {"page": page},
+        sleeper=slept.append,
+    )
+    retry = RetryPolicy(
+        max_retries=2, delay_s=0.0, retry_on=TransientHTTPError
+    )
+    src = PaginatedRestSource(
+        fetch_page=retry.wrap(fetch),
+        records_key="items",
+        total_key="totalCount",
+        page_size=_PAGE_SIZE,
+        mode="page",
+    )
+    assert list(src.records()) == _RECORDS
+    # one 429 per page (3 pages), each sleeping the server's 7 s
+    assert slept == [7.0, 7.0, 7.0]
+
+
+def test_http_fetcher_retry_after_cap(server):
+    """A hostile Retry-After cannot park the pipeline: the sleep is
+    capped at max_retry_after_s."""
+    slept = []
+    fetch = http_fetcher(
+        lambda page: f"{server}/flaky",
+        params_for=lambda page: {"page": page},
+        sleeper=slept.append,
+        max_retry_after_s=0.5,
+    )
+    with pytest.raises(TransientHTTPError):
+        fetch(0)
+    assert slept == [0.5]
+
+
+def test_http_fetcher_404_is_fatal_not_retried(server):
+    """Status discipline: a 404 raises requests' HTTPError, which a
+    retry_on=TransientHTTPError policy does NOT swallow — a missing
+    resource is not a flaky host."""
+    import requests
+
+    attempts = []
+
+    def url_for(page):
+        attempts.append(page)
+        return f"{server}/missing"
+
+    fetch = RetryPolicy(
+        max_retries=3, delay_s=0.0, retry_on=TransientHTTPError
+    ).wrap(http_fetcher(url_for))
+    with pytest.raises(requests.HTTPError):
+        fetch(0)
+    assert len(attempts) == 1  # no retries burned on a 404
+
+
+def test_http_fetcher_forced_encoding(server):
+    """The reference's KRX scrapers force EUC-KR on responses whose
+    Content-Type withholds the charset; the adapter's encoding
+    override must decode the Korean payload correctly."""
+    fetch = http_fetcher(lambda page: f"{server}/euckr", encoding="euc-kr")
+    payload = fetch(0)
+    assert payload["items"][0]["name"] == "삼성전자"
+
+
+def test_http_fetcher_post_form(server):
+    """S3 (POST-form JSON API): form fields carry the cursor; the
+    canned endpoint echoes a field back to prove the body went over
+    the wire as application/x-www-form-urlencoded."""
+    fetch = http_fetcher(
+        lambda page: f"{server}/form",
+        method="POST",
+        data_for=lambda page: {"pageNo": str(page), "market": "KOSPI"},
+    )
+    p0 = fetch(0)
+    assert p0["items"] == _RECORDS[:_PAGE_SIZE]
+    assert p0["echo_market"] == "KOSPI"
+    src = PaginatedRestSource(
+        fetch_page=fetch,
+        records_key="items",
+        total_key="totalCount",
+        page_size=_PAGE_SIZE,
+        mode="page",
+    )
+    assert list(src.records()) == _RECORDS
