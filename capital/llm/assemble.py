@@ -453,6 +453,77 @@ def decontaminate(
     return train.join(hits.select(id_col), id_col, "left_anti")
 
 
+def semantic_contamination(
+    train: DataFrame,
+    benchmark: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SEMANTIC benchmark decontamination: training vectors whose
+    embedding cosine against ANY benchmark vector reaches
+    ``threshold`` — the paraphrase-robust complement to the n-gram
+    :func:`contamination` (verbatim overlap misses reworded test
+    items; Llama/PaLM-era reports pair both checks).
+
+    One row per training vector: ``(id, is_contaminated,
+    n_bench_hits, max_sim, first_bench_id)`` — max_sim round6-stable
+    (max over identically-computed doubles is order-free),
+    first_bench_id the MIN hitting benchmark id (deterministic
+    attribution for audit).
+
+    Shape (the :func:`contamination` economics, dense form): the
+    benchmark side (eval suites — thousands of vectors) broadcasts
+    with precomputed norms, so the 100 TB training side is ONE narrow
+    pass (broadcast nested-loop, cosine per (train, bench) pair,
+    filtered at the source) — the corpus never shuffles; the only
+    exchange is the per-id aggregation of the FILTERED hit rows.
+    When the benchmark outgrows a broadcast, route through the IVF
+    cell index instead (probe benchmark cells only) — the stored-ANN
+    family exists for exactly that regime.
+    """
+    from capital.io import parallelize_narrow
+    from capital.llm.similarity import _norm, cosine_with_norms
+    from capital.llm.text import round6_stable
+
+    q = benchmark.select(
+        F.col(id_col).alias("__bid"),
+        F.col(vec_col).alias("__qv"),
+        _norm(F.col(vec_col)).alias("__qn"),
+    )
+    c = parallelize_narrow(train).select(
+        F.col(id_col),
+        F.col(vec_col).alias("__cv"),
+        _norm(F.col(vec_col)).alias("__cn"),
+    )
+    sim = cosine_with_norms(
+        F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+    )
+    hits = (
+        c.join(F.broadcast(q), F.col(id_col) != F.col("__bid"))
+        .withColumn("__sim", sim)
+        .filter(F.col("__sim") >= threshold)
+        .select(F.col(id_col), "__bid", "__sim")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bench_hits"),
+            round6_stable(F.max("__sim")).alias("max_sim"),
+            F.min("__bid").alias("first_bench_id"),
+        )
+    )
+    return (
+        train.select(F.col(id_col))
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_bench_hits").isNotNull().alias("is_contaminated"),
+            F.coalesce("n_bench_hits", F.lit(0)).alias("n_bench_hits"),
+            "max_sim",
+            "first_bench_id",
+        )
+    )
+
+
 def decontaminate_spans(
     train: DataFrame,
     benchmark: DataFrame,

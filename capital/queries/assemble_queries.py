@@ -210,6 +210,58 @@ def asm_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMDECON_MOD = 17     # vec_id % MOD == 0 → benchmark ("eval") vector
+_SEMDECON_TAU = 0.35   # the corpus's embedding-threshold convention
+_SEMDECON_DIM = 64
+
+
+@query(
+    "asm_semantic_decontamination",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS bid, embedding AS qv
+               FROM embeddings WHERE vec_id % {_SEMDECON_MOD} = 0),
+    c AS (SELECT vec_id, embedding AS cv
+          FROM embeddings WHERE vec_id % {_SEMDECON_MOD} <> 0),
+    s AS (
+      SELECT vec_id, bid,
+             list_sum([CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)
+                       FOR i IN range(1, {_SEMDECON_DIM} + 1)])
+             / (sqrt(list_sum([CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)
+                               FOR i IN range(1, {_SEMDECON_DIM} + 1)]))
+                * sqrt(list_sum([CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)
+                                 FOR i IN range(1, {_SEMDECON_DIM} + 1)])))
+               AS sim
+      FROM q, c WHERE vec_id <> bid),
+    hits AS (
+      SELECT vec_id, COUNT(*) AS n_bench_hits,
+             floor(MAX(sim) * 1e6 + 0.5e0) / 1e6 AS max_sim,
+             MIN(bid) AS first_bench_id
+      FROM s WHERE sim >= {_SEMDECON_TAU!r}e0 GROUP BY vec_id)
+    SELECT c.vec_id, hits.vec_id IS NOT NULL AS is_contaminated,
+           COALESCE(n_bench_hits, 0) AS n_bench_hits,
+           max_sim, first_bench_id
+    FROM c LEFT JOIN hits USING (vec_id)
+    """,
+)
+def asm_semantic_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SEMANTIC decontamination (llm/assemble.semantic_contamination):
+    training vectors whose embedding cosine against any benchmark
+    vector (vec_id % 17 == 0, the derived eval suite) reaches the
+    corpus's 0.35 convention — the paraphrase-robust complement to
+    the n-gram asm_contamination pair. Benchmark side broadcast with
+    precomputed norms; the training side is one narrow broadcast-
+    nested-loop pass, filtered at the source — the 100 TB corpus
+    never shuffles (only the filtered hit rows aggregate)."""
+    from capital.llm.assemble import semantic_contamination
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % _SEMDECON_MOD == 0)
+    train = emb.filter(F.col("vec_id") % _SEMDECON_MOD != 0)
+    return semantic_contamination(train, bench, threshold=_SEMDECON_TAU)
+
+
 @query(
     "asm_shard_sizes",
     oracle=f"""

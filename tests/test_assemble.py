@@ -396,3 +396,42 @@ def test_decontaminate_spans_hand_computed(spark):
     assert out[2].clean_md5 == md5("a b c d q e")
     assert out[3].n_removed_tokens == 10
     assert out[3].clean_md5 == md5("")
+
+
+def test_semantic_contamination_hand_computed(spark):
+    """Dense decontamination on constructed vectors: hand-computed
+    cosines pin the flag, hit count, round6 max_sim and the min-id
+    attribution; a training vector sharing an id with a benchmark
+    vector must not self-match."""
+    from capital.llm.assemble import semantic_contamination
+
+    bench = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (17, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, [2.0, 0.0]),      # cos=1.0 with bid 0, 0.0 with 17
+            (2, [1.0, 1.0]),      # cos≈0.7071 with both
+            (3, [-1.0, 0.0]),     # cos=-1 / 0 → no hits
+            (17, [0.0, 5.0]),     # same id as a bench vector: no self
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r.vec_id: r
+        for r in semantic_contamination(
+            train, bench, threshold=0.7
+        ).collect()
+    }
+    assert len(out) == 4
+    assert out[1].is_contaminated and out[1].n_bench_hits == 1
+    assert out[1].max_sim == 1.0 and out[1].first_bench_id == 0
+    assert out[2].is_contaminated and out[2].n_bench_hits == 2
+    assert abs(out[2].max_sim - 0.707107) < 1e-9  # round6(√2/2)
+    assert out[2].first_bench_id == 0
+    assert not out[3].is_contaminated and out[3].n_bench_hits == 0
+    assert out[3].max_sim is None and out[3].first_bench_id is None
+    # vec 17: cos=1.0 with bench 17 but ids match → only the bench-0
+    # comparison (cos 0.0) remains, below threshold
+    assert not out[17].is_contaminated and out[17].n_bench_hits == 0

@@ -401,3 +401,23 @@ def test_round10_new_ops_plan_shapes(spark, sf_dir):
     assert plan.count("MapInPandas (") <= 2
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan  # never row-at-a-time Python
+
+
+def test_semantic_decontamination_broadcasts_bench_no_corpus_shuffle(
+    spark, sf_dir
+):
+    """Dense decontamination (round 12): the benchmark vectors
+    broadcast into a nested-loop pass over the training side, with
+    the threshold pushed INTO the join condition so unfiltered pairs
+    never materialize; the exchanges left are id-sized (the hit
+    aggregation and the zero-fill outer join), never the vector
+    pair space."""
+    plan = plan_of(
+        _QUERIES["asm_semantic_decontamination"](spark, sf_dir)
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    # threshold filters at the pair source: the formatted plan's join
+    # condition carries the >= 0.35 comparison
+    cond = [l for l in plan.splitlines() if "Join condition:" in l]
+    assert cond and any(">= 0.35" in l for l in cond)
