@@ -165,14 +165,22 @@ def main() -> None:
             print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
     # Drop every DataFrame the warm-up pass persisted (LSH signatures,
-    # gated corpora, …): the timed pass must recompute data, not read
-    # warm caches — the DuckDB anchor recomputes everything each run
-    # too. Prepared plans (the registry's memoization of pure builders)
-    # survive: plan re-analysis is driver-side prep, not throughput,
-    # and is amortized to nothing at real scale.
+    # gated corpora, …) AND every memoized plan: the timed pass must
+    # recompute data, not read warm caches — the DuckDB anchor
+    # recomputes everything each run too. The plan cache is the
+    # round-12 integrity fix: a memoized query returns the SAME
+    # DataFrame object, and re-executing an identical RDD lineage
+    # reuses its shuffle files and skips whole stages (measured
+    # q1_pricing_summary 0.05 s cached-object vs 1.75 s fresh-plan at
+    # sf0.1; ret_bm25_topk 0.05 vs 4.2 s) — BENCH_r01–r11 timings for
+    # memoize=True queries carry that artifact. Fresh plans per pass
+    # include driver-side re-analysis, which the anchor also pays
+    # (parse+plan per run).
     from capital.io import clear_engine_cache
+    from capital.queries.registry import clear_plan_cache
 
     clear_engine_cache(spark)
+    clear_plan_cache()
 
     # N timed passes (default 3, $SPARK_GRAFT_BENCH_PASSES), min per
     # query (standard bench practice: the min is the least-
@@ -213,6 +221,7 @@ def main() -> None:
                 timings.setdefault(name, -1.0)
                 print(f"# {name} FAILED: {exc}", file=sys.stderr)
         clear_engine_cache(spark)
+        clear_plan_cache()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     failed = sorted(n for n, t in timings.items() if t < 0)

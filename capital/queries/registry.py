@@ -96,6 +96,18 @@ def query(
     return deco
 
 
+def clear_plan_cache() -> None:
+    """Drop every memoized plan so the next call of each query builds
+    a FRESH DataFrame. Benchmark-critical (round 12): re-executing the
+    SAME DataFrame object reuses its shuffle files and skips whole
+    stages (measured q1 0.05 s vs 1.75 s fresh at sf0.1) — a timed
+    pass that hits this cache measures stage-skipping, not the query.
+    The memoization itself stays right for the driver gate and
+    repeated analytical use, where replaying identical results IS the
+    semantics; only timing must bust it."""
+    _PLAN_CACHE.clear()
+
+
 def registered_queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

@@ -41,3 +41,19 @@ def test_session_cache_key_distinguishes_siblings(spark):
     k2 = session_cache_key(spark.newSession())
     assert k1[0] == k2[0], "siblings share an applicationId"
     assert k1[1] != k2[1], "siblings must have distinct session ids"
+
+
+def test_clear_plan_cache_busts_memoized_objects(spark, sf_dir):
+    """Round-12 bench integrity: re-executing the SAME DataFrame
+    object reuses its shuffle files and skips whole stages, so a
+    timing harness must get a FRESH object per pass.
+    clear_plan_cache() guarantees that; bench.py and tools/qtime.py
+    call it after warmup and between passes."""
+    from capital.queries import all_queries
+    from capital.queries.registry import clear_plan_cache
+
+    q = all_queries()["q1_pricing_summary"]
+    a = q(spark, sf_dir)
+    assert q(spark, sf_dir) is a  # memoized: same plan object
+    clear_plan_cache()
+    assert q(spark, sf_dir) is not a  # fresh plan → fresh shuffles

@@ -34,6 +34,7 @@ def main() -> None:
 
     from capital.io import clear_engine_cache
     from capital.queries import all_queries
+    from capital.queries.registry import clear_plan_cache
     from capital.session import get_spark
 
     extra = dict(kv.split("=", 1) for kv in args.conf)
@@ -45,6 +46,8 @@ def main() -> None:
         fn = queries[name]
         fn(spark, args.sf).collect()  # warm-up
         clear_engine_cache(spark)
+        clear_plan_cache()  # round 12: a cached plan reruns on its old
+        # shuffle files and times stage-skipping, not the query
         mins: dict[str, float] = {}
         for _ in range(args.n):
             for mode in (
@@ -59,6 +62,7 @@ def main() -> None:
                 dt = time.perf_counter() - t0
                 mins[mode] = min(mins.get(mode, 1e9), dt)
                 clear_engine_cache(spark)
+                clear_plan_cache()
         desc = "  ".join(f"{m}={t:.3f}s" for m, t in mins.items())
         print(f"{name}: {desc}  ({n_rows} rows)")
     spark.stop()
