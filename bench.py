@@ -140,6 +140,12 @@ def headline_names(all_names) -> list[str]:
         # queries are BPE-training-floor or DuckDB-floor rows,
         # dispositioned in BASELINE.md) ---
         "asm_decontaminate_spans",
+        # --- added round 12 (anchors 3.58 / 0.88 / 0.28 s in
+        # BASELINE.md: cross-snapshot re-crawl dedup, semantic
+        # decontamination, and the probe-only stored-BM25 twin) ---
+        "dedup_cross_snapshot",
+        "asm_semantic_decontamination",
+        "ret_bm25_probe_only",
     ]
     return [n for n in preferred if n in all_names] or sorted(all_names)[:8]
 

@@ -890,6 +890,26 @@ def _island_stats(dup_pos: DataFrame, id_col: str, window_len: int) -> DataFrame
     )
 
 
+def _token_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The tokenized narrow frame ``(id, __toks)``, MATERIALIZED via
+    ``localCheckpoint`` before any window-building expression touches
+    it (round 12): Catalyst's projection collapse inlines the regex
+    tokenization into every slice child of the ``arrays_zip`` window
+    build (plus the width/size terms — ~17 evaluations per row), and
+    the generator path has no subexpression elimination, so the sf0.1
+    stride-1 window explode measured 8.1 s of which ~7 s was repeated
+    tokenization; against the checkpointed leaf the same explode is
+    0.6 s. At lake scale this is one narrow executor-local
+    materialization of (id, tokens) — strictly cheaper than
+    re-running the tokenizer L+2 times per row inside the explode.
+    Eager (runs a job): callers register as ``memoize=False``."""
+    from capital.io import parallelize_narrow
+
+    return parallelize_narrow(df).select(
+        F.col(id_col), tokens(normalized(F.col(text_col))).alias("__toks")
+    ).localCheckpoint(eager=True)
+
+
 def substring_dup_spans(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -924,19 +944,17 @@ def substring_dup_spans(
     ≤ ``window_tokens`` keeps coverage contiguous, so island length
     is exactly ``max_pos − min_pos + window_tokens``.
     """
-    from capital.io import parallelize_narrow
     from capital.llm.text import round6_stable
 
     L = window_tokens
-    toks = tokens(normalized(F.col(text_col)))
+    tk = _token_frame(df, id_col, text_col)
+    toks = F.col("__toks")
     n = F.size(toks)
     width = F.greatest(n - F.lit(L - 1), F.lit(0))
     z = F.arrays_zip(
         *[F.slice(toks, i + 1, width).alias(f"t{i}") for i in range(L)]
     )
-    base = parallelize_narrow(df).select(
-        F.col(id_col), n.alias("__n"), z.alias("__z")
-    )
+    base = tk.select(F.col(id_col), n.alias("__n"), z.alias("__z"))
     wins = base.select(
         F.col(id_col),
         "__n",
@@ -955,7 +973,7 @@ def substring_dup_spans(
     ).select(F.col(id_col), "__pos")
     per_doc = _island_stats(dup_pos, id_col, L)
     return (
-        df.select(F.col(id_col), n.alias("n_tokens"))
+        tk.select(F.col(id_col), n.alias("n_tokens"))
         .join(per_doc, id_col, "left")
         .select(
             F.col(id_col),
@@ -1013,20 +1031,19 @@ def substring_dup_multiscale(
     (id, pos) dup positions only. Level windows shrink as L grows
     (width_L = n − L + 1), so higher levels cost strictly less.
     """
-    from capital.io import parallelize_narrow
     from capital.llm.text import round6_stable
     from capital.operators.caching import scoped_persist
 
     L0 = int(base_window)
-    toks = tokens(normalized(F.col(text_col)))
+    tk = _token_frame(df, id_col, text_col)
+    toks = F.col("__toks")
     n = F.size(toks)
     width = F.greatest(n - F.lit(L0 - 1), F.lit(0))
     z = F.arrays_zip(
         *[F.slice(toks, i + 1, width).alias(f"t{i}") for i in range(L0)]
     )
     base = (
-        parallelize_narrow(df)
-        .select(F.col(id_col), z.alias("__z"))
+        tk.select(F.col(id_col), z.alias("__z"))
         .select(F.col(id_col), F.posexplode("__z").alias("__pos0", "__s"))
         .select(
             F.col(id_col),
@@ -1037,7 +1054,7 @@ def substring_dup_multiscale(
         )
     )
     level = scoped_persist(base, scope)
-    spine = df.select(F.col(id_col), n.alias("n_tokens"))
+    spine = tk.select(F.col(id_col), n.alias("n_tokens"))
     wdoc = Window.partitionBy(id_col).orderBy("__pos")
     out = None
     L = L0

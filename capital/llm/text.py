@@ -520,6 +520,31 @@ def tfidf_doc_stats(
     )
 
 
+def _bigram_rows(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Exploded ``(id, prev, cur)`` bigram rows, built by zipping the
+    token array with its own tail — TWO ``slice`` copies + one
+    ``arrays_zip`` pass, all linear (round 12: the previous per-index
+    ``transform(sequence(1, n-1), i -> element_at(...))`` walk ran in
+    the interpreted HOF path and cost 12.6 s vs 1.1 s for this shape
+    on the sf0.1 bigram count — the same trap as the round-9 shingle
+    finding). Docs with fewer than two tokens are filtered out before
+    the slice (``slice`` with length 0 would be fine, but the filter
+    also keeps ``sequence``-free semantics explicit)."""
+    toks = tokens(normalized(F.col(text_col)))
+    n = F.size(toks)
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, n - 1).alias("prev"),
+        F.slice(toks, 2, n - 1).alias("cur"),
+    )
+    return (
+        df.filter(n >= 2)
+        .select(F.col(id_col), F.explode(pairs).alias("bg"))
+        .select(F.col(id_col), F.col("bg.prev"), F.col("bg.cur"))
+    )
+
+
 def bigram_logprob(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -542,22 +567,7 @@ def bigram_logprob(
     fewer than two tokens have no bigrams and drop out (inner join),
     mirroring the oracle.
     """
-    toks = tokens(normalized(F.col(text_col)))
-    # sequence(1, n-1) must be guarded: Spark's sequence(1, 0) counts
-    # DOWN ([1, 0]) instead of returning empty — filter out the
-    # bigram-less docs (n < 2) before the index walk.
-    pairs = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.struct(
-            F.element_at(toks, i).alias("prev"),
-            F.element_at(toks, i + F.lit(1)).alias("cur"),
-        ),
-    )
-    big = (
-        df.filter(F.size(toks) >= 2)
-        .select(F.col(id_col), F.explode(pairs).alias("bg"))
-        .select(F.col(id_col), F.col("bg.prev"), F.col("bg.cur"))
-    )
+    big = _bigram_rows(df, id_col, text_col)
     c2 = big.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("__n2"))
     c1 = c2.groupBy("prev").agg(F.sum("__n2").alias("__n1"))
     probs = c2.join(c1, "prev").select(
@@ -609,19 +619,7 @@ def kneser_ney_logprob(
     rounds to 6 and accumulates as DECIMAL — the engine float-parity
     discipline. Docs with fewer than two tokens drop (no bigrams).
     """
-    toks = tokens(normalized(F.col(text_col)))
-    pairs = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.struct(
-            F.element_at(toks, i).alias("prev"),
-            F.element_at(toks, i + F.lit(1)).alias("cur"),
-        ),
-    )
-    big = (
-        df.filter(F.size(toks) >= 2)
-        .select(F.col(id_col), F.explode(pairs).alias("bg"))
-        .select(F.col(id_col), F.col("bg.prev"), F.col("bg.cur"))
-    )
+    big = _bigram_rows(df, id_col, text_col)
     d = float(discount)
     c2 = big.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("__n2"))
     ctx = c2.groupBy("prev").agg(

@@ -2134,7 +2134,10 @@ def _substring_spans_oracle() -> str:
     """
 
 
-@query("dedup_substring_spans", oracle=_substring_spans_oracle())
+@query(
+    "dedup_substring_spans",
+    memoize=False,  # _token_frame localCheckpoint is eager (round 12)
+    oracle=_substring_spans_oracle())
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal duplicated substring spans (llm/dedup.
     substring_dup_spans): rolling stride-1 windows → corpus-wide
@@ -2227,7 +2230,10 @@ def _substring_multiscale_oracle() -> str:
     """
 
 
-@query("dedup_substring_multiscale", oracle=_substring_multiscale_oracle())
+@query(
+    "dedup_substring_multiscale",
+    memoize=False,  # _token_frame localCheckpoint is eager (round 12)
+    oracle=_substring_multiscale_oracle())
 def dedup_substring_multiscale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-scale duplicated-substring profile (llm/dedup.
     substring_dup_multiscale): one corpus scan builds 8-token window
