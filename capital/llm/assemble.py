@@ -394,15 +394,15 @@ def pack_chunk_stats(
 
 def shingle_set(text_col: Column, k: int = 5) -> Column:
     """Distinct k-token shingles of the normalized text (the
-    contamination / fingerprint unit)."""
-    toks = tokens(normalized(text_col))
-    n = F.size(toks)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-        )
-    )
+    contamination / fingerprint unit). Delegates to the zip-of-
+    shifted-slices builder (round 12): the per-index
+    ``transform(sequence(…), i -> slice(…))`` form this used to carry
+    ran the interpreted per-element slice path — 1.33 s vs 0.71 s on
+    the sf0.1 5-gram build, byte-identical output (short docs degrade
+    to one truncated shingle either way)."""
+    from capital.llm.dedup import shingles
+
+    return shingles(text_col, k)
 
 
 def contamination(
@@ -556,9 +556,16 @@ def decontaminate_spans(
 
     toks = tokens(normalized(F.col(text_col)))
     n = F.size(toks)
+    # Positional (non-distinct) k-gram windows, zip-of-shifted-slices
+    # form (round 12: the per-index transform(sequence, slice) walk is
+    # the interpreted slow shape; guarded by filter(n >= k) below, so
+    # the zip width is exactly n-k+1 and gpos == window start).
+    width = F.greatest(n - F.lit(k - 1), F.lit(1))
+    z = F.arrays_zip(
+        *[F.slice(toks, i + 1, width).alias(f"t{i}") for i in range(k)]
+    )
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        z, lambda s: F.concat_ws(" ", *[s[f"t{i}"] for i in range(k)])
     )
     t_pos = parallelize_narrow(train).select(
         F.col(id_col), F.posexplode(toks).alias("pos", "tok")

@@ -97,6 +97,26 @@ EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 URL_RE = r"https?://[^\s]+"
 
 
+def zip_grams(toks: Column, k: int) -> Column:
+    """Rolling k-token grams (space-joined, order-preserving, NON-
+    distinct) built as k shifted ``slice`` copies zipped positionally
+    — the round-9/12 fast shape; the per-index
+    ``transform(sequence(1, n−k+1), i -> slice(toks, i, k))`` walk
+    runs the interpreted per-element slice path (measured 1.33 s vs
+    0.71 s on the sf0.1 5-gram build). Docs shorter than k degrade to
+    one truncated gram (missing zip slots are null; ``concat_ws``
+    skips nulls — identical to the old ``slice(toks, 1, k)``
+    truncation)."""
+    n = F.size(toks)
+    width = F.greatest(n - F.lit(k - 1), F.lit(1))
+    z = F.arrays_zip(
+        *[F.slice(toks, i + 1, width).alias(f"t{i}") for i in range(k)]
+    )
+    return F.transform(
+        z, lambda s: F.concat_ws(" ", *[s[f"t{i}"] for i in range(k)])
+    )
+
+
 def with_repetition(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -125,10 +145,7 @@ def with_repetition(
     df = parallelize_narrow(df)
     toks = tokens(normalized(F.col(text_col)))
     n = F.size(toks)
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - F.lit(1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
-    )
+    bigrams = zip_grams(toks, 2)
     bg_counts = (
         df.select(F.col(id_col), F.explode(bigrams).alias("__bg"))
         .groupBy(id_col, "__bg")
@@ -277,11 +294,7 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     df = parallelize_narrow(df)
     toks = tokens(normalized(F.col(text_col)))
-    n = F.size(toks)
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - F.lit(4), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, 5)),
-    )
+    shingles = zip_grams(toks, 5)
     return df.withColumn(
         "fingerprint", F.md5(normalized(F.col(text_col)))
     ).withColumn(
