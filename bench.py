@@ -146,6 +146,8 @@ def headline_names(all_names) -> list[str]:
         "dedup_cross_snapshot",
         "asm_semantic_decontamination",
         "ret_bm25_probe_only",
+        # (anchor 0.47 s: intra-document repetition trim)
+        "dedup_self_repetition",
     ]
     return [n for n in preferred if n in all_names] or sorted(all_names)[:8]
 

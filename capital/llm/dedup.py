@@ -989,6 +989,103 @@ def substring_dup_spans(
     )
 
 
+def self_repetition_trim(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 3,
+) -> DataFrame:
+    """INTRA-document repetition trim: drop every token covered by a
+    stride-1 ``window_tokens``-gram whose gram already occurred
+    EARLIER in the same document, keeping each gram's first
+    occurrence — the self-dedup pass that cleans degenerate
+    model-generated text and within-page boilerplate loops, where the
+    corpus-wide substring tiers (:func:`substring_dup_spans`,
+    cross-document by construction) see nothing unless another doc
+    shares the repeat. "aaa bb aaa bb aaa bb" trims to one period.
+
+    One row per document: ``(id, n_tokens, n_repeat_windows,
+    n_removed_tokens, clean_md5)`` — clean_md5 the digest of the
+    surviving tokens joined by single spaces, the
+    :func:`~capital.llm.assemble.decontaminate_spans` atomic-surrogate
+    convention (drop the md5 from the aggregate to rebuild the text).
+    A repeat window at position p covers tokens ``[p, p+L)``; covered
+    unions may overlap the first occurrence (adjacent self-overlap:
+    "a a a" at L=2 keeps exactly one token) — deliberate, matching
+    the span-removal posture.
+
+    Shape at scale: everything is per-document — the gram frame
+    shuffles by (doc, gram) for the first-occurrence aggregate (one
+    map-side-combined exchange), repeats explode to covered positions
+    (repeat-volume, not corpus-volume), and the rebuild is one
+    anti-join plus a per-doc ordered fold bounded by document length.
+    Tokens come off the :func:`_token_frame` checkpoint (the round-12
+    projection-collapse barrier).
+    """
+    from capital.llm.text import zip_grams
+
+    L = int(window_tokens)
+    tk = _token_frame(df, id_col, text_col)
+    toks = F.col("__toks")
+    wins = (
+        tk.filter(F.size(toks) >= L)
+        .select(
+            F.col(id_col),
+            F.posexplode(zip_grams(toks, L)).alias("__pos0", "__g"),
+        )
+        .select(
+            F.col(id_col),
+            (F.col("__pos0") + 1).alias("__pos"),
+            F.md5(F.col("__g")).alias("__h"),
+        )
+    )
+    first = wins.groupBy(id_col, "__h").agg(F.min("__pos").alias("__mp"))
+    reps = wins.join(first, [id_col, "__h"]).filter(
+        F.col("__pos") > F.col("__mp")
+    )
+    covered = reps.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("__pos"), F.col("__pos") + F.lit(L - 1))
+        ).alias("pos"),
+    ).distinct()
+    n_reps = reps.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_repeat_windows")
+    )
+    t_pos = tk.select(
+        F.col(id_col), F.posexplode(toks).alias("__p0", "tok")
+    ).select(F.col(id_col), (F.col("__p0") + 1).alias("pos"), "tok")
+    kept = t_pos.join(covered, [id_col, "pos"], "left_anti")
+    clean = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            )
+        ).alias("clean_md5"),
+    )
+    totals = tk.select(F.col(id_col), F.size(toks).alias("n_tokens"))
+    return (
+        totals.join(n_reps, id_col, "left")
+        .join(clean, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.coalesce("n_repeat_windows", F.lit(0)).alias(
+                "n_repeat_windows"
+            ),
+            (
+                F.col("n_tokens") - F.coalesce("__n_kept", F.lit(0))
+            ).alias("n_removed_tokens"),
+            F.coalesce("clean_md5", F.md5(F.lit(""))).alias("clean_md5"),
+        )
+    )
+
+
 def substring_dup_multiscale(
     df: DataFrame,
     id_col: str = "doc_id",

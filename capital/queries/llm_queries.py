@@ -2154,6 +2154,77 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- intra-document repetition trim (round 12) ---------------------------
+
+_SELFREP_L = 3  # trim window (tokens); 3 fires on ~30 docs at sf0.01
+
+
+def _self_repetition_oracle() -> str:
+    """Twin of llm/dedup.self_repetition_trim: first-occurrence per
+    (doc, gram), later windows' covered positions removed, per-doc
+    ordered rebuild digest (the decontaminate_spans tail). Multi-
+    referenced CTEs materialized (round-9 rule)."""
+    L = _SELFREP_L
+    return rf"""
+    WITH norm AS MATERIALIZED (
+      SELECT doc_id,
+             string_split_regex(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+               '\s+') AS t
+      FROM documents),
+    w AS MATERIALIZED (
+      SELECT doc_id, i AS pos,
+             array_to_string(t[i:i+{L - 1}], ' ') AS g
+      FROM norm, unnest(range(1, len(t) - {L} + 2)) AS u(i)
+      WHERE len(t) >= {L}),
+    f AS (SELECT doc_id, g, MIN(pos) AS mp FROM w GROUP BY doc_id, g),
+    reps AS MATERIALIZED (
+      SELECT w.doc_id, w.pos
+      FROM w JOIN f USING (doc_id, g) WHERE w.pos > f.mp),
+    nrep AS (SELECT doc_id, COUNT(*) AS nr FROM reps GROUP BY doc_id),
+    covered AS MATERIALIZED (
+      SELECT DISTINCT doc_id, p AS pos
+      FROM reps, unnest(range(pos, pos + {L})) AS v(p)),
+    tp AS MATERIALIZED (
+      SELECT doc_id, i AS pos, t[i] AS tok
+      FROM norm, unnest(range(1, len(t) + 1)) AS u(i)),
+    kept AS (
+      SELECT doc_id, pos, tok FROM tp
+      ANTI JOIN covered USING (doc_id, pos)),
+    clean AS MATERIALIZED (
+      SELECT doc_id, COUNT(*) AS nk,
+             md5(array_to_string(list(tok ORDER BY pos), ' ')) AS cmd5
+      FROM kept GROUP BY doc_id)
+    SELECT n2.doc_id,
+           CAST(len(n2.t) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(nrep.nr, 0) AS BIGINT) AS n_repeat_windows,
+           CAST(len(n2.t) - COALESCE(clean.nk, 0) AS BIGINT)
+             AS n_removed_tokens,
+           COALESCE(clean.cmd5, md5('')) AS clean_md5
+    FROM norm n2
+    LEFT JOIN nrep USING (doc_id)
+    LEFT JOIN clean USING (doc_id)
+    """
+
+
+@query(
+    "dedup_self_repetition",
+    memoize=False,  # _token_frame localCheckpoint is eager
+    oracle=_self_repetition_oracle())
+def dedup_self_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition trim (llm/dedup.self_repetition_trim):
+    drop tokens covered by a stride-1 3-gram that already occurred
+    earlier in the SAME document — the self-dedup pass for degenerate
+    generations and within-page boilerplate loops, which the
+    cross-document substring tiers cannot see. Per-doc first-
+    occurrence aggregate + covered-position explode (repeat volume,
+    not corpus volume) + ordered rebuild digest."""
+    from capital.llm.dedup import self_repetition_trim
+
+    d = load_table(spark, sf_dir, "documents")
+    return self_repetition_trim(d, window_tokens=_SELFREP_L)
+
+
 # --- multi-scale duplicated-substring profile (Lee et al. 2022) ----------
 
 _MSCALE_BASE = 8    # base window length (tokens); scales double per level

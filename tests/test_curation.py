@@ -728,3 +728,48 @@ def test_substring_multiscale_deep_ladder_128_256(spark):
             if lv == L
         }
         assert direct == composed, L
+
+
+def test_self_repetition_trim_hand_computed(spark):
+    """Intra-doc repetition trim (round 12) on constructed docs:
+    first occurrence kept, later windows' covered tokens removed,
+    overlapping repeats union, short docs untouched."""
+    import hashlib
+
+    from capital.llm.dedup import self_repetition_trim
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    docs = spark.createDataFrame(
+        [
+            # every window from pos 4 on repeats an earlier one
+            # (including the rotations "y z x" / "z x y") → 4 repeat
+            # windows covering positions 4..9
+            (1, "x y z x y z x y z"),
+            # no intra-doc repeat at L=3
+            (2, "a b c d e f"),
+            # shorter than the window: no windows at all
+            (3, "p q"),
+            # adjacent self-overlap: "a a a a" has L=3 windows at
+            # 1 ("a a a") and 2 (repeat) → covered 2..4, keep "a"
+            (4, "a a a a"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in self_repetition_trim(docs, window_tokens=3).collect()
+    }
+    assert out[1].n_tokens == 9
+    assert out[1].n_repeat_windows == 4
+    assert out[1].n_removed_tokens == 6
+    assert out[1].clean_md5 == md5("x y z")
+    assert out[2].n_repeat_windows == 0
+    assert out[2].n_removed_tokens == 0
+    assert out[2].clean_md5 == md5("a b c d e f")
+    assert out[3].n_repeat_windows == 0
+    assert out[3].clean_md5 == md5("p q")
+    assert out[4].n_repeat_windows == 1
+    assert out[4].n_removed_tokens == 3
+    assert out[4].clean_md5 == md5("a")
