@@ -312,3 +312,51 @@ def semdedup_flags(
             F.coalesce(~F.col("__drop"), F.lit(True)).alias("is_kept"),
         )
     )
+
+
+def cluster_purity(
+    assignments: DataFrame,
+    labeled: DataFrame,
+    id_col: str = "vec_id",
+    cell_col: str = "cell",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-cluster PURITY against ground-truth labels — the standard
+    external clustering evaluation (purity = majority-label share per
+    cluster): one row per cell with ``(cell, n_vecs, majority_label,
+    n_majority, purity)``. Majority ties break on the SMALLEST label
+    (staged max-then-min — the round-9 arg_max lesson: composite
+    orderings must be two scalar stages so the SQL twin can follow).
+
+    Monitors semantic-clustering quality over time (a purity drop on
+    a labeled probe set flags centroid drift before SemDeDup/UniMax
+    allocations degrade). Shape: one (cell, label) count aggregate
+    (map-side combined), one cell-level rollup, one tie-break join —
+    all cluster-count-sized after the first exchange.
+    """
+    from capital.llm.text import round6_stable
+
+    lc = (
+        assignments.select(F.col(id_col), F.col(cell_col))
+        .join(labeled.select(F.col(id_col), F.col(label_col)), id_col)
+        .groupBy(cell_col, label_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    mx = lc.groupBy(cell_col).agg(
+        F.max("__n").alias("__mn"), F.sum("__n").alias("__nv")
+    )
+    return (
+        lc.join(mx, cell_col)
+        .filter(F.col("__n") == F.col("__mn"))
+        .groupBy(cell_col, "__mn", "__nv")
+        .agg(F.min(label_col).alias("majority_label"))
+        .select(
+            F.col(cell_col),
+            F.col("__nv").cast("long").alias("n_vecs"),
+            "majority_label",
+            F.col("__mn").cast("long").alias("n_majority"),
+            round6_stable(
+                F.col("__mn").cast("double") / F.col("__nv")
+            ).alias("purity"),
+        )
+    )

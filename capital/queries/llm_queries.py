@@ -1437,6 +1437,54 @@ def _kmeans_oracle() -> str:
     """
 
 
+def _kmeans_purity_oracle() -> str:
+    last = f"c{_KM_ITERS}"
+    return f"""
+    WITH {_kmeans_cte_chain(_KM_K, _KM_ITERS)},
+    sF AS MATERIALIZED (
+      SELECT emb.vec_id, {last}.cell, {_km_dist(f"{last}.c")} AS d
+      FROM emb CROSS JOIN {last}),
+    mF AS (SELECT vec_id, MIN(d) AS md FROM sF GROUP BY vec_id),
+    aF AS MATERIALIZED (
+      SELECT s.vec_id, MIN(s.cell) AS cell
+      FROM sF s JOIN mF m ON s.vec_id = m.vec_id AND s.d = m.md
+      GROUP BY s.vec_id),
+    lc AS MATERIALIZED (
+      SELECT a.cell, l.label, COUNT(*) AS n
+      FROM aF a JOIN embeddings l ON l.vec_id = a.vec_id
+      GROUP BY a.cell, l.label),
+    mx AS (SELECT cell, MAX(n) AS mn, SUM(n) AS nv FROM lc GROUP BY cell)
+    SELECT CAST(lc.cell AS INTEGER) AS cell,
+           CAST(mx.nv AS BIGINT) AS n_vecs,
+           CAST(MIN(lc.label) AS INTEGER) AS majority_label,
+           CAST(mx.mn AS BIGINT) AS n_majority,
+           floor((CAST(mx.mn AS DOUBLE) / mx.nv) * 1e6 + 0.5e0) / 1e6
+             AS purity
+    FROM lc JOIN mx USING (cell)
+    WHERE lc.n = mx.mn
+    GROUP BY lc.cell, mx.nv, mx.mn
+    """
+
+
+@query(
+    "sim_kmeans_purity",
+    memoize=False,
+    oracle=_kmeans_purity_oracle())
+def sim_kmeans_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External clustering evaluation (llm/kmeans.cluster_purity):
+    per-cell majority-label purity of the deterministic Lloyd's
+    clustering against the embeddings table's ground-truth labels —
+    the quality probe that flags centroid drift before the
+    cluster-scoped curation (SemDeDup, cluster-UniMax) degrades.
+    Majority ties break on the smallest label via a staged
+    max-then-min (the arg_max two-stage rule)."""
+    from capital.llm.kmeans import cluster_purity, lloyd_kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assignments, _ = lloyd_kmeans(emb, k=_KM_K, iterations=_KM_ITERS)
+    return cluster_purity(assignments, emb)
+
+
 _SEMDEDUP_THRESHOLD = 0.35  # the embeddings table's near-dup regime
 
 

@@ -165,3 +165,29 @@ def test_kmeans_auto_picks_arrow_past_literal_budget(spark):
         out.explain("formatted")
     assert "MapInPandas" in buf.getvalue()
     assert out.count() == n + 4  # every vector labeled
+
+
+def test_cluster_purity_hand_computed(spark):
+    """Purity on constructed assignments: majority share per cell,
+    ties broken to the SMALLEST label, zero-label cells impossible
+    (inner join)."""
+    from capital.llm.kmeans import cluster_purity
+
+    assign = spark.createDataFrame(
+        [(i, 0) for i in range(4)] + [(i, 1) for i in range(4, 10)],
+        "vec_id long, cell int",
+    )
+    labels = spark.createDataFrame(
+        # cell 0: labels 7,7,3,3 -> tie at n=2 -> majority 3
+        [(0, 7), (1, 7), (2, 3), (3, 3)]
+        # cell 1: labels 5,5,5,5,2,9 -> majority 5 (4/6)
+        + [(4, 5), (5, 5), (6, 5), (7, 5), (8, 2), (9, 9)],
+        "vec_id long, label int",
+    )
+    out = {r.cell: r for r in cluster_purity(assign, labels).collect()}
+    assert out[0].n_vecs == 4 and out[0].n_majority == 2
+    assert out[0].majority_label == 3  # tie -> smallest label
+    assert out[0].purity == 0.5
+    assert out[1].n_vecs == 6 and out[1].majority_label == 5
+    assert out[1].n_majority == 4
+    assert abs(out[1].purity - 0.666667) < 1e-9
