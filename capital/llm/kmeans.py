@@ -360,3 +360,90 @@ def cluster_purity(
             ).alias("purity"),
         )
     )
+
+
+def clustering_nmi(
+    assignments: DataFrame,
+    labeled: DataFrame,
+    id_col: str = "vec_id",
+    cell_col: str = "cell",
+    label_col: str = "label",
+) -> DataFrame:
+    """Normalized mutual information between cluster assignments and
+    ground-truth labels — the permutation-invariant companion to
+    :func:`cluster_purity` (purity inflates as k grows; NMI =
+    MI/√(H(cell)·H(label)) penalizes over-splitting). One row:
+    ``(n_rows, mi_nats, h_cell, h_label, nmi)``.
+
+    Float parity (the a13/PSI discipline): the (cell, label) count
+    table is exact integers; each MI term
+    ``(n_xy/N)·ln(n_xy·N/(n_x·n_y))`` and entropy term
+    ``−(n_x/N)·ln(n_x/N)`` is one fixed-shape double expression of
+    exact integers, stable-rounded to 6 and accumulated as
+    DECIMAL(28,6) — order-free on any engine; NMI is one final
+    double expression, null when either marginal entropy is 0 (a
+    single cluster or single label carries no normalizable signal).
+
+    Scale: ONE corpus-sized (cell, label) count (map-side combined),
+    localCheckpointed because four scalar folds (MI, two entropies,
+    N) read it — dimension-sized (≤ k × |labels| rows), so the
+    barrier is metadata-cheap and stops the corpus aggregate from
+    re-deriving multiplicatively (the round-9 multi-reference rule).
+    """
+    from capital.llm.text import round6_stable
+    from capital.queries.registry import decimal_sum
+
+    c = (
+        assignments.select(F.col(id_col), F.col(cell_col).alias("__x"))
+        .join(
+            labeled.select(F.col(id_col), F.col(label_col).alias("__y")),
+            id_col,
+        )
+        .groupBy("__x", "__y")
+        .agg(F.count(F.lit(1)).alias("__nxy"))
+        .localCheckpoint(eager=True)  # consumed 4x below
+    )
+    ntot = c.agg(F.sum("__nxy").alias("__n"))
+    m = c.join(
+        c.groupBy("__x").agg(F.sum("__nxy").alias("__nx")), "__x"
+    ).join(c.groupBy("__y").agg(F.sum("__nxy").alias("__ny")), "__y")
+    # Products widen to double BEFORE multiplying: n_xy·N and n_x·n_y
+    # reach N² and overflow BIGINT at lake scale (ANSI Spark throws);
+    # exact integers stay exact in doubles through 2⁵³ and the SQL
+    # twin widens identically, so parity holds.
+    mi_term = round6_stable(
+        (F.col("__nxy") / F.col("__n"))
+        * F.log(
+            (F.col("__nxy").cast("double") * F.col("__n"))
+            / (F.col("__nx").cast("double") * F.col("__ny"))
+        )
+    )
+    mi = m.crossJoin(ntot).agg(decimal_sum(mi_term, "mi_nats"))
+
+    def _entropy(key: str, alias: str):
+        marg = c.groupBy(key).agg(F.sum("__nxy").alias("__nk"))
+        term = round6_stable(
+            -(F.col("__nk") / F.col("__n"))
+            * F.log(F.col("__nk") / F.col("__n"))
+        )
+        return marg.crossJoin(ntot).agg(decimal_sum(term, alias))
+
+    out = (
+        ntot.select(F.col("__n").cast("long").alias("n_rows"))
+        .crossJoin(mi)
+        .crossJoin(_entropy("__x", "h_cell"))
+        .crossJoin(_entropy("__y", "h_label"))
+    )
+    return out.select(
+        "n_rows",
+        "mi_nats",
+        "h_cell",
+        "h_label",
+        F.when(
+            (F.col("h_cell") > 0) & (F.col("h_label") > 0),
+            round6_stable(
+                F.col("mi_nats")
+                / F.sqrt(F.col("h_cell") * F.col("h_label"))
+            ),
+        ).alias("nmi"),
+    )

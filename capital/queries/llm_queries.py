@@ -1485,6 +1485,66 @@ def sim_kmeans_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_purity(assignments, emb)
 
 
+def _kmeans_nmi_oracle() -> str:
+    last = f"c{_KM_ITERS}"
+    r6 = "floor(({x}) * 1e6 + 0.5e0) / 1e6"
+    mi_t = r6.format(
+        x="(nxy / CAST(n AS DOUBLE))"
+          " * ln((CAST(nxy AS DOUBLE) * n) / (CAST(nx AS DOUBLE) * ny))"
+    )
+    ent_t = r6.format(
+        x="-(nk / CAST(n AS DOUBLE)) * ln(nk / CAST(n AS DOUBLE))"
+    )
+    dsum = "CAST(SUM(CAST({t} AS DECIMAL(28,6))) AS DOUBLE)"
+    return f"""
+    WITH {_kmeans_cte_chain(_KM_K, _KM_ITERS)},
+    sF AS MATERIALIZED (
+      SELECT emb.vec_id, {last}.cell, {_km_dist(f"{last}.c")} AS d
+      FROM emb CROSS JOIN {last}),
+    mF AS (SELECT vec_id, MIN(d) AS md FROM sF GROUP BY vec_id),
+    aF AS MATERIALIZED (
+      SELECT s.vec_id, MIN(s.cell) AS cell
+      FROM sF s JOIN mF m ON s.vec_id = m.vec_id AND s.d = m.md
+      GROUP BY s.vec_id),
+    cc AS MATERIALIZED (
+      SELECT a.cell AS x, l.label AS y, COUNT(*) AS nxy
+      FROM aF a JOIN embeddings l ON l.vec_id = a.vec_id
+      GROUP BY a.cell, l.label),
+    nt AS (SELECT SUM(nxy) AS n FROM cc),
+    mx AS (SELECT x, SUM(nxy) AS nx FROM cc GROUP BY x),
+    my AS (SELECT y, SUM(nxy) AS ny FROM cc GROUP BY y),
+    mi AS (SELECT {dsum.format(t=mi_t)} AS mi_nats
+           FROM cc JOIN mx USING (x) JOIN my USING (y) CROSS JOIN nt),
+    hx AS (SELECT {dsum.format(t=ent_t)} AS h_cell
+           FROM (SELECT nx AS nk FROM mx) CROSS JOIN nt),
+    hy AS (SELECT {dsum.format(t=ent_t)} AS h_label
+           FROM (SELECT ny AS nk FROM my) CROSS JOIN nt)
+    SELECT CAST(nt.n AS BIGINT) AS n_rows, mi.mi_nats,
+           hx.h_cell, hy.h_label,
+           CASE WHEN hx.h_cell > 0e0 AND hy.h_label > 0e0
+                THEN {r6.format(
+                    x="mi.mi_nats / sqrt(hx.h_cell * hy.h_label)")}
+           END AS nmi
+    FROM nt CROSS JOIN mi CROSS JOIN hx CROSS JOIN hy
+    """
+
+
+@query("sim_kmeans_nmi", memoize=False, oracle=_kmeans_nmi_oracle())
+def sim_kmeans_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized mutual information between the deterministic
+    Lloyd's clustering and the embeddings table's ground-truth labels
+    (llm/kmeans.clustering_nmi) — the permutation-invariant companion
+    to sim_kmeans_purity (purity inflates with k; NMI penalizes
+    over-splitting). Exact-integer count table, a13/PSI-discipline
+    term parity, one dimension-sized checkpoint feeding four scalar
+    folds. memoize=False: the checkpoint is eager."""
+    from capital.llm.kmeans import clustering_nmi, lloyd_kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assignments, _ = lloyd_kmeans(emb, k=_KM_K, iterations=_KM_ITERS)
+    return clustering_nmi(assignments, emb)
+
+
 _SEMDEDUP_THRESHOLD = 0.35  # the embeddings table's near-dup regime
 
 

@@ -191,3 +191,35 @@ def test_cluster_purity_hand_computed(spark):
     assert out[1].n_vecs == 6 and out[1].majority_label == 5
     assert out[1].n_majority == 4
     assert abs(out[1].purity - 0.666667) < 1e-9
+
+
+def test_clustering_nmi_perfect_and_degenerate(spark):
+    """NMI on constructed assignments: a clustering that exactly
+    reproduces the labels scores 1.0 (MI == both entropies); a
+    single-cluster assignment has H(cell)=0 and NMI must be NULL,
+    never a division error; an independent split scores ~0."""
+    from capital.llm.kmeans import clustering_nmi
+
+    labels = spark.createDataFrame(
+        [(i, i % 2) for i in range(8)], "vec_id long, label int"
+    )
+    perfect = spark.createDataFrame(
+        [(i, i % 2) for i in range(8)], "vec_id long, cell int"
+    )
+    r = clustering_nmi(perfect, labels).collect()[0]
+    assert r.n_rows == 8
+    assert abs(r.nmi - 1.0) < 1e-5
+    assert abs(r.mi_nats - r.h_cell) < 1e-5
+
+    single = spark.createDataFrame(
+        [(i, 0) for i in range(8)], "vec_id long, cell int"
+    )
+    r1 = clustering_nmi(single, labels).collect()[0]
+    assert r1.h_cell == 0.0 and r1.nmi is None
+
+    # independent: cell = i // 4 splits orthogonally to label = i % 2
+    indep = spark.createDataFrame(
+        [(i, i // 4) for i in range(8)], "vec_id long, cell int"
+    )
+    r2 = clustering_nmi(indep, labels).collect()[0]
+    assert abs(r2.mi_nats) < 1e-6 and abs(r2.nmi) < 1e-6
