@@ -453,6 +453,51 @@ def decontaminate(
     return train.join(hits.select(id_col), id_col, "left_anti")
 
 
+def contamination_by_benchmark(
+    train: DataFrame,
+    benchmark: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The REVERSE attribution of :func:`contamination`: per
+    BENCHMARK document, how many training docs share a k-gram with it
+    and how many of its distinct k-grams leak — the eval-integrity
+    report ("which test items are compromised and should be
+    quarantined or re-held-out"), where the forward direction answers
+    the training-side question ("which train docs to scrub").
+
+    One row per benchmark doc that leaks at all:
+    ``(id, n_leaking_docs, n_shared_grams)`` (distinct train docs
+    sharing ≥1 gram; distinct grams of THIS bench doc found anywhere
+    in train). Zero-leak bench docs drop out — the report is
+    leak-volume-sized.
+
+    Shape: the SAME economics as the forward check — the benchmark
+    gram table (now keyed by bench doc, still eval-suite-sized)
+    broadcasts, the 100 TB training side is one map-side join, and
+    only matched rows reach the aggregate.
+    """
+    from capital.io import parallelize_narrow
+
+    t_sh = parallelize_narrow(train).select(
+        F.col(id_col).alias("__tid"),
+        F.explode(shingle_set(F.col(text_col), k)).alias("g"),
+    )
+    b_sh = benchmark.select(
+        F.col(id_col),
+        F.explode(shingle_set(F.col(text_col), k)).alias("g"),
+    ).distinct()
+    return (
+        t_sh.join(F.broadcast(b_sh), "g")
+        .groupBy(id_col)
+        .agg(
+            F.count_distinct("__tid").alias("n_leaking_docs"),
+            F.count_distinct("g").alias("n_shared_grams"),
+        )
+    )
+
+
 def semantic_contamination(
     train: DataFrame,
     benchmark: DataFrame,

@@ -210,6 +210,53 @@ def asm_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "asm_contamination_by_bench",
+    oracle=f"""
+    WITH norm AS MATERIALIZED (
+      SELECT doc_id,
+             string_split_regex(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+               '\\s+') AS t
+      FROM documents),
+    sh AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+{_DECON_K - 1}], ' ')
+                            FOR i IN range(1,
+                              greatest(len(t) - {_DECON_K - 1}, 1) + 1)])
+               AS s
+      FROM norm),
+    bench AS (
+      SELECT doc_id, unnest(s) AS g FROM sh
+      WHERE doc_id % {_DECON_MOD} = 0),
+    train AS (
+      SELECT doc_id AS tid, unnest(s) AS g FROM sh
+      WHERE doc_id % {_DECON_MOD} <> 0)
+    SELECT bench.doc_id,
+           COUNT(DISTINCT train.tid) AS n_leaking_docs,
+           COUNT(DISTINCT bench.g) AS n_shared_grams
+    FROM train JOIN bench USING (g)
+    GROUP BY bench.doc_id
+    """,
+)
+def asm_contamination_by_bench(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Benchmark-side contamination attribution (llm/assemble.
+    contamination_by_benchmark): per EVAL document, how many training
+    docs share a 5-gram with it and how many of its grams leak — the
+    eval-integrity report that says which test items to quarantine,
+    the reverse direction of asm_contamination's train-side scrub
+    list. Same broadcast economics: the 100 TB side never shuffles
+    unmatched rows."""
+    from capital.llm.assemble import contamination_by_benchmark
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % _DECON_MOD == 0)
+    train = d.filter(F.col("doc_id") % _DECON_MOD != 0)
+    return contamination_by_benchmark(train, bench, k=_DECON_K)
+
+
 _SEMDECON_MOD = 17     # vec_id % MOD == 0 → benchmark ("eval") vector
 _SEMDECON_TAU = 0.35   # the corpus's embedding-threshold convention
 _SEMDECON_DIM = 64
