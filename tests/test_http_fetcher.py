@@ -231,3 +231,25 @@ def test_http_fetcher_post_form(server):
         mode="page",
     )
     assert list(src.records()) == _RECORDS
+
+
+def test_retry_after_http_date_parses_and_caps(monkeypatch):
+    """RFC 9110 allows Retry-After as an HTTP-date; the parser must
+    convert it to a bounded forward delta (and clamp past dates to
+    0 rather than sleeping negative)."""
+    from email.utils import formatdate
+
+    from capital.sources.rest import _retry_after_seconds
+
+    future = formatdate(__import__("time").time() + 30, usegmt=True)
+    got = _retry_after_seconds(future, cap=120.0)
+    assert got is not None and 25.0 <= got <= 30.5
+    # far-future date hits the cap
+    far = formatdate(__import__("time").time() + 10_000, usegmt=True)
+    assert _retry_after_seconds(far, cap=60.0) == 60.0
+    # past date clamps to zero (no negative sleeps)
+    past = formatdate(__import__("time").time() - 50, usegmt=True)
+    assert _retry_after_seconds(past, cap=60.0) == 0.0
+    # garbage is ignored, not fatal
+    assert _retry_after_seconds("next thursday-ish", cap=60.0) is None
+    assert _retry_after_seconds(None, cap=60.0) is None

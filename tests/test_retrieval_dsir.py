@@ -350,3 +350,38 @@ def test_bm25_stored_probe_prunes_posting_partitions(spark, sf_dir, tmp_path):
         if "PartitionFilters: [pbucket" in line and " INSET " in line
     ]
     assert pruned, plan[:2000]
+
+
+def test_bm25_full_rebuild_drops_stale_pbuckets(spark, tmp_path):
+    """Round-11 advice regression: a FULL index rebuild over a changed
+    corpus must drop pbucket partitions the new corpus doesn't hit —
+    under dynamic overwrite alone, stale postings survived and scored
+    PHANTOM docs (df/ and stats/ rewrite fully, so nothing failed
+    loudly). write_bm25_index now deletes the dir first."""
+    from capital.llm.retrieval import bm25_topk_stored, write_bm25_index
+
+    idx = str(tmp_path / "bm25_rebuild")
+    corpus_a = spark.createDataFrame(
+        [(1, "zebra quark lattice"), (2, "zebra garden")],
+        "doc_id long, text string",
+    )
+    write_bm25_index(corpus_a, idx)
+    hits_a = bm25_topk_stored(
+        spark, idx, queries=[(0, "zebra")], topk=10
+    ).collect()
+    assert {r.doc_id for r in hits_a} == {1, 2}
+
+    # corpus B drops 'zebra' entirely; rebuild over the same path
+    corpus_b = spark.createDataFrame(
+        [(3, "garden hose"), (4, "lattice hose")],
+        "doc_id long, text string",
+    )
+    write_bm25_index(corpus_b, idx)
+    phantom = bm25_topk_stored(
+        spark, idx, queries=[(0, "zebra")], topk=10
+    ).collect()
+    assert phantom == []  # stale postings must NOT score phantom docs
+    hits_b = bm25_topk_stored(
+        spark, idx, queries=[(0, "hose")], topk=10
+    ).collect()
+    assert {r.doc_id for r in hits_b} == {3, 4}
