@@ -421,3 +421,28 @@ def test_semantic_decontamination_broadcasts_bench_no_corpus_shuffle(
     # condition carries the >= 0.35 comparison
     cond = [l for l in plan.splitlines() if "Join condition:" in l]
     assert cond and any(">= 0.35" in l for l in cond)
+
+
+def test_cross_snapshot_band_exchanges_carry_no_text(spark, sf_dir):
+    """Round-12 cross-snapshot dedup: the re-crawl probe's band-key
+    movement must be ids-only — document TEXT or signature arrays
+    riding a band exchange is shuffle fat at 100 TB (the
+    dedup_minhash_lsh audit applied to the composition)."""
+    spark.catalog.clearCache()
+    plan = plan_of(_QUERIES["dedup_cross_snapshot"](spark, sf_dir))
+    checked = 0
+    for block in plan.split("\n\n"):
+        s = block.strip()
+        if not s.startswith("(") or "Exchange" not in s.splitlines()[0]:
+            continue
+        inp = next((l for l in s.splitlines() if l.startswith("Input")), "")
+        if "band_key" in inp:
+            checked += 1
+            assert "text" not in inp and "signature" not in inp, (
+                f"fat band exchange:\n{s}"
+            )
+    # AQE may broadcast every band side on the toy fixture; the text
+    # ban still holds on whatever band movement exists.
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert checked >= 0
