@@ -6,11 +6,15 @@ frame-sampling run as Arrow-batched Pandas functions over
 ``mapInPandas`` — the only sane shape at 100 TB (no per-row Python, no
 driver collection; each batch is one Arrow buffer).
 
-The actual media codecs are NOT available in this environment, so the
-decode kernel is a clearly-marked deterministic stub
-(:func:`fake_decode_batch`); the Spark-side plumbing — schema, batch
-iteration, partitioning — is real and tested. Swapping the stub for
-Pillow/librosa is a one-function change.
+Compressed-media codecs (JPEG/PNG/MP4) are NOT available in this
+environment, so the generic decode kernel is a clearly-marked
+deterministic stub (:func:`fake_decode_batch`) and the Spark-side
+plumbing — schema, batch iteration, partitioning — is real and tested.
+For UNCOMPRESSED containers the decode is real: :func:`decode_ppm` /
+:func:`decode_bmp` (pure numpy — header parse, row-pad/flip/BGR
+handling) back :func:`real_decode_assets`, hash-verified end to end by
+the ``mm_decode_real`` driver query. Swapping in Pillow/librosa for
+compressed formats is a one-function change at the same seam.
 """
 
 from __future__ import annotations
@@ -283,3 +287,298 @@ def byte_histogram_features(
             )
 
     return frames.mapInPandas(_featurize, schema=FEATURE_SCHEMA)
+
+
+# --- real codecs: uncompressed containers, pure numpy (round 13) -----------
+#
+# The container has no image libraries, but BMP (BI_RGB 24-bit) and PPM
+# (binary P6) are header-plus-raster formats a few dozen lines of numpy
+# decode exactly. This upgrades the decode stage from "stubbed codec,
+# real plumbing" to a REAL decoder for real formats; the stubs above
+# stay as the SQL-oracle twins for the opaque-payload path.
+
+
+def encode_ppm(pixels) -> bytes:
+    """Encode an ``(h, w, 3)`` uint8 RGB array as binary PPM (P6)."""
+    import numpy as np
+
+    arr = np.ascontiguousarray(np.asarray(pixels, dtype=np.uint8))
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) RGB array, got {arr.shape}")
+    h, w, _ = arr.shape
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + arr.tobytes()
+
+
+def decode_ppm(data: bytes):
+    """Decode a binary PPM (P6, maxval ≤ 255) to an ``(h, w, 3)`` uint8
+    RGB array. Handles arbitrary whitespace and ``#`` comments in the
+    header per the netpbm spec."""
+    import numpy as np
+
+    if data[:2] != b"P6":
+        raise ValueError("not a binary PPM (missing P6 magic)")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        # skip whitespace / comments
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(data) and data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        fields.append(int(data[start:pos]))
+    pos += 1  # exactly one whitespace byte after maxval, then raster
+    w, h, maxval = fields
+    if not (0 < maxval < 256):
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    raster = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos)
+    if raster.size != w * h * 3:
+        raise ValueError("truncated PPM raster")
+    return raster.reshape(h, w, 3)
+
+
+def encode_bmp(pixels) -> bytes:
+    """Encode an ``(h, w, 3)`` uint8 RGB array as an uncompressed
+    24-bit BI_RGB BMP (BITMAPINFOHEADER, bottom-up, 4-byte row pad)."""
+    import struct
+
+    import numpy as np
+
+    arr = np.ascontiguousarray(np.asarray(pixels, dtype=np.uint8))
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) RGB array, got {arr.shape}")
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # flip + BGR
+    raster = rows.tobytes()
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + len(raster), 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0
+    )
+    return header + raster
+
+
+def decode_bmp(data: bytes):
+    """Decode an uncompressed 24-bit BI_RGB BMP to an ``(h, w, 3)``
+    uint8 RGB array. Supports bottom-up (positive height) and top-down
+    (negative height) rasters."""
+    import struct
+
+    import numpy as np
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP (missing BM magic)")
+    offset = struct.unpack_from("<I", data, 10)[0]
+    hdr_size, w, h_signed, _planes, bpp, compression = struct.unpack_from(
+        "<IiiHHI", data, 14
+    )
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP (hdr={hdr_size}, bpp={bpp}, comp={compression})"
+        )
+    h = abs(h_signed)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        data, dtype=np.uint8, count=h * stride, offset=offset
+    ).reshape(h, stride)
+    bgr = rows[:, : w * 3].reshape(h, w, 3)
+    if h_signed > 0:  # bottom-up: flip to top-down
+        bgr = bgr[::-1]
+    return np.ascontiguousarray(bgr[:, :, ::-1])  # BGR → RGB
+
+
+def decode_image(data: bytes):
+    """Dispatch on magic bytes; returns ``(media_type, (h, w, 3) array)``."""
+    if data[:2] == b"P6":
+        return "image/x-portable-pixmap", decode_ppm(data)
+    if data[:2] == b"BM":
+        return "image/bmp", decode_bmp(data)
+    raise ValueError("unrecognized image container (not PPM/BMP)")
+
+
+#: Output of the REAL decode stage. ``checksum`` is md5 of the decoded
+#: raw RGB raster (container-independent: the same image encoded as BMP
+#: or PPM yields the same checksum); ``raster_md5`` is md5 of the
+#: raster's lowercase-hex encoding — the same ASCII string a SQL engine
+#: can rebuild, so the driver's DuckDB oracle verifies the decode
+#: byte-exactly (this DuckDB has no md5(BLOB) overload). ``pix_sum`` /
+#: ``pix_dot`` (Σ v[i], Σ (i+1)·v[i]) are order-sensitive integer
+#: digests that catch raster flips and channel swaps arithmetically.
+REAL_DECODED_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("media_type", StringType(), True),
+        StructField("n_bytes", LongType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("pix_sum", LongType(), True),
+        StructField("pix_dot", LongType(), True),
+        StructField("raster_md5", StringType(), True),
+        StructField("checksum", StringType(), True),
+    ]
+)
+
+
+def real_decode_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    """REAL decode kernel (mapInPandas): parses BMP/PPM payloads with
+    numpy and emits decoded dimensions + raster digests. Undecodable
+    payloads dead-letter as null-metadata rows (filter ``width IS
+    NULL``) instead of failing the batch — at 100 TB a corrupt blob
+    must not kill the stage."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        out = {k.name: [] for k in REAL_DECODED_SCHEMA.fields}
+        for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+            out["asset_id"].append(aid)
+            data = b"" if payload is None else bytes(payload)
+            out["n_bytes"].append(len(data))
+            try:
+                media, img = decode_image(data)
+            except ValueError:
+                for k in ("media_type", "width", "height", "pix_sum",
+                          "pix_dot", "raster_md5", "checksum"):
+                    out[k].append(None)
+                continue
+            h, w, _ = img.shape
+            flat = img.reshape(-1).astype(np.int64)
+            raw = img.tobytes()
+            out["media_type"].append(media)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["pix_sum"].append(int(flat.sum()))
+            out["pix_dot"].append(
+                int((flat * (np.arange(flat.size, dtype=np.int64) + 1)).sum())
+            )
+            out["raster_md5"].append(
+                hashlib.md5(raw.hex().encode("ascii")).hexdigest()
+            )
+            out["checksum"].append(hashlib.md5(raw).hexdigest())
+        yield pd.DataFrame(out).astype(
+            {"width": "Int32", "height": "Int32",
+             "pix_sum": "Int64", "pix_dot": "Int64"}
+        )
+
+
+def real_decode_assets(assets: DataFrame) -> DataFrame:
+    """Real decode stage over ``ASSET_SCHEMA`` rows — same narrow
+    Arrow-batched shape as :func:`decode_assets`, real codec."""
+    return assets.mapInPandas(real_decode_batch, schema=REAL_DECODED_SCHEMA)
+
+
+def real_resize_batch(target_w: int, target_h: int):
+    """REAL resize kernel factory: decode (BMP/PPM) → nearest-neighbor
+    resample via numpy index maps → re-encode as PPM. Emits
+    :data:`RESIZED_SCHEMA` (checksum = md5 of the resized raster)."""
+
+    def _resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"asset_id": [], "width": [], "height": [],
+                   "r_bytes": [], "checksum": []}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                out["asset_id"].append(aid)
+                out["width"].append(target_w)
+                out["height"].append(target_h)
+                try:
+                    _, img = decode_image(
+                        b"" if payload is None else bytes(payload)
+                    )
+                except ValueError:
+                    out["r_bytes"].append(None)
+                    out["checksum"].append(None)
+                    continue
+                h, w, _ = img.shape
+                ys = (np.arange(target_h, dtype=np.int64) * h) // target_h
+                xs = (np.arange(target_w, dtype=np.int64) * w) // target_w
+                resized = np.ascontiguousarray(img[ys][:, xs])
+                out["r_bytes"].append(len(encode_ppm(resized)))
+                out["checksum"].append(
+                    hashlib.md5(resized.tobytes()).hexdigest()
+                )
+            yield pd.DataFrame(out).astype(
+                {"width": "int32", "height": "int32", "r_bytes": "Int64"}
+            )
+
+    return _resize
+
+
+def synthesize_ppm_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic image corpus: one PPM per document row,
+    ``w = 8 + id % 9``, ``h = 8 + id % 5``, raster byte i =
+    ``(id·31 + 7·i) mod 256``. Pure arithmetic — a SQL oracle rebuilds
+    the exact raster, so the REAL decoder's output is hash-checkable
+    end to end (see ``mm_decode_real``). Narrow mapInPandas, no shuffle."""
+
+    def _synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads, sizes = [], []
+            for did in pdf["asset_id"]:
+                did = int(did)
+                w, h = 8 + did % 9, 8 + did % 5
+                raster = (
+                    (did * 31 + 7 * np.arange(w * h * 3, dtype=np.int64)) % 256
+                ).astype(np.uint8)
+                payloads.append(encode_ppm(raster.reshape(h, w, 3)))
+                sizes.append(len(payloads[-1]))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": "image/x-portable-pixmap",
+                    "payload": payloads,
+                    "n_bytes": pd.Series(sizes, dtype="int64"),
+                }
+            )
+
+    return docs.select(F.col(id_col).alias("asset_id")).mapInPandas(
+        _synth, schema=ASSET_SCHEMA
+    )
+
+
+def decoded_raster_frames(assets: DataFrame) -> DataFrame:
+    """Decode BMP/PPM payloads and emit the raw RGB raster as a single
+    frame row per asset (:data:`FRAME_SCHEMA`) — feeds
+    :func:`byte_histogram_features` / the ANN operators with genuinely
+    decoded pixels instead of container bytes."""
+
+    def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"asset_id": [], "frame_idx": [], "frame_bytes": [],
+                   "n_bytes": []}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    _, img = decode_image(
+                        b"" if payload is None else bytes(payload)
+                    )
+                except ValueError:
+                    continue
+                raw = img.tobytes()
+                out["asset_id"].append(aid)
+                out["frame_idx"].append(0)
+                out["frame_bytes"].append(raw)
+                out["n_bytes"].append(len(raw))
+            yield pd.DataFrame(out).astype(
+                {"asset_id": "int64", "frame_idx": "int32",
+                 "n_bytes": "int64"}
+            )
+
+    return assets.mapInPandas(_decode, schema=FRAME_SCHEMA)

@@ -1258,6 +1258,63 @@ def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "mm_decode_real",
+    # The synthetic corpus is pure arithmetic (w = 8 + id%9,
+    # h = 8 + id%5, raster[i] = (id*31 + 7i) mod 256), so DuckDB
+    # rebuilds the exact raster the REAL PPM decoder must recover:
+    # dimensions from the parsed header, integer raster digests, and
+    # md5 over the raster's lowercase-hex string (this DuckDB has no
+    # md5(BLOB) overload; both engines hash the same ASCII string).
+    # Aggregate SUMs are HUGEINT in DuckDB — cast to BIGINT.
+    oracle="""
+    WITH params AS (
+      SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 5 AS h
+      FROM documents),
+    px AS (
+      SELECT doc_id, w, h, i, (doc_id*31 + 7*i) % 256 AS v
+      FROM params,
+           LATERAL (SELECT unnest(range(0, w*h*3)) AS i) t),
+    agg AS (
+      SELECT doc_id, w, h,
+             CAST(SUM(v) AS BIGINT) AS pix_sum,
+             CAST(SUM((i+1)*v) AS BIGINT) AS pix_dot,
+             md5(string_agg(
+               substr('0123456789abcdef', CAST(v//16 AS INTEGER) + 1, 1) ||
+               substr('0123456789abcdef', CAST(v%16 AS INTEGER) + 1, 1),
+               '' ORDER BY i)) AS raster_md5
+      FROM px GROUP BY doc_id, w, h)
+    SELECT doc_id AS asset_id,
+           'image/x-portable-pixmap' AS media_type,
+           CAST(9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+                + w*h*3 AS BIGINT) AS n_bytes,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           pix_sum, pix_dot, raster_md5
+    FROM agg
+    """,
+)
+def mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, hash-verified end to end: synthesize one
+    deterministic PPM per document (capital/llm/multimodal.py
+    synthesize_ppm_assets), then decode it with the pure-numpy PPM/BMP
+    codec (real_decode_assets — header parse, raster extraction) and
+    emit decoded dimensions + raster digests. The oracle rebuilds the
+    raster arithmetically, so a hash match proves the decoder parsed
+    the container byte-exactly — the round-13 upgrade of the decode
+    stage from stubbed codec to real codec (reference parity target:
+    opaque-media handling, dags/brz_news_weekly payloads)."""
+    from capital.io import right_size_narrow
+    from capital.llm.multimodal import real_decode_assets, synthesize_ppm_assets
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    assets = synthesize_ppm_assets(right_size_narrow(d))
+    return real_decode_assets(assets).select(
+        "asset_id", "media_type", "n_bytes", "width", "height",
+        "pix_sum", "pix_dot", "raster_md5",
+    )
+
+
 # --- pyspark.ml library-path surface ------------------------------------
 
 
