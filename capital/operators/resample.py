@@ -17,10 +17,18 @@ real rows. ``max_gap_days`` bounds the carry (a price quote from two
 years ago is not a price) — beyond it the fill nulls out, the
 monitoring-friendly behavior.
 
-Shape at scale: bounds are one map-side-combined aggregate; the spine
-is a narrow per-key ``sequence`` explode (keys × days rows — the
-OUTPUT size, nothing quadratic); the fill is ONE window per key
-(hash exchange + local sort). No driver work, no global sort.
+Shape at scale: ONE hash exchange of the raw rows by key up front —
+``HashPartitioning(key)`` satisfies every downstream clustering
+requirement (the (key, date) aggregate, the bounds aggregate, the
+spine↔obs equi-join, the per-key window), so the whole pipeline runs
+on a single shuffle with no re-exchange. The join is pinned to a
+co-partitioned sort-merge (``hint("merge")``): without it Catalyst
+broadcasts the observation side, which re-buys the join for the price
+of building+probing a keys×days hashed relation per task AND forces a
+fresh window exchange — measured 2.6 s vs 1.2 s at sf0.1, and at
+100 TB the obs side outgrows any broadcast. The spine is a narrow
+per-key ``sequence`` explode (keys × days rows — the OUTPUT size,
+nothing quadratic). No driver work, no global sort.
 """
 
 from __future__ import annotations
@@ -51,6 +59,7 @@ def regularize_daily(
     obs = (
         df.select(key.alias("key"), day.alias("date"),
                   F.col(value_col).alias("__v"))
+        .repartition(F.col("key"))
         .groupBy("key", "date")
         .agg(F.max("__v").alias("__v"))
     )
@@ -63,7 +72,7 @@ def regularize_daily(
             F.sequence(F.col("__d0"), F.col("__d1"), F.expr("interval 1 day"))
         ).alias("date"),
     )
-    joined = spine.join(obs, ["key", "date"], "left")
+    joined = spine.join(obs.hint("merge"), ["key", "date"], "left")
     w = (
         Window.partitionBy("key")
         .orderBy(F.asc("date"))
