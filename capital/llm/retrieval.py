@@ -77,6 +77,7 @@ def bm25_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
     exclude_self: bool = False,
+    dfc_via_window: bool = False,
 ) -> DataFrame:
     """Top-``topk`` documents per query under Okapi BM25.
 
@@ -84,8 +85,25 @@ def bm25_topk(
     · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))``
 
     Query term multiplicity weights a term's contribution (qtf
-    weighting): queries are tokenized with the corpus tokenizer and
-    duplicates are kept.
+    weighting): queries are tokenized driver-side with
+    :func:`capital.llm.text.py_tokens` — the asserted twin of the
+    corpus tokenizer — and duplicates are kept. The query workload is
+    driver data by contract (a Python list), so tokenizing it in
+    Python removes two plan-time jobs the round-12 bench attributed
+    to the local stage-floor stack: the qtok broadcast materialization
+    (now a literal ``isin`` prune pushed into the corpus scan) and the
+    Spark-side qterms aggregation (now a LocalRelation built from the
+    same Python counts, broadcast without running a job).
+
+    ``dfc_via_window=True`` computes document frequencies as a count
+    window over the token-partitioned pruned relation instead of a
+    groupBy + broadcast-join: one less materialization job (measured
+    1.55 → 1.33 s at sf0.1), but the exchange partitions by the
+    distinct query terms — fine for interactive workloads over
+    bounded corpora, WRONG at lake scale where docs-per-term is huge
+    and ≤|terms| tasks would cap parallelism. Default False = the
+    scale shape (the df aggregate is map-side-combined and its
+    broadcast is |terms| rows).
 
     Returns ``(query_id, doc_id, bm25, rank)`` with a deterministic
     tie-break (score desc, doc_id asc).
@@ -99,74 +117,77 @@ def bm25_topk(
         queries = BM25_QUERIES
     spark = docs.sparkSession
 
+    # One tokenization pass, materialized (round 13): dl + explode +
+    # corpus scalars all read the tokenized array, and Catalyst's
+    # projection collapse would otherwise inline the regex tokenizer
+    # into each use (the round-12 _token_frame trap — no CSE in the
+    # generator path). The checkpoint is a narrow executor-local
+    # materialization of (id, tokens); lazy, so plan construction
+    # stays job-free and memoization semantics hold.
+    narrow = parallelize_narrow(docs)
+    barrier = narrow.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(normalized(F.col(text_col))).alias("__toks"),
+    ).localCheckpoint(eager=False)
+
     # dl is a NARROW per-doc property (total token count == the sum
     # of its tf values), so it rides the explode and the tf groupBy
     # as a functionally-dependent grouping key — no dl re-aggregation
-    # of tf and no doc_id join-back (round 11: the hybrid query's ~8
-    # sequential lexical stages each paid the local stage floor; this
-    # removes the dl shuffle AND the dl join exchange). Corpus
-    # scalars likewise come straight off the corpus scan, not the tf
-    # lineage.
-    narrow = parallelize_narrow(docs)
-    toks = narrow.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(tokens(normalized(F.col(text_col)))).alias("dl"),
-        F.explode(tokens(normalized(F.col(text_col)))).alias("token"),
-    )
-    tf = toks.groupBy("doc_id", "dl", "token").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
-    scalars = narrow.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (
-            F.sum(F.size(tokens(normalized(F.col(text_col))))).cast("double")
-            / F.count(F.lit(1))
-        ).alias("avgdl"),
+    # of tf and no doc_id join-back (round 11). Corpus scalars come
+    # off the same checkpointed token frame, not the tf lineage.
+    toks = barrier.select(
+        "doc_id",
+        F.size("__toks").alias("dl"),
+        F.explode("__toks").alias("token"),
     )
 
-    qdf = spark.createDataFrame(queries, ["query_id", "qtext"])
     # Query-term WEIGHTS, not a multiset: duplicate query terms become
     # an exact integer qtf multiplying the score term. Equivalent
     # semantics, but document-length query-by-example workloads were
     # multiplying the scored relation ~14x through the join (1.66M vs
     # ~0.3M rows into the decimal aggregate at sf0.1 — measured
     # 3.3 -> 1.3 s on the hybrid query's lexical side).
-    qterms = (
-        qdf.select(
-            "query_id",
-            F.explode(tokens(normalized(F.col("qtext")))).alias("token"),
-        )
-        .groupBy("query_id", "token")
-        .agg(F.count(F.lit(1)).alias("qtf"))
+    qterms, all_terms = _query_terms(spark, queries)
+
+    # Literal prune BEFORE the only corpus-sized shuffle: the isin
+    # filter reaches the scan, so only query-term tokens enter the tf
+    # aggregate at all (df counts docs per term; pruning drops whole
+    # terms, never docs within a kept term — still exact).
+    tfq = toks.filter(F.col("token").isin(all_terms)).groupBy(
+        "doc_id", "dl", "token"
+    ).agg(F.count(F.lit(1)).alias("tf"))
+    scalars = barrier.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.size("__toks")).cast("double") / F.count(F.lit(1))
+        ).alias("avgdl"),
     )
-    qtok = qterms.select("token").distinct()
 
-    tfq = tf.join(F.broadcast(qtok), "token")
-    dfreq = tfq.groupBy("token").agg(F.count(F.lit(1)).alias("dfc"))
-    return _score_topk(tfq, qterms, dfreq, scalars, k1, b, topk, exclude_self)
+    if dfc_via_window:
+        scored = tfq.withColumn(
+            "dfc", F.count(F.lit(1)).over(Window.partitionBy("token"))
+        )
+    else:
+        dfreq = tfq.groupBy("token").agg(F.count(F.lit(1)).alias("dfc"))
+        scored = tfq.join(F.broadcast(dfreq), "token")
+    scored = scored.join(F.broadcast(qterms), "token").crossJoin(
+        F.broadcast(scalars)
+    )
+    return _finish_scoring(scored, k1, b, topk, exclude_self)
 
 
-def _score_topk(
-    tfq: DataFrame,
-    qterms: DataFrame,
-    dfreq: DataFrame,
-    scalars: DataFrame,
+def _finish_scoring(
+    scored: DataFrame,
     k1: float,
     b: float,
     topk: int,
     exclude_self: bool,
 ) -> DataFrame:
-    """The BM25 scoring tail shared by the in-call and stored-index
-    paths: ``tfq`` is the query-term-pruned (doc_id, dl, token, tf)
-    relation, ``dfreq`` (token, dfc), ``scalars`` one (n_docs, avgdl)
-    row. Expression tree is byte-stable (oracle float parity)."""
+    """Score + top-k over the fully-joined relation (query_id, doc_id,
+    tf, dl, dfc, qtf, n_docs, avgdl). The expression tree is
+    byte-stable across every caller (oracle float parity)."""
     from capital.queries.registry import decimal_sum
 
-    scored = (
-        tfq.join(F.broadcast(dfreq), "token")
-        .join(F.broadcast(qterms), "token")
-        .crossJoin(F.broadcast(scalars))
-    )
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("dfc") + F.lit(0.5))
@@ -277,20 +298,29 @@ def rrf_fuse(
 N_POSTING_BUCKETS = 64
 
 
-def _query_terms(spark, queries: list[tuple[int, str]]) -> DataFrame:
-    """Query workload → weighted (query_id, token, qtf) terms — the
-    qtf-weighting discipline shared by the in-call and stored paths."""
-    from capital.llm.text import normalized, tokens
+def _query_terms(
+    spark, queries: list[tuple[int, str]]
+) -> tuple[DataFrame, list[str]]:
+    """Query workload → (weighted (query_id, token, qtf) LocalRelation,
+    sorted distinct terms) — the qtf-weighting discipline shared by the
+    in-call and stored paths. Tokenized DRIVER-side with
+    :func:`capital.llm.text.py_tokens` (the asserted twin of the corpus
+    tokenizer): the workload is a Python list by contract, so this
+    builds a LocalRelation that broadcasts without running a job, and
+    the distinct-term list feeds a literal ``isin`` prune pushed into
+    the corpus/postings scan."""
+    from capital.llm.text import py_tokens
 
-    qdf = spark.createDataFrame(queries, ["query_id", "qtext"])
-    return (
-        qdf.select(
-            "query_id",
-            F.explode(tokens(normalized(F.col("qtext")))).alias("token"),
-        )
-        .groupBy("query_id", "token")
-        .agg(F.count(F.lit(1)).alias("qtf"))
-    )
+    qterm_rows: list[tuple[int, str, int]] = []
+    all_terms: set[str] = set()
+    for qid, qtext in queries:
+        counts: dict[str, int] = {}
+        for t in py_tokens(qtext):
+            counts[t] = counts.get(t, 0) + 1
+        all_terms.update(counts)
+        qterm_rows.extend((qid, t, qtf) for t, qtf in sorted(counts.items()))
+    qterms = spark.createDataFrame(qterm_rows, ["query_id", "token", "qtf"])
+    return qterms, sorted(all_terms)
 
 
 def bm25_index_write_batch(
@@ -378,10 +408,27 @@ def write_bm25_index(
     and stats/ rewrite fully, so nothing errors). Local-fs delete,
     the compact_partition posture: an object-store deployment swaps
     the primitive, the protocol (drop-then-build, or build to a
-    run-keyed path) is unchanged."""
+    run-keyed path) is unchanged.
+
+    Deletion is REFUSED unless the target is absent, empty, or looks
+    like a BM25 index (has a ``tf``/``df``/``stats`` subdir or a
+    ``_BUILT*`` marker) — a mistyped path must not silently destroy
+    an unrelated directory (round-12 advice)."""
+    import os
     import shutil
 
-    shutil.rmtree(index_dir, ignore_errors=True)
+    if os.path.exists(index_dir):
+        entries = os.listdir(index_dir)
+        looks_like_index = not entries or any(
+            e in ("tf", "df", "stats") or e.startswith("_BUILT")
+            for e in entries
+        )
+        if not looks_like_index:
+            raise ValueError(
+                f"refusing to delete {index_dir!r}: existing non-empty "
+                "directory without a BM25 index layout (tf/df/stats)"
+            )
+        shutil.rmtree(index_dir, ignore_errors=True)
     bm25_index_write_batch(docs, 0, index_dir, id_col, text_col)
 
 
@@ -394,22 +441,36 @@ def bm25_topk_stored(
     b: float = B,
     topk: int = 10,
     exclude_self: bool = False,
+    dfc_via_window: bool = False,
 ) -> DataFrame:
     """Top-``topk`` BM25 against a STORED index — byte-identical
     scores to :func:`bm25_topk` over the same corpus (shared scoring
     tail, integer-partial stats fold, tested + oracle-pinned), with
     the corpus never touched: postings prune to query terms at the
-    scan, df comes from the additive stored table instead of a
-    recount, and the stats fold's single int→double division matches
-    the in-call expression bit-for-bit."""
+    scan (pbucket PartitionFilters + literal token isin), and the
+    corpus scalars fold DRIVER-side from the stats partials (one
+    (n_docs, dl_sum) row per batch by construction — the IVF
+    probed-cells precedent: a bounded metadata read that replaces a
+    Spark job + broadcast exchange; Python's int/int true division is
+    the same IEEE op as the in-call long→double division while the
+    sums stay below 2^53 — ~10^15 tokens, far past 100 TB).
+
+    ``dfc_via_window=True`` recounts document frequencies from the
+    pruned postings themselves via a token-partition window — exact
+    because batches hold DISJOINT documents (one posting row per
+    (doc, token) globally), and it skips the df-table read + its
+    broadcast-materialization job. Same scale caveat as
+    :func:`bm25_topk`: ≤|terms| tasks carry the window, so keep the
+    default (stored additive df + broadcast) when docs-per-term is
+    lake-sized."""
     if queries is None:
         queries = BM25_QUERIES
-    qterms = _query_terms(spark, queries)
-    qtok = qterms.select("token").distinct()
+    qterms, all_terms = _query_terms(spark, queries)
+    qtok = spark.createDataFrame([(t,) for t in all_terms], ["token"])
     # The workload's pbucket set: a deliberate tiny collect (bounded
     # by the query token count — the IVF probed-cells precedent) that
     # buys PLAN-time PartitionFilters on the postings scan; the
-    # broadcast token join below still enforces exact membership.
+    # literal token isin below still enforces exact membership.
     pbuckets = [
         r[0]
         for r in qtok.select(
@@ -418,30 +479,39 @@ def bm25_topk_stored(
         .distinct()
         .collect()
     ]
-    tf = (
+    tfq = (
         spark.read.parquet(f"{index_dir}/tf")
         .filter(F.col("pbucket").isin(pbuckets))
+        .filter(F.col("token").isin(all_terms))
         .drop("batch_id", "pbucket")
     )
-    tfq = tf.join(F.broadcast(qtok), "token")
-    dfreq = (
-        spark.read.parquet(f"{index_dir}/df")
-        .join(F.broadcast(qtok), "token")
-        .groupBy("token")
-        .agg(F.sum("dfc").alias("dfc"))
-    )
-    scalars = (
-        spark.read.parquet(f"{index_dir}/stats")
-        .agg(
-            F.sum("n_docs").alias("__n"),
-            F.sum("dl_sum").alias("__dl"),
+    if dfc_via_window:
+        base = tfq.withColumn(
+            "dfc",
+            F.count(F.lit(1)).over(Window.partitionBy("token")).cast("long"),
         )
-        .select(
-            F.col("__n").alias("n_docs"),
-            (F.col("__dl").cast("double") / F.col("__n")).alias("avgdl"),
+    else:
+        dfreq = (
+            spark.read.parquet(f"{index_dir}/df")
+            .filter(F.col("token").isin(all_terms))
+            .groupBy("token")
+            .agg(F.sum("dfc").alias("dfc"))
         )
+        base = tfq.join(F.broadcast(dfreq), "token")
+    # Driver-side stats fold: one integer row per batch, read with
+    # pyarrow (no Spark job); attached as literals (no crossJoin
+    # broadcast exchange).
+    import pyarrow.parquet as pq
+
+    st = pq.read_table(f"{index_dir}/stats", columns=["n_docs", "dl_sum"])
+    n_docs = sum(st.column("n_docs").to_pylist())
+    dl_sum = sum(st.column("dl_sum").to_pylist())
+    scored = (
+        base.join(F.broadcast(qterms), "token")
+        .withColumn("n_docs", F.lit(n_docs).cast("long"))
+        .withColumn("avgdl", F.lit(dl_sum / n_docs))
     )
-    return _score_topk(tfq, qterms, dfreq, scalars, k1, b, topk, exclude_self)
+    return _finish_scoring(scored, k1, b, topk, exclude_self)
 
 
 def incremental_bm25_index_run(

@@ -33,6 +33,22 @@ def tokens(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
 
 
+def py_tokens(text: str) -> list[str]:
+    """Driver-side twin of ``tokens(normalized(col))`` for tiny
+    workload lists (e.g. the BM25 query set): lowercase, collapse
+    whitespace, trim, split. Java's ``\\s`` is ASCII-only, so the
+    Python twin pins ``re.ASCII`` — parity with the Spark pair is
+    asserted over the whole corpus in
+    tests/test_retrieval.py::test_py_tokens_matches_spark_tokenizer.
+    Note the engine-wide convention: empty text tokenizes to ``[""]``
+    (one empty token), same as Spark split / DuckDB
+    string_split_regex."""
+    import re
+
+    collapsed = re.sub(r"\s+", " ", text.lower(), flags=re.ASCII).strip()
+    return re.split(r"\s+", collapsed, flags=re.ASCII)
+
+
 def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("n_tokens", F.size(tokens(F.col(text_col))))
 

@@ -89,9 +89,15 @@ def ret_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-10 per query over the fixed literal query
     workload — the lexical first-stage retriever next to the dense
     ANN family. See capital/llm/retrieval.py for the plan shape
-    (broadcast query-term prune before any non-corpus shuffle)."""
+    (literal query-term prune pushed into the corpus scan; single
+    tokenization pass behind a checkpoint barrier).
+    dfc_via_window: the benchmark corpus is bounded (≤5k docs), so
+    the df count rides a token-partition window instead of paying a
+    broadcast-materialization job — at lake scale the default
+    groupBy+broadcast path is the right shape (see the operator
+    docstring for the measured trade)."""
     d = load_table(spark, sf_dir, "documents")
-    return bm25_topk(d, topk=_RET_TOPK)
+    return bm25_topk(d, topk=_RET_TOPK, dfc_via_window=True)
 
 
 @query("ret_bm25_stored", memoize=False, oracle=_BM25_ORACLE)
@@ -122,31 +128,48 @@ def ret_bm25_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"capital_bm25_index_v2_{os.path.basename(sf_dir.rstrip('/'))}",
     )
     write_bm25_index(d, path)
-    return bm25_topk_stored(spark, path, topk=_RET_TOPK)
+    # dfc recount from the pruned postings (window) + driver-side
+    # stats fold: bounded benchmark corpus (see ret_bm25_topk note).
+    return bm25_topk_stored(
+        spark, path, topk=_RET_TOPK, dfc_via_window=True
+    )
 
 
 def ensure_bm25_index(spark: SparkSession, sf_dir: str) -> str:
     """Build-once fixture for the probe-only stored-BM25 query: a
     per-sf index dir (SEPARATE from ret_bm25_stored's rebuild path,
-    which deletes its dir every call) guarded by a content marker —
-    an empty ``_BUILT_n{doc_count}`` file keyed by the corpus row
-    count, so a regenerated corpus under the same sf basename
-    triggers a rebuild instead of probing stale postings (the
-    round-11 ret_bm25_stored hazard). The count is metadata-cheap on
-    parquet. Single-writer assumed (the driver is one process; the
-    lake posture is a versioned-index maintenance job)."""
+    which deletes its dir every call) guarded by a content marker, so
+    a changed corpus triggers a rebuild instead of probing stale
+    postings (the round-11 ret_bm25_stored hazard). Round-13
+    hardening (r12 advice): the index path embeds a hash of the FULL
+    sf_dir path (two dirs sharing a basename no longer collide), and
+    the marker digest is content-sensitive — row count + total text
+    bytes + max doc_id (one metadata-cheap aggregate over the
+    parquet), not count alone, so a same-size regenerated corpus
+    rebuilds too. Single-writer assumed (the driver is one process;
+    the lake posture is a versioned-index maintenance job)."""
+    import hashlib
     import os
     import tempfile
 
     from capital.llm.retrieval import write_bm25_index
 
     d = load_table(spark, sf_dir, "documents")
-    n = d.count()
+    digest_row = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.octet_length("text")).alias("nbytes"),
+        F.max("doc_id").alias("maxid"),
+    ).collect()[0]
+    digest = f"n{digest_row.n}_b{digest_row.nbytes}_m{digest_row.maxid}"
+    sf_tag = hashlib.md5(
+        os.path.abspath(sf_dir).encode("utf-8")
+    ).hexdigest()[:10]
     path = os.path.join(
         tempfile.gettempdir(),
-        f"capital_bm25_probe_index_v1_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"capital_bm25_probe_index_v2_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{sf_tag}",
     )
-    marker = os.path.join(path, f"_BUILT_n{n}")
+    marker = os.path.join(path, f"_BUILT_{digest}")
     if not os.path.exists(marker):
         write_bm25_index(d, path)  # deletes any stale layout first
         with open(marker, "w"):
@@ -169,7 +192,11 @@ def ret_bm25_probe_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     from capital.llm.retrieval import bm25_topk_stored
 
     path = ensure_bm25_index(spark, sf_dir)
-    return bm25_topk_stored(spark, path, topk=_RET_TOPK)
+    # dfc recount from the pruned postings (window) + driver-side
+    # stats fold: bounded benchmark corpus (see ret_bm25_topk note).
+    return bm25_topk_stored(
+        spark, path, topk=_RET_TOPK, dfc_via_window=True
+    )
 
 
 _DSIR_QUOTA = 100
@@ -361,6 +388,7 @@ def ret_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries=[(int(r.doc_id), r.text) for r in qdocs],
         topk=_HYB_CAND,
         exclude_self=True,
+        dfc_via_window=True,  # bounded benchmark corpus (see ret_bm25_topk)
     ).select("query_id", "doc_id", "rank")
     dense = cosine_topk(
         emb, emb.filter(F.col("vec_id") < _HYB_N), k=_HYB_CAND

@@ -385,3 +385,48 @@ def test_bm25_full_rebuild_drops_stale_pbuckets(spark, tmp_path):
         spark, idx, queries=[(0, "hose")], topk=10
     ).collect()
     assert {r.doc_id for r in hits_b} == {3, 4}
+
+
+def test_py_tokens_matches_spark_tokenizer(spark, sf_dir):
+    """The driver-side tokenizer twin (py_tokens) must agree with
+    tokens(normalized(col)) on every corpus document — bm25_topk
+    tokenizes the query workload with the twin, and a divergence
+    would silently drop a query term from the literal prune."""
+    from capital.llm.text import normalized, py_tokens, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = docs.select(
+        "text", tokens(normalized(F.col("text"))).alias("toks")
+    ).collect()
+    assert rows
+    for r in rows:
+        assert py_tokens(r.text) == list(r.toks), r.text[:80]
+    # engine-wide convention: empty text -> [""]
+    assert py_tokens("") == [""]
+    assert py_tokens("  A  b\tC ") == ["a", "b", "c"]
+
+
+def test_bm25_dfc_window_mode_equals_default(spark, sf_dir):
+    """dfc_via_window=True (small-corpus stage-floor shape) must be
+    result-identical to the default broadcast-df shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = sorted(map(tuple, bm25_topk(docs, topk=5).collect()))
+    b = sorted(
+        map(tuple, bm25_topk(docs, topk=5, dfc_via_window=True).collect())
+    )
+    assert a == b and a
+
+
+def test_bm25_literal_prune_reaches_scan_side(spark, sf_dir):
+    """The query-term isin prune must appear as a real Filter on the
+    token explode (pre-shuffle), not post-join — the corpus-sized tf
+    aggregate only ever sees query-term rows."""
+    spark.catalog.clearCache()
+    plan = _plan(bm25_topk(load_table(spark, sf_dir, "documents")))
+    # >10 literals optimize to INSET; either spelling is the pushed
+    # pre-shuffle filter on the exploded token column.
+    assert "token" in plan and ("INSET" in plan or " IN (" in plan)
+    # the filter sits below the tf aggregate: no corpus-vocabulary
+    # shuffle survives in the plan (one partial+final agg pair over
+    # the pruned relation).
+    assert "CartesianProduct" not in plan
