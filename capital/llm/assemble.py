@@ -504,6 +504,8 @@ def semantic_contamination(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    via_ivf: str | None = None,
+    nprobe: int | None = None,
 ) -> DataFrame:
     """SEMANTIC benchmark decontamination: training vectors whose
     embedding cosine against ANY benchmark vector reaches
@@ -523,19 +525,26 @@ def semantic_contamination(
     pass (broadcast nested-loop, cosine per (train, bench) pair,
     filtered at the source) — the corpus never shuffles; the only
     exchange is the per-id aggregation of the FILTERED hit rows.
-    When the benchmark outgrows a broadcast, route through the IVF
-    cell index instead (probe benchmark cells only) — the stored-ANN
-    family exists for exactly that regime.
+    ``via_ivf`` (round 13 — previously a documented-only fallback):
+    when the benchmark outgrows a broadcast, pass the path of an IVF
+    index built OVER THE BENCHMARK with
+    :func:`capital.llm.ivf.write_ivf_index`; each training vector
+    then probes its ``nprobe`` nearest benchmark cells and compares
+    only against those cells' vectors. ``nprobe=None`` (default)
+    probes EVERY cell — exhaustive, and since each benchmark vector
+    lives in exactly one cell a (train, bench) pair is compared at
+    most once, so the result is row-identical to the broadcast form
+    (tested at nprobe=n_cells); smaller ``nprobe`` trades recall for
+    compute, the standard IVF knob. The join keys on ``cell`` — fine
+    while cells stay balanced (k-means cells over bench suites are);
+    a pathological hot cell is the chunked_pair_join regime. The
+    ``benchmark`` argument is ignored in this mode (the index IS the
+    benchmark).
     """
     from capital.io import parallelize_narrow
     from capital.llm.similarity import _norm, cosine_with_norms
     from capital.llm.text import round6_stable
 
-    q = benchmark.select(
-        F.col(id_col).alias("__bid"),
-        F.col(vec_col).alias("__qv"),
-        _norm(F.col(vec_col)).alias("__qn"),
-    )
     c = parallelize_narrow(train).select(
         F.col(id_col),
         F.col(vec_col).alias("__cv"),
@@ -544,9 +553,43 @@ def semantic_contamination(
     sim = cosine_with_norms(
         F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
     )
+    if via_ivf is not None:
+        from capital.llm.ivf import assign_cells
+
+        spark = train.sparkSession
+        cents = spark.read.parquet(f"{via_ivf}/centroids").collect()
+        centroids = [
+            [float(x) for x in r.centroid]
+            for r in sorted(cents, key=lambda r: r.cell)
+        ]
+        probe_n = len(centroids) if nprobe is None else int(nprobe)
+        probed = assign_cells(c, centroids, vec_col="__cv", nprobe=probe_n)
+        bench_lists = spark.read.parquet(f"{via_ivf}/lists").select(
+            F.col("neighbor_id").alias("__bid"),
+            F.col("c_vec").alias("__qv"),
+            _norm(F.col("c_vec")).alias("__qn"),
+            "cell",
+        )
+        paired = probed.join(bench_lists, "cell").filter(
+            F.col(id_col) != F.col("__bid")
+        )
+    else:
+        q = benchmark.select(
+            F.col(id_col).alias("__bid"),
+            F.col(vec_col).alias("__qv"),
+            _norm(F.col(vec_col)).alias("__qn"),
+        )
+        paired = c.join(F.broadcast(q), F.col(id_col) != F.col("__bid"))
+    # Known trade-off (r12 advice): Catalyst pushes this filter into
+    # the join condition AND re-evaluates the cosine fold in the
+    # projection for SURVIVING pairs — the round-5 double-evaluation
+    # pattern. Deliberate here: hits are sparse by construction
+    # (threshold ~0.9), so the doubled work is per-hit, while the
+    # explode-barrier workaround would materialize the full
+    # (train × bench) pair relation pre-filter — exactly what the
+    # filter-at-source shape exists to avoid.
     hits = (
-        c.join(F.broadcast(q), F.col(id_col) != F.col("__bid"))
-        .withColumn("__sim", sim)
+        paired.withColumn("__sim", sim)
         .filter(F.col("__sim") >= threshold)
         .select(F.col(id_col), "__bid", "__sim")
         .groupBy(id_col)

@@ -435,3 +435,66 @@ def test_semantic_contamination_hand_computed(spark):
     # vec 17: cos=1.0 with bench 17 but ids match → only the bench-0
     # comparison (cos 0.0) remains, below threshold
     assert not out[17].is_contaminated and out[17].n_bench_hits == 0
+
+
+def test_semantic_contamination_via_ivf_exhaustive_equals_broadcast(
+    spark, sf_dir, tmp_path
+):
+    """The r12-verdict ask: via_ivf at nprobe=n_cells must reproduce
+    the broadcast-BNLJ result row-for-row (every (train, bench) pair
+    is still compared exactly once — each bench vector lives in one
+    cell), over the real embeddings table."""
+    from capital.io import load_table
+    from capital.llm.assemble import semantic_contamination
+    from capital.llm.ivf import write_ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 7 == 0).limit(40)
+    train = emb
+    n_cells = 4
+    idx = str(tmp_path / "bench_ivf")
+    write_ivf_index(bench, idx, n_cells=n_cells)
+    exact = sorted(
+        map(tuple, semantic_contamination(train, bench, 0.35).collect())
+    )
+    via = sorted(
+        map(
+            tuple,
+            semantic_contamination(
+                train, bench, 0.35, via_ivf=idx
+            ).collect(),
+        )
+    )
+    assert exact == via and exact
+    assert any(r[1] for r in exact), "fixture should contain hits"
+
+
+def test_semantic_contamination_via_ivf_partial_probe_is_subset(
+    spark, sf_dir, tmp_path
+):
+    """nprobe < n_cells trades recall: flags must be a subset of the
+    exhaustive flags, never a superset (no false positives — every
+    compared pair uses the true cosine)."""
+    from capital.io import load_table
+    from capital.llm.assemble import semantic_contamination
+    from capital.llm.ivf import write_ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 5 == 0).limit(50)
+    idx = str(tmp_path / "bench_ivf_p")
+    write_ivf_index(bench, idx, n_cells=4)
+    full = {
+        r.vec_id
+        for r in semantic_contamination(
+            emb, bench, 0.35, via_ivf=idx
+        ).collect()
+        if r.is_contaminated
+    }
+    part = {
+        r.vec_id
+        for r in semantic_contamination(
+            emb, bench, 0.35, via_ivf=idx, nprobe=1
+        ).collect()
+        if r.is_contaminated
+    }
+    assert part <= full

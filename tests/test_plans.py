@@ -441,8 +441,9 @@ def test_cross_snapshot_band_exchanges_carry_no_text(spark, sf_dir):
             assert "text" not in inp and "signature" not in inp, (
                 f"fat band exchange:\n{s}"
             )
-    # AQE may broadcast every band side on the toy fixture; the text
-    # ban still holds on whatever band movement exists.
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
-    assert checked >= 0
+    # r12 advice: >= 0 was vacuous. The loop's header check matches
+    # BroadcastExchange too, so ANY band-key movement (shuffle or
+    # broadcast) is audited; the fixture plan carries at least one.
+    assert checked >= 1, "no band-key exchange found — audit is vacuous"
