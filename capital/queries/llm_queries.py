@@ -2690,6 +2690,114 @@ def llm_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _unigram_oracle() -> str:
+    r"""Unigram-LM trainer oracle, GENERATED from the same constants
+    as capital/llm/unigram.py (the llm_queries convention). The
+    engine runs a per-word Viterbi DP; the oracle enumerates ALL
+    segmentations per word with a recursive CTE (bounded by
+    tetranacci(WORD_CAP) paths/word — deliberately brute-force ground
+    truth, the fullrecall-oracle convention) and picks the SAME
+    pure-integer lexicographic minimum: ORDER BY len(path),
+    sumfreq DESC, path — DuckDB VARCHAR[] comparison is element-wise
+    codepoint order, identical to Python tuple-of-str ordering on
+    this ASCII corpus."""
+    from capital.llm.unigram import (
+        EM_ROUNDS,
+        PIECE_MAX_LEN,
+        SEED_KEEP,
+        VOCAB_TARGET,
+        WORD_CAP,
+    )
+
+    rounds = []
+    for r in range(1, EM_ROUNDS + 1):
+        prev = "seed" if r == 1 else f"p{r - 1}"
+        rounds.append(f"""
+    walk{r}(word, pos, path, sumfreq) AS (
+      SELECT word, 0, CAST([] AS VARCHAR[]), CAST(0 AS BIGINT) FROM wc
+      UNION ALL
+      SELECT w.word, w.pos + length(p.piece),
+             list_append(w.path, p.piece), w.sumfreq + p.freq
+      FROM walk{r} w, {prev} p
+      WHERE w.pos < length(w.word)
+        AND substr(w.word, w.pos + 1, length(p.piece)) = p.piece),
+    best{r} AS MATERIALIZED (
+      SELECT word, path FROM (
+        SELECT word, path,
+               ROW_NUMBER() OVER (PARTITION BY word
+                 ORDER BY len(path), sumfreq DESC, path) AS rn
+        FROM walk{r} WHERE pos = length(word)) WHERE rn = 1),
+    u{r} AS MATERIALIZED (
+      SELECT t.piece, CAST(SUM(wc.cnt) AS BIGINT) AS freq
+      FROM best{r} b JOIN wc USING (word),
+           LATERAL (SELECT unnest(b.path) AS piece) t
+      GROUP BY t.piece),
+    p{r} AS MATERIALIZED (
+      SELECT piece, freq FROM u{r}
+      UNION ALL
+      SELECT s.piece, CAST(0 AS BIGINT) FROM seed s
+      WHERE length(s.piece) = 1
+        AND s.piece NOT IN (SELECT piece FROM u{r}))""")
+    rounds_sql = ",".join(rounds)
+    return rf"""
+    WITH RECURSIVE wc AS MATERIALIZED (
+      SELECT substr(word, 1, {WORD_CAP}) AS word,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+            FROM documents)
+      WHERE length(word) >= 1
+      GROUP BY 1),
+    subfreq AS MATERIALIZED (
+      SELECT piece, CAST(SUM(cnt) AS BIGINT) AS freq FROM (
+        SELECT wc.cnt, substr(wc.word, ti.i, tl.l) AS piece
+        FROM wc,
+          LATERAL (SELECT unnest(range(1, length(wc.word) + 1)) AS i) ti,
+          LATERAL (SELECT unnest(range(1,
+            least({PIECE_MAX_LEN}, length(wc.word) - ti.i + 1) + 1)) AS l) tl)
+      GROUP BY piece),
+    seed AS MATERIALIZED (
+      -- no bare UNION here: under WITH RECURSIVE DuckDB parses a CTE
+      -- body "A UNION B" as a degenerate RECURSIVE definition and
+      -- skips the distinct (measured: every single-char piece
+      -- duplicated). The OR form is also exactly Spark's top-K ∪
+      -- singles set.
+      SELECT piece, freq FROM (
+        SELECT piece, freq,
+               ROW_NUMBER() OVER (ORDER BY freq DESC, piece) AS rn
+        FROM subfreq)
+      WHERE rn <= {SEED_KEEP} OR length(piece) = 1),
+    {rounds_sql},
+    ranked AS (
+      SELECT piece, freq,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, piece) AS rn
+      FROM p{EM_ROUNDS}),
+    kept AS MATERIALIZED (
+      SELECT piece, freq AS usage FROM ranked
+      WHERE rn <= {VOCAB_TARGET} OR length(piece) = 1),
+    tot AS (SELECT CAST(SUM(usage) AS BIGINT) AS t FROM kept)
+    SELECT piece, usage,
+           floor(CAST(usage AS DOUBLE) / t * 1e6 + 0.5e0) / 1e6 AS prob6
+    FROM kept, tot
+    """
+
+
+@query("llm_unigram_vocab", memoize=False, oracle=_unigram_oracle())
+def llm_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer TRAINING
+    (capital/llm/unigram.py, Kudo 2018) — the second trainer of the
+    tokenizer family next to llm_bpe_merges: substring seed inventory
+    → hard-EM rounds (integer lexicographic Viterbi per DISTINCT
+    word, usage re-estimation) → prune to the target vocabulary.
+    Emits (piece, usage, prob6). The corpus is touched once; every EM
+    round is vocabulary-sized with a bounded state collect (the
+    kmeans/BPE iterative posture). memoize=False: per-round collects
+    are eager."""
+    from capital.llm.unigram import unigram_train, word_counts
+
+    d = load_table(spark, sf_dir, "documents")
+    return unigram_train(word_counts(d))
+
+
 #: Chunk length for id-level sequence packing (training seq_len).
 _BPE_SEQ_LEN = 64
 
