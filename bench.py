@@ -148,6 +148,12 @@ def headline_names(all_names) -> list[str]:
         "ret_bm25_probe_only",
         # (anchor 0.47 s: intra-document repetition trim)
         "dedup_self_repetition",
+        # --- added round 13 (anchors in BASELINE.md: REAL PPM decode
+        # over synthesized images — the oracle is the arithmetic
+        # raster rebuild; unigram-LM tokenizer training whose anchor
+        # is the exhaustive-enumeration recursive-CTE oracle) ---
+        "mm_decode_real",
+        "llm_unigram_vocab",
     ]
     return [n for n in preferred if n in all_names] or sorted(all_names)[:8]
 
