@@ -154,6 +154,8 @@ def headline_names(all_names) -> list[str]:
         # is the exhaustive-enumeration recursive-CTE oracle) ---
         "mm_decode_real",
         "llm_unigram_vocab",
+        # (anchor 0.145 s: REAL WAV decode + integer window features)
+        "mm_wav_features_real",
     ]
     return [n for n in preferred if n in all_names] or sorted(all_names)[:8]
 

@@ -582,3 +582,261 @@ def decoded_raster_frames(assets: DataFrame) -> DataFrame:
             )
 
     return assets.mapInPandas(_decode, schema=FRAME_SCHEMA)
+
+
+# --- real audio / video containers (round 13): WAV PCM + Y4M -------------
+#
+# Completes the real-codec story across all three modalities: images
+# (BMP/PPM above), audio (RIFF/WAVE PCM — header walk + int16
+# samples), video (YUV4MPEG2 — ASCII stream header + uncompressed
+# 4:2:0 frames separated by FRAME markers). All pure numpy; the
+# compressed formats (MP3/H.264) remain behind the stub seam.
+
+
+def encode_wav(samples, sample_rate: int = 16000) -> bytes:
+    """Encode an int16 sample array — ``(n,)`` mono or ``(n, ch)`` —
+    as a canonical 16-bit PCM RIFF/WAVE file."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int16)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, ch = arr.shape
+    data = np.ascontiguousarray(arr).tobytes()
+    byte_rate = sample_rate * ch * 2
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, ch, sample_rate, byte_rate, ch * 2, 16
+    )
+    hdr = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + 8 + len(data), b"WAVE")
+    return hdr + fmt + struct.pack("<4sI", b"data", len(data)) + data
+
+
+def decode_wav(data: bytes):
+    """Decode a 16-bit PCM RIFF/WAVE file to ``(sample_rate, (n, ch)
+    int16 array)``. Walks the chunk list (extra chunks like LIST/fact
+    are skipped), so non-canonical writers parse too."""
+    import struct
+
+    import numpy as np
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, raw = 12, None, None
+    while pos + 8 <= len(data):
+        cid, size = struct.unpack_from("<4sI", data, pos)
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            raw = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or raw is None:
+        raise ValueError("truncated WAVE (missing fmt/data chunk)")
+    audio_format, ch, sample_rate, _br, _ba, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"unsupported WAVE (format={audio_format}, bits={bits})")
+    samples = np.frombuffer(raw, dtype="<i2", count=(len(raw) // (2 * ch)) * ch)
+    return sample_rate, samples.reshape(-1, ch)
+
+
+def encode_y4m(frames, fps: int = 25) -> bytes:
+    """Encode ``(n_frames, h, w)`` uint8 luma-only frames as a
+    YUV4MPEG2 stream (C420 with flat chroma — the uncompressed video
+    container mplayer/ffmpeg exchange)."""
+    import numpy as np
+
+    arr = np.asarray(frames, dtype=np.uint8)
+    nf, h, w = arr.shape
+    if h % 2 or w % 2:
+        raise ValueError("C420 needs even dimensions")
+    out = [f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C420\n".encode("ascii")]
+    chroma = bytes([128]) * ((h // 2) * (w // 2))
+    for i in range(nf):
+        out.append(b"FRAME\n")
+        out.append(arr[i].tobytes())
+        out.append(chroma)  # U plane
+        out.append(chroma)  # V plane
+    return b"".join(out)
+
+
+def decode_y4m_frames(data: bytes):
+    """Decode a YUV4MPEG2 (C420) stream to the luma planes:
+    ``(w, h, list of (h, w) uint8 arrays)``. Frame parameter tags
+    after FRAME markers are tolerated per spec."""
+    import numpy as np
+
+    nl = data.index(b"\n")
+    header = data[:nl].decode("ascii", "replace")
+    if not header.startswith("YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    for tag in header.split()[1:]:
+        if tag.startswith("W"):
+            w = int(tag[1:])
+        elif tag.startswith("H"):
+            h = int(tag[1:])
+        elif tag.startswith("C") and not tag.startswith("C420"):
+            raise ValueError(f"unsupported chroma mode {tag}")
+    if not w or not h:
+        raise ValueError("missing W/H in YUV4MPEG2 header")
+    y_size, c_size = w * h, (w // 2) * (h // 2)
+    frames, pos = [], nl + 1
+    while pos < len(data):
+        if data[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME marker at byte {pos}")
+        pos = data.index(b"\n", pos) + 1
+        luma = np.frombuffer(data, dtype=np.uint8, count=y_size, offset=pos)
+        if luma.size != y_size:
+            raise ValueError("truncated frame")
+        frames.append(luma.reshape(h, w))
+        pos += y_size + 2 * c_size
+    return w, h, frames
+
+
+def y4m_sample_frames(assets: DataFrame, n_frames: int = 4) -> DataFrame:
+    """REAL video frame sampling: decode YUV4MPEG2 payloads and emit
+    ``n_frames`` evenly-spaced luma planes per asset as
+    :data:`FRAME_SCHEMA` rows — the real-codec counterpart of the
+    byte-slice :func:`sample_frames` stub. Undecodable payloads
+    dead-letter (skipped), the :func:`real_decode_batch` convention;
+    the sampled frames feed :func:`byte_histogram_features` / the ANN
+    operators directly."""
+
+    def _sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"asset_id": [], "frame_idx": [], "frame_bytes": [],
+                   "n_bytes": []}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    _w, _h, frames = decode_y4m_frames(
+                        b"" if payload is None else bytes(payload)
+                    )
+                except ValueError:
+                    continue
+                if not frames:
+                    continue
+                step = max(len(frames) // n_frames, 1)
+                for i in range(min(n_frames, len(frames))):
+                    raw = frames[min(i * step, len(frames) - 1)].tobytes()
+                    out["asset_id"].append(aid)
+                    out["frame_idx"].append(i)
+                    out["frame_bytes"].append(raw)
+                    out["n_bytes"].append(len(raw))
+            yield pd.DataFrame(out).astype(
+                {"asset_id": "int64", "frame_idx": "int32",
+                 "n_bytes": "int64"}
+            )
+
+    return assets.mapInPandas(_sample, schema=FRAME_SCHEMA)
+
+
+#: Output of the REAL audio feature stage: fixed windows per asset
+#: with exact integer digests (sums/energy/zero crossings — no float
+#: path, so a SQL oracle replicates them arithmetically).
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("window_idx", IntegerType(), True),
+        StructField("sum_amp", LongType(), True),
+        StructField("sum_sq", LongType(), True),
+        StructField("zero_crossings", LongType(), True),
+    ]
+)
+
+
+def wav_window_features(assets: DataFrame, n_windows: int = 4) -> DataFrame:
+    """REAL audio feature extraction: decode 16-bit PCM WAV payloads
+    (channel-0) and emit per-window integer signal statistics —
+    amplitude sum, energy (Σ s²), and zero-crossing count — the
+    integer core of the classic RMS/ZCR feature pair, kept exact so
+    the driver oracle can rebuild them arithmetically. Windows split
+    the sample count evenly (last window takes the remainder).
+    Undecodable payloads dead-letter as null-metadata rows."""
+
+    def _feat(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k.name: [] for k in AUDIO_FEATURE_SCHEMA.fields}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    rate, samples = decode_wav(
+                        b"" if payload is None else bytes(payload)
+                    )
+                except ValueError:
+                    out["asset_id"].append(aid)
+                    for k in ("sample_rate", "n_samples", "window_idx",
+                              "sum_amp", "sum_sq", "zero_crossings"):
+                        out[k].append(None)
+                    continue
+                mono = samples[:, 0].astype(np.int64)
+                n = mono.size
+                step = max(n // n_windows, 1)
+                for widx in range(n_windows):
+                    lo = widx * step
+                    hi = (widx + 1) * step if widx < n_windows - 1 else n
+                    if lo >= n:
+                        break
+                    win = mono[lo:hi]
+                    sign = np.sign(win)
+                    nz = sign[sign != 0]
+                    zc = int((nz[1:] != nz[:-1]).sum()) if nz.size > 1 else 0
+                    out["asset_id"].append(aid)
+                    out["sample_rate"].append(rate)
+                    out["n_samples"].append(n)
+                    out["window_idx"].append(widx)
+                    out["sum_amp"].append(int(win.sum()))
+                    out["sum_sq"].append(int((win * win).sum()))
+                    out["zero_crossings"].append(zc)
+            yield pd.DataFrame(out).astype(
+                {"asset_id": "int64", "sample_rate": "Int32",
+                 "n_samples": "Int64", "window_idx": "Int32",
+                 "sum_amp": "Int64", "sum_sq": "Int64",
+                 "zero_crossings": "Int64"}
+            )
+
+    return assets.mapInPandas(_feat, schema=AUDIO_FEATURE_SCHEMA)
+
+
+def synthesize_wav_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic audio corpus: one mono 16-bit PCM WAV
+    per document row, ``n = 256 + (id % 7)·64`` samples at 8 kHz,
+    sample i = ``((id·31 + 11·i) mod 65536) − 32768``. Pure
+    arithmetic, so a SQL oracle rebuilds the exact samples and the
+    REAL WAV decoder's window features are hash-checkable end to end
+    (see ``mm_wav_features_real``)."""
+
+    def _synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads, sizes = [], []
+            for did in pdf["asset_id"]:
+                did = int(did)
+                n = 256 + (did % 7) * 64
+                i = np.arange(n, dtype=np.int64)
+                samples = ((did * 31 + 11 * i) % 65536 - 32768).astype(
+                    np.int16
+                )
+                payloads.append(encode_wav(samples, sample_rate=8000))
+                sizes.append(len(payloads[-1]))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": "audio/wav",
+                    "payload": payloads,
+                    "n_bytes": pd.Series(sizes, dtype="int64"),
+                }
+            )
+
+    return docs.select(F.col(id_col).alias("asset_id")).mapInPandas(
+        _synth, schema=ASSET_SCHEMA
+    )

@@ -1315,6 +1315,68 @@ def mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "mm_wav_features_real",
+    # Synthetic corpus is pure arithmetic (n = 256 + (id%7)*64 samples,
+    # s[i] = ((id*31 + 11i) mod 65536) - 32768, 4 equal windows since
+    # 64 | n), so DuckDB rebuilds the exact samples the REAL RIFF/WAVE
+    # decoder must recover and replicates the integer window features:
+    # amplitude sum, energy, and the zero-crossing count over the
+    # window's NONZERO samples (sign-flip LAG per (doc, window)).
+    # Aggregate SUMs are HUGEINT in DuckDB — cast to BIGINT.
+    oracle="""
+    WITH params AS (
+      SELECT doc_id, 256 + (doc_id % 7) * 64 AS n FROM documents),
+    s AS (
+      SELECT doc_id, n, i,
+             (doc_id*31 + 11*i) % 65536 - 32768 AS v,
+             CAST(i // (n // 4) AS INTEGER) AS widx
+      FROM params, LATERAL (SELECT unnest(range(0, n)) AS i) t),
+    w AS (
+      SELECT doc_id, n, widx,
+             CAST(SUM(v) AS BIGINT) AS sum_amp,
+             CAST(SUM(v*v) AS BIGINT) AS sum_sq
+      FROM s GROUP BY doc_id, n, widx),
+    flips AS (
+      SELECT doc_id, widx,
+             CASE WHEN CASE WHEN v > 0 THEN 1 ELSE -1 END
+                  <> LAG(CASE WHEN v > 0 THEN 1 ELSE -1 END)
+                     OVER (PARTITION BY doc_id, widx ORDER BY i)
+                  THEN 1 ELSE 0 END AS flip
+      FROM s WHERE v <> 0),
+    zc AS (
+      SELECT doc_id, widx, CAST(SUM(flip) AS BIGINT) AS zero_crossings
+      FROM flips GROUP BY doc_id, widx)
+    SELECT w.doc_id AS asset_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(w.n AS BIGINT) AS n_samples,
+           w.widx AS window_idx,
+           w.sum_amp, w.sum_sq,
+           COALESCE(zc.zero_crossings, 0) AS zero_crossings
+    FROM w LEFT JOIN zc ON w.doc_id = zc.doc_id AND w.widx = zc.widx
+    """,
+)
+def mm_wav_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode + feature extraction, hash-verified end to
+    end: synthesize one deterministic 16-bit PCM WAV per document
+    (capital/llm/multimodal.py synthesize_wav_assets), decode it with
+    the pure-numpy RIFF chunk walker (decode_wav) and emit per-window
+    integer signal statistics (amplitude sum, energy, zero crossings)
+    via wav_window_features. The oracle rebuilds the samples
+    arithmetically, so a hash match proves the decoder parsed the
+    container and windowed the signal byte-exactly — the audio member
+    of the round-13 real-codec family next to mm_decode_real."""
+    from capital.io import right_size_narrow
+    from capital.llm.multimodal import (
+        synthesize_wav_assets,
+        wav_window_features,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    assets = synthesize_wav_assets(right_size_narrow(d))
+    return wav_window_features(assets, n_windows=4)
+
+
 # --- pyspark.ml library-path surface ------------------------------------
 
 
