@@ -1103,27 +1103,35 @@ def substring_dup_multiscale(
     the distinction a single L cannot make, and the basis for
     length-thresholded trimming at any ``threshold ≥ base_window``.
 
-    Scale shape — the corpus is scanned ONCE, not once per scale:
+    Scale shape (round 13 — the corpus is scanned ONCE and the whole
+    ladder rides ONE per-doc window chain):
 
     1. one stride-1 window explode builds the base level's positions
        with the md5 of each ``base_window``-gram (the proven
-       substring_dup_spans shape), persisted;
-    2. each doubling composes ``h_{2L}(pos) = md5(h_L(pos) ||
-       h_L(pos+L))`` via a ``lead(h, L)`` window over the SAME
-       per-doc position frame (positions are dense by construction,
-       so row-lead == position-lead) — a hash Merkle ladder: equal
-       2L-grams ⇔ equal composed hashes (128-bit md5 collisions
-       negligible), no re-tokenization, no second explode, and every
-       level reuses the one hash-partition-by-doc exchange;
-    3. per level: one corpus-wide hash count (map-side combined — hot
-       boilerplate collapses per partition), join back filtered to
-       duplicated hashes only, then the shared island merge
-       (:func:`_island_stats`) at that level's gap.
+       substring_dup_spans shape);
+    2. every doubling composes ``h_{2L}(pos) = md5(h_L(pos) ||
+       h_L(pos+L))`` via ``lead(h, L)`` — and all the leads share one
+       ``(doc, pos)`` window spec, so Catalyst runs the ENTIRE Merkle
+       ladder as one exchange + one sort with stacked Window nodes
+       (positions are dense, so row-lead == position-lead). Nulls
+       propagate validity for free: ``concat``/``md5`` of a null
+       lead are null, which is exactly "no window of length 2L starts
+       here" — no per-level filters;
+    3. the levels then UNION via a single struct explode to
+       ``(id, pos, window_tokens, h)`` rows (persisted — consumed by
+       the count and the join-back), and ALL levels share ONE
+       corpus-wide ``(window_tokens, h)`` count (map-side combined),
+       ONE duplicated-hash join-back, and ONE island merge windowed
+       by ``(doc, window_tokens)`` with the per-level gap read off
+       the ``window_tokens`` column.
 
-    The window frame is corpus-token-sized but 3 narrow columns; at
-    100 TB the per-level exchanges carry (hash, count) partials and
-    (id, pos) dup positions only. Level windows shrink as L grows
-    (width_L = n − L + 1), so higher levels cost strictly less.
+    The previous one-groupBy-join-island-pass-PER-LEVEL form shuffled
+    the same total rows through 4× the exchanges and paid ~16 local
+    stage floors — measured 4.79 → 1.80 s at sf0.1,
+    output-identical. At 100 TB the exchanges carry (hash, count)
+    partials and (id, pos, level) dup positions only; level widths
+    shrink as L grows (width_L = n − L + 1), so the unioned frame is
+    < levels× the base volume.
     """
     from capital.llm.text import round6_stable
     from capital.operators.caching import scoped_persist
@@ -1144,47 +1152,103 @@ def substring_dup_multiscale(
             (F.col("__pos0") + 1).alias("__pos"),
             F.md5(
                 F.concat_ws(" ", *[F.col(f"__s.t{i}") for i in range(L0)])
-            ).alias("__h"),
+            ).alias("__h0"),
         )
     )
-    level = scoped_persist(base, scope)
-    spine = tk.select(F.col(id_col), n.alias("n_tokens"))
     wdoc = Window.partitionBy(id_col).orderBy("__pos")
-    out = None
+    ladder = base
+    hs = ["__h0"]
     L = L0
-    for _ in range(int(levels)):
-        counts = level.groupBy("__h").agg(F.count(F.lit(1)).alias("__cnt"))
-        dup_pos = level.join(
-            counts.filter(F.col("__cnt") >= min_occurrences), "__h"
-        ).select(F.col(id_col), "__pos")
-        per_doc = spine.join(
-            _island_stats(dup_pos, id_col, L), id_col, "left"
-        ).select(
-            F.col(id_col),
-            F.lit(L).alias("window_tokens"),
-            "n_tokens",
-            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
-            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
-            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
-            round6_stable(
-                F.coalesce("dup_tokens", F.lit(0))
-                / F.greatest("n_tokens", F.lit(1))
-            ).alias("dup_frac"),
-        )
-        out = per_doc if out is None else out.unionByName(per_doc)
-        nxt = level.withColumn("__hn", F.lead("__h", L).over(wdoc)).filter(
-            F.col("__hn").isNotNull()
-        )
-        level = scoped_persist(
-            nxt.select(
-                F.col(id_col),
-                "__pos",
-                F.md5(F.concat(F.col("__h"), F.col("__hn"))).alias("__h"),
-            ),
-            scope,
+    for i in range(1, int(levels)):
+        prev = hs[-1]
+        ladder = ladder.withColumn(
+            f"__h{i}",
+            F.md5(F.concat(F.col(prev), F.lead(prev, L).over(wdoc))),
         )
         L *= 2
-    return out
+        hs.append(f"__h{i}")
+    lvl = (
+        ladder.select(
+            F.col(id_col),
+            "__pos",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(L0 * 2 ** i).alias("window_tokens"),
+                            F.col(h).alias("__h"),
+                        )
+                        for i, h in enumerate(hs)
+                    ]
+                )
+            ).alias("__lh"),
+        )
+        .select(F.col(id_col), "__pos", "__lh.window_tokens", "__lh.__h")
+        .filter(F.col("__h").isNotNull())
+    )
+    # Barrier the unioned level frame (consumed by the count AND the
+    # join-back). Default is localCheckpoint rather than persist: the
+    # InMemoryRelation displaces the partial-agg/exchange-reuse shape
+    # (the round-5 pattern — measured 2.6 vs 2.1 s here); an explicit
+    # CacheScope still wins when the caller manages lifecycles across
+    # several operators.
+    lvl = (
+        scoped_persist(lvl, scope)
+        if scope is not None
+        else lvl.localCheckpoint(eager=False)
+    )
+    counts = lvl.groupBy("window_tokens", "__h").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    dup_pos = lvl.join(
+        counts.filter(F.col("__cnt") >= min_occurrences),
+        ["window_tokens", "__h"],
+    ).select(F.col(id_col), "window_tokens", "__pos")
+    wl = Window.partitionBy(id_col, "window_tokens").orderBy("__pos")
+    gap = F.col("window_tokens")
+    islands = (
+        dup_pos.withColumn(
+            "__new",
+            F.when(F.col("__pos") - F.lag("__pos").over(wl) > gap, 1)
+            .otherwise(
+                F.when(F.lag("__pos").over(wl).isNull(), 1).otherwise(0)
+            ),
+        )
+        .withColumn(
+            "__island",
+            F.sum("__new").over(wl.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy(id_col, "window_tokens", "__island")
+        .agg(
+            F.count(F.lit(1)).alias("__wins"),
+            (
+                F.max("__pos") - F.min("__pos") + F.col("window_tokens")
+            ).alias("__span_len"),
+        )
+    )
+    per = islands.groupBy(id_col, "window_tokens").agg(
+        F.sum("__wins").alias("n_dup_windows"),
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum("__span_len").alias("dup_tokens"),
+    )
+    spine = tk.select(F.col(id_col), n.alias("n_tokens")).crossJoin(
+        df.sparkSession.createDataFrame(
+            [(L0 * 2 ** i,) for i in range(int(levels))],
+            "window_tokens int",
+        )
+    )
+    return spine.join(per, [id_col, "window_tokens"], "left").select(
+        F.col(id_col),
+        "window_tokens",
+        "n_tokens",
+        F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+        F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+        round6_stable(
+            F.coalesce("dup_tokens", F.lit(0))
+            / F.greatest("n_tokens", F.lit(1))
+        ).alias("dup_frac"),
+    )
 
 
 def lsh_recall_probe(
