@@ -1253,11 +1253,14 @@ def substring_dup_multiscale(
         F.count(F.lit(1)).alias("n_dup_spans"),
         F.sum("__span_len").alias("dup_tokens"),
     )
-    spine = tk.select(F.col(id_col), n.alias("n_tokens")).crossJoin(
-        df.sparkSession.createDataFrame(
-            [(L0 * 2 ** i,) for i in range(int(levels))],
-            "window_tokens int",
-        )
+    # Levels fan out via a literal-array explode (narrow — a 4-row
+    # crossJoin would plan as a Cross BNLJ the plan audits ban).
+    spine = tk.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.explode(
+            F.array(*[F.lit(L0 * 2 ** i) for i in range(int(levels))])
+        ).alias("window_tokens"),
     )
     return spine.join(per, [id_col, "window_tokens"], "left").select(
         F.col(id_col),
