@@ -156,6 +156,8 @@ def headline_names(all_names) -> list[str]:
         "llm_unigram_vocab",
         # (anchor 0.145 s: REAL WAV decode + integer window features)
         "mm_wav_features_real",
+        # (anchor 0.336 s: REAL Y4M frame extraction + histograms)
+        "mm_y4m_frames_real",
     ]
     return [n for n in preferred if n in all_names] or sorted(all_names)[:8]
 

@@ -805,6 +805,44 @@ def wav_window_features(assets: DataFrame, n_windows: int = 4) -> DataFrame:
     return assets.mapInPandas(_feat, schema=AUDIO_FEATURE_SCHEMA)
 
 
+def synthesize_y4m_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic video corpus: one YUV4MPEG2 clip per
+    document row — ``nf = 3 + id % 5`` frames of ``w = 8 + (id % 3)·2``
+    × ``h = 6 + (id % 2)·2`` luma, pixel p of frame f =
+    ``(id·37 + f·101 + p·13) mod 256``. Pure arithmetic, so a SQL
+    oracle rebuilds the exact planes the REAL Y4M decoder must
+    recover (see ``mm_y4m_frames_real``)."""
+
+    def _synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads, sizes = [], []
+            for did in pdf["asset_id"]:
+                did = int(did)
+                nf = 3 + did % 5
+                w = 8 + (did % 3) * 2
+                h = 6 + (did % 2) * 2
+                f = np.arange(nf, dtype=np.int64)[:, None]
+                p = np.arange(h * w, dtype=np.int64)[None, :]
+                lum = ((did * 37 + f * 101 + p * 13) % 256).astype(np.uint8)
+                payloads.append(encode_y4m(lum.reshape(nf, h, w)))
+                sizes.append(len(payloads[-1]))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": "video/x-yuv4mpeg",
+                    "payload": payloads,
+                    "n_bytes": pd.Series(sizes, dtype="int64"),
+                }
+            )
+
+    return docs.select(F.col(id_col).alias("asset_id")).mapInPandas(
+        _synth, schema=ASSET_SCHEMA
+    )
+
+
 def synthesize_wav_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic synthetic audio corpus: one mono 16-bit PCM WAV
     per document row, ``n = 256 + (id % 7)·64`` samples at 8 kHz,

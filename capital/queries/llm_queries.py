@@ -1377,6 +1377,68 @@ def mm_wav_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wav_window_features(assets, n_windows=4)
 
 
+def _y4m_real_oracle() -> str:
+    r"""mm_y4m_frames_real oracle: rebuild each sampled luma plane
+    arithmetically (nf = 3 + id%5 frames, w = 8 + (id%3)*2,
+    h = 6 + (id%2)*2, pixel p of frame f = (id*37 + f*101 + p*13)
+    mod 256), pick the same evenly-spaced sample indices the kernel
+    uses (step = nf // 2; sampled frame i -> index i*step), and bin
+    each plane into the 16-bucket byte histogram — the
+    mm_frame_features exploded-scalar convention."""
+    return """
+    WITH params AS (
+      SELECT doc_id, 3 + doc_id % 5 AS nf,
+             (8 + (doc_id % 3) * 2) * (6 + (doc_id % 2) * 2) AS npix
+      FROM documents),
+    sampled AS (
+      SELECT doc_id, nf, npix, s.i AS frame_idx,
+             s.i * (nf // 2) AS f
+      FROM params, LATERAL (SELECT unnest(range(0, 2)) AS i) s),
+    px AS (
+      SELECT doc_id, frame_idx,
+             CAST(((doc_id*37 + f*101 + t.p*13) % 256) // 16 AS INTEGER)
+               AS bin
+      FROM sampled, LATERAL (SELECT unnest(range(0, npix)) AS p) t)
+    SELECT px.doc_id AS asset_id,
+           CAST(px.frame_idx AS INTEGER) AS frame_idx,
+           CAST(b.b AS INTEGER) AS bin_idx,
+           CAST(COUNT(*) FILTER (WHERE px.bin = b.b) AS DOUBLE)
+             AS bin_count
+    FROM px, (SELECT unnest(range(0, 16)) AS b) b
+    GROUP BY px.doc_id, px.frame_idx, b.b
+    """
+
+
+@query("mm_y4m_frames_real", oracle=_y4m_real_oracle())
+def mm_y4m_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode + frame sampling, hash-verified end to end:
+    synthesize one deterministic YUV4MPEG2 clip per document
+    (synthesize_y4m_assets), extract 2 evenly-spaced luma planes with
+    the real Y4M parser (y4m_sample_frames — stream-header walk,
+    FRAME markers, C420 plane math) and bin each genuinely decoded
+    plane through the byte-histogram featurizer, exploded to the
+    driver-canonicalizable scalar shape (the mm_frame_features
+    convention). The oracle rebuilds the planes arithmetically and
+    picks the same sample indices — the video member of the round-13
+    real-codec family next to mm_decode_real / mm_wav_features_real."""
+    from capital.io import right_size_narrow
+    from capital.llm.multimodal import (
+        byte_histogram_features,
+        synthesize_y4m_assets,
+        y4m_sample_frames,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    assets = synthesize_y4m_assets(right_size_narrow(d))
+    frames = y4m_sample_frames(assets, n_frames=2)
+    feats = byte_histogram_features(frames, bins=16, normalize=False)
+    return feats.select(
+        "asset_id",
+        "frame_idx",
+        F.posexplode("features").alias("bin_idx", "bin_count"),
+    )
+
+
 # --- pyspark.ml library-path surface ------------------------------------
 
 

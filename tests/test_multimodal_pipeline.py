@@ -478,3 +478,31 @@ def test_y4m_frames_feed_histogram_features(spark):
     assert by_key[(0, 1)] == by_key[(1, 1)]
     diff = sum(abs(a - b) for a, b in zip(by_key[(0, 0)], by_key[(1, 0)]))
     assert diff in (0, 2)  # one byte moved bins (or stayed in-bin)
+
+
+def test_synthesized_y4m_decodes_to_formula(spark, sf_dir):
+    """The synthetic video corpus must decode back to its generating
+    formula (pins synthesize_y4m_assets ↔ decode_y4m_frames against
+    each other on real driver ids)."""
+    import numpy as np
+
+    from capital.io import load_table
+    from capital.llm.multimodal import (
+        decode_y4m_frames,
+        synthesize_y4m_assets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").limit(20)
+    rows = synthesize_y4m_assets(docs).collect()
+    assert rows
+    for r in rows:
+        did = int(r.asset_id)
+        nf, w, h = 3 + did % 5, 8 + (did % 3) * 2, 6 + (did % 2) * 2
+        gw, gh, frames = decode_y4m_frames(bytes(r.payload))
+        assert (gw, gh, len(frames)) == (w, h, nf)
+        for f, plane in enumerate(frames):
+            p = np.arange(h * w, dtype=np.int64)
+            expected = ((did * 37 + f * 101 + p * 13) % 256).astype(
+                np.uint8
+            ).reshape(h, w)
+            assert np.array_equal(plane, expected)
