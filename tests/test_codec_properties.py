@@ -1,0 +1,90 @@
+"""Property tests for the round-13 real container codecs: encode →
+decode must be the identity for arbitrary payload shapes (pure-numpy
+kernels — no Spark session needed, so examples are cheap), and the
+driver-side tokenizer twin must agree with the Spark pair on
+arbitrary text (the corpus-wide parity test pins real data; this
+pins generated edge cases driver-side for the deterministic half —
+collapse/strip/split round-trip invariants)."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from capital.llm.multimodal import (
+    decode_bmp,
+    decode_ppm,
+    decode_wav,
+    decode_y4m_frames,
+    encode_bmp,
+    encode_ppm,
+    encode_wav,
+    encode_y4m,
+)
+from capital.llm.text import py_tokens
+
+_fast = settings(max_examples=40, deadline=None)
+
+
+@st.composite
+def _image(draw):
+    h = draw(st.integers(1, 24))
+    w = draw(st.integers(1, 24))
+    seed = draw(st.integers(0, 2**31 - 1))
+    return np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, 3), dtype=np.uint8
+    )
+
+
+@_fast
+@given(_image())
+def test_ppm_bmp_round_trip_property(img):
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+@_fast
+@given(
+    st.integers(1, 500),
+    st.integers(1, 2),
+    st.integers(8000, 48000),
+    st.integers(0, 2**31 - 1),
+)
+def test_wav_round_trip_property(n, ch, rate, seed):
+    s = np.random.default_rng(seed).integers(
+        -32768, 32768, size=(n, ch), dtype=np.int16
+    )
+    got_rate, dec = decode_wav(encode_wav(s if ch > 1 else s[:, 0], rate))
+    assert got_rate == rate
+    assert np.array_equal(dec, s)
+
+
+@_fast
+@given(st.integers(1, 6), st.integers(1, 8), st.integers(1, 8),
+       st.integers(0, 2**31 - 1))
+def test_y4m_round_trip_property(nf, hw, ww, seed):
+    h, w = hw * 2, ww * 2  # C420 needs even dims
+    frames = np.random.default_rng(seed).integers(
+        0, 256, size=(nf, h, w), dtype=np.uint8
+    )
+    gw, gh, dec = decode_y4m_frames(encode_y4m(frames))
+    assert (gw, gh, len(dec)) == (w, h, nf)
+    assert all(np.array_equal(a, b) for a, b in zip(dec, frames))
+
+
+@_fast
+@given(st.text(alphabet=st.sampled_from(" \t\nabcXYZ09.!"), max_size=80))
+def test_py_tokens_invariants(text):
+    """ASCII-regime invariants of the tokenizer twin: tokens contain
+    no whitespace, reconstruct the collapsed lowercase text, and the
+    function is idempotent under re-joining."""
+    toks = py_tokens(text)
+    joined = " ".join(toks)
+    collapsed = re.sub(r"\s+", " ", text.lower(), flags=re.ASCII).strip()
+    assert joined == collapsed
+    if toks != [""]:
+        assert all(t and not re.search(r"\s", t) for t in toks)
+    assert py_tokens(joined) == toks
