@@ -2425,7 +2425,7 @@ def _substring_spans_oracle() -> str:
 
 @query(
     "dedup_substring_spans",
-    memoize=False,  # _token_frame localCheckpoint is eager (round 12)
+    memoize=False,  # _token_frame checkpoint pins a materialization
     oracle=_substring_spans_oracle())
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal duplicated substring spans (llm/dedup.
@@ -2498,7 +2498,7 @@ def _self_repetition_oracle() -> str:
 
 @query(
     "dedup_self_repetition",
-    memoize=False,  # _token_frame localCheckpoint is eager
+    memoize=False,  # _token_frame checkpoint pins a materialization
     oracle=_self_repetition_oracle())
 def dedup_self_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition trim (llm/dedup.self_repetition_trim):
@@ -2592,7 +2592,7 @@ def _substring_multiscale_oracle() -> str:
 
 @query(
     "dedup_substring_multiscale",
-    memoize=False,  # _token_frame localCheckpoint is eager (round 12)
+    memoize=False,  # _token_frame checkpoint pins a materialization
     oracle=_substring_multiscale_oracle())
 def dedup_substring_multiscale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-scale duplicated-substring profile (llm/dedup.
