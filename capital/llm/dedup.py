@@ -1074,7 +1074,10 @@ def self_repetition_trim(
                 "n_removed_tokens": [], "clean_md5": [],
             }
             for did, text in zip(pdf[id_col], pdf[text_col]):
-                toks = py_tokens(text)
+                # Null text must not kill the stage (the DataFrame
+                # form propagated nulls harmlessly); [""] is the
+                # engine-wide empty tokenization.
+                toks = py_tokens(text or "")
                 n = len(toks)
                 seen: dict[tuple, int] = {}
                 covered: set[int] = set()

@@ -375,10 +375,16 @@ def decode_bmp(data: bytes):
 
     if data[:2] != b"BM":
         raise ValueError("not a BMP (missing BM magic)")
-    offset = struct.unpack_from("<I", data, 10)[0]
-    hdr_size, w, h_signed, _planes, bpp, compression = struct.unpack_from(
-        "<IiiHHI", data, 14
-    )
+    try:
+        # struct.error (payload truncated after a valid magic) must
+        # surface as ValueError: the dead-letter kernels' corrupt-blob
+        # contract catches ValueError only.
+        offset = struct.unpack_from("<I", data, 10)[0]
+        hdr_size, w, h_signed, _planes, bpp, compression = struct.unpack_from(
+            "<IiiHHI", data, 14
+        )
+    except struct.error as exc:
+        raise ValueError(f"truncated BMP header: {exc}") from exc
     if hdr_size < 40 or bpp != 24 or compression != 0:
         raise ValueError(
             f"unsupported BMP (hdr={hdr_size}, bpp={bpp}, comp={compression})"
@@ -394,13 +400,168 @@ def decode_bmp(data: bytes):
     return np.ascontiguousarray(bgr[:, :, ::-1])  # BGR → RGB
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth_predict(a, b, c):
+    """Vectorized Paeth predictor (PNG spec §9.4) over int16 arrays:
+    pick whichever of left/up/upper-left is closest to a+b-c, ties
+    breaking left, then up."""
+    import numpy as np
+
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(pixels, filter_type: int | None = None) -> bytes:
+    """Encode an ``(h, w, 3)`` uint8 RGB array as an 8-bit truecolor
+    PNG (color type 2, no interlace) — stdlib ``zlib`` + numpy, the
+    round-14 compressed-format codec (round-13 verdict ask #5).
+
+    ``filter_type=None`` picks ``row % 5`` so a single image exercises
+    every scanline filter (None/Sub/Up/Average/Paeth); pass 0–4 to pin
+    one filter for all rows."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.ascontiguousarray(np.asarray(pixels, dtype=np.uint8))
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) RGB array, got {arr.shape}")
+    h, w, _ = arr.shape
+    bpp = 3
+    raw = arr.reshape(h, w * bpp).astype(np.int16)
+    zeros = np.zeros(bpp, dtype=np.int16)
+    prior = np.zeros(w * bpp, dtype=np.int16)
+    lines = []
+    for y in range(h):
+        cur = raw[y]
+        ft = (y % 5) if filter_type is None else int(filter_type)
+        left = np.concatenate([zeros, cur[:-bpp]])
+        upleft = np.concatenate([zeros, prior[:-bpp]])
+        if ft == 0:
+            filt = cur
+        elif ft == 1:
+            filt = cur - left
+        elif ft == 2:
+            filt = cur - prior
+        elif ft == 3:
+            filt = cur - (left + prior) // 2
+        elif ft == 4:
+            filt = cur - _paeth_predict(left, prior, upleft)
+        else:
+            raise ValueError(f"invalid PNG filter type {ft}")
+        lines.append(bytes([ft]) + (filt % 256).astype(np.uint8).tobytes())
+        prior = cur
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines))
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes):
+    """Decode an 8-bit truecolor (color type 2, non-interlaced) PNG to
+    an ``(h, w, 3)`` uint8 RGB array: CRC-verified chunk walk, zlib
+    inflate over concatenated IDATs, then per-row defilter of all five
+    scanline filters. Corrupt/truncated/unsupported payloads raise
+    ValueError (the dead-letter kernels' contract)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG (missing signature)")
+    pos, ihdr, idat, saw_iend = 8, None, [], False
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length or pos + 12 + length > len(data):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if crc != (zlib.crc32(ctype + body) & 0xFFFFFFFF):
+            raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            saw_iend = True
+            break
+        pos += 12 + length
+    if ihdr is None or not idat or not saw_iend:
+        raise ValueError("truncated PNG (missing IHDR/IDAT/IEND)")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8 or color != 2 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color={color}, "
+            f"interlace={interlace}; only 8-bit truecolor supported)"
+        )
+    try:
+        stream = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
+    bpp = 3
+    rowlen = w * bpp
+    if len(stream) != h * (1 + rowlen):
+        raise ValueError("PNG scanline stream length mismatch")
+    rows = np.frombuffer(stream, dtype=np.uint8).reshape(h, 1 + rowlen)
+    out = np.zeros((h, rowlen), dtype=np.int64)
+    prior = np.zeros(rowlen, dtype=np.int64)
+    for y in range(h):
+        ft = int(rows[y, 0])
+        filt = rows[y, 1:].astype(np.int64)
+        if ft == 0:
+            recon = filt
+        elif ft == 1:  # Sub: per-lane prefix sum mod 256
+            recon = np.cumsum(filt.reshape(w, bpp), axis=0).reshape(rowlen) % 256
+        elif ft == 2:
+            recon = (filt + prior) % 256
+        elif ft in (3, 4):  # Average / Paeth: sequential in x
+            recon = np.zeros(rowlen, dtype=np.int64)
+            for x in range(rowlen):
+                a = recon[x - bpp] if x >= bpp else 0
+                b = prior[x]
+                if ft == 3:
+                    recon[x] = (filt[x] + (a + b) // 2) % 256
+                else:
+                    c = prior[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    recon[x] = (filt[x] + pred) % 256
+        else:
+            raise ValueError(f"invalid PNG filter type {ft} on row {y}")
+        out[y] = recon
+        prior = recon
+    return out.astype(np.uint8).reshape(h, w, bpp)
+
+
 def decode_image(data: bytes):
     """Dispatch on magic bytes; returns ``(media_type, (h, w, 3) array)``."""
     if data[:2] == b"P6":
         return "image/x-portable-pixmap", decode_ppm(data)
     if data[:2] == b"BM":
         return "image/bmp", decode_bmp(data)
-    raise ValueError("unrecognized image container (not PPM/BMP)")
+    if data[:8] == _PNG_MAGIC:
+        return "image/png", decode_png(data)
+    raise ValueError("unrecognized image container (not PPM/BMP/PNG)")
 
 
 #: Output of the REAL decode stage. ``checksum`` is md5 of the decoded
@@ -552,6 +713,43 @@ def synthesize_ppm_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def synthesize_png_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic PNG corpus: one 8-bit truecolor PNG per
+    document row, ``w = 8 + id % 9``, ``h = 8 + id % 5``, raster byte
+    i = ``(id·37 + 11·i) mod 256``, per-row filter ``row % 5`` (every
+    scanline filter exercised in every image). Same pure-arithmetic
+    discipline as :func:`synthesize_ppm_assets`, so a SQL oracle
+    rebuilds the exact raster the compressed-container decoder must
+    recover (``mm_png_decode_real``). Narrow mapInPandas, no shuffle."""
+
+    def _synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads, sizes = [], []
+            for did in pdf["asset_id"]:
+                did = int(did)
+                w, h = 8 + did % 9, 8 + did % 5
+                raster = (
+                    (did * 37 + 11 * np.arange(w * h * 3, dtype=np.int64)) % 256
+                ).astype(np.uint8)
+                payloads.append(encode_png(raster.reshape(h, w, 3)))
+                sizes.append(len(payloads[-1]))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": "image/png",
+                    "payload": payloads,
+                    "n_bytes": pd.Series(sizes, dtype="int64"),
+                }
+            )
+
+    return docs.select(F.col(id_col).alias("asset_id")).mapInPandas(
+        _synth, schema=ASSET_SCHEMA
+    )
+
+
 def decoded_raster_frames(assets: DataFrame) -> DataFrame:
     """Decode BMP/PPM payloads and emit the raw RGB raster as a single
     frame row per asset (:data:`FRAME_SCHEMA`) — feeds
@@ -628,15 +826,20 @@ def decode_wav(data: bytes):
         cid, size = struct.unpack_from("<4sI", data, pos)
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
-            fmt = struct.unpack_from("<HHIIHH", body, 0)
+            try:
+                fmt = struct.unpack_from("<HHIIHH", body, 0)
+            except struct.error as exc:
+                raise ValueError(f"truncated WAVE fmt chunk: {exc}") from exc
         elif cid == b"data":
             raw = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or raw is None:
         raise ValueError("truncated WAVE (missing fmt/data chunk)")
     audio_format, ch, sample_rate, _br, _ba, bits = fmt
-    if audio_format != 1 or bits != 16:
-        raise ValueError(f"unsupported WAVE (format={audio_format}, bits={bits})")
+    if audio_format != 1 or bits != 16 or ch < 1:
+        raise ValueError(
+            f"unsupported WAVE (format={audio_format}, bits={bits}, ch={ch})"
+        )
     samples = np.frombuffer(raw, dtype="<i2", count=(len(raw) // (2 * ch)) * ch)
     return sample_rate, samples.reshape(-1, ch)
 

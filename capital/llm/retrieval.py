@@ -319,7 +319,11 @@ def _query_terms(
             counts[t] = counts.get(t, 0) + 1
         all_terms.update(counts)
         qterm_rows.extend((qid, t, qtf) for t, qtf in sorted(counts.items()))
-    qterms = spark.createDataFrame(qterm_rows, ["query_id", "token", "qtf"])
+    # Explicit schema: matches what inference produces on non-empty
+    # rows AND keeps the empty-workload edge from failing inference.
+    qterms = spark.createDataFrame(
+        qterm_rows, "query_id long, token string, qtf long"
+    )
     return qterms, sorted(all_terms)
 
 
@@ -506,6 +510,11 @@ def bm25_topk_stored(
     st = pq.read_table(f"{index_dir}/stats", columns=["n_docs", "dl_sum"])
     n_docs = sum(st.column("n_docs").to_pylist())
     dl_sum = sum(st.column("dl_sum").to_pylist())
+    if n_docs == 0:
+        raise ValueError(
+            f"BM25 index at {index_dir!r} is empty (n_docs=0); "
+            "score_queries_stored needs at least one indexed document"
+        )
     scored = (
         base.join(F.broadcast(qterms), "token")
         .withColumn("n_docs", F.lit(n_docs).cast("long"))

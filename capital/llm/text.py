@@ -39,13 +39,19 @@ def py_tokens(text: str) -> list[str]:
     whitespace, trim, split. Java's ``\\s`` is ASCII-only, so the
     Python twin pins ``re.ASCII`` — parity with the Spark pair is
     asserted over the whole corpus in
-    tests/test_retrieval.py::test_py_tokens_matches_spark_tokenizer.
+    tests/test_retrieval_dsir.py::test_py_tokens_matches_spark_tokenizer.
+    The trim is likewise pinned to the ASCII whitespace class: bare
+    ``str.strip()`` removes Unicode whitespace (U+00A0, U+2028, …)
+    that Java's ``trim`` (<= U+0020) and ASCII ``\\s`` keep, so a
+    non-ASCII query term would silently diverge from the corpus side.
     Note the engine-wide convention: empty text tokenizes to ``[""]``
     (one empty token), same as Spark split / DuckDB
     string_split_regex."""
     import re
 
-    collapsed = re.sub(r"\s+", " ", text.lower(), flags=re.ASCII).strip()
+    collapsed = re.sub(r"\s+", " ", text.lower(), flags=re.ASCII).strip(
+        " \t\n\r\x0b\x0c"
+    )
     return re.split(r"\s+", collapsed, flags=re.ASCII)
 
 

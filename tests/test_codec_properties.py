@@ -88,3 +88,33 @@ def test_py_tokens_invariants(text):
     if toks != [""]:
         assert all(t and not re.search(r"\s", t) for t in toks)
     assert py_tokens(joined) == toks
+
+
+@_fast
+@given(_image(), st.one_of(st.none(), st.integers(0, 4)))
+def test_png_round_trip_property(img, ft):
+    """PNG (zlib + all five scanline filters) must round-trip any RGB
+    raster byte-exactly — per-row filters (ft=None → row % 5) and each
+    pinned filter type."""
+    from capital.llm.multimodal import decode_png, encode_png
+
+    assert np.array_equal(decode_png(encode_png(img, ft)), img)
+
+
+@_fast
+@given(_image(), st.integers(8, 200))
+def test_png_truncation_and_corruption_raise_value_error(img, cut):
+    """Truncated-after-signature and bit-flipped PNGs must surface as
+    ValueError (CRC walk + dead-letter contract), never struct/zlib
+    errors."""
+    import pytest
+
+    from capital.llm.multimodal import decode_png, encode_png
+
+    data = encode_png(img)
+    with pytest.raises(ValueError):
+        decode_png(data[: min(cut, len(data) - 1)])
+    flipped = bytearray(data)
+    flipped[len(flipped) // 2] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_png(bytes(flipped))

@@ -57,9 +57,14 @@ def _is_bad_duck_type(t: object) -> bool:
 
 #: A query's driver evidence may be at most this many rounds old
 #: before the rotation MUST put it in the next gate's 50-slot window.
-#: 154 registered queries / 50 slots per round means a full rotation
-#: takes ~3 rounds; 4 leaves one round of scheduling slack.
-_MAX_EVIDENCE_AGE = 4
+#: Round-14 capacity policy (round-13 verdict ask #2): 197 paired
+#: queries hit the 50x4=200 ceiling, so the cap is 5 (ceiling 250,
+#: slack 53) — a full rotation of ~200 queries takes exactly 4 gates,
+#: so age-5 keeps one round of scheduling slack, and every query is
+#: still locally DuckDB-verified at sf0.001 EVERY round by
+#: test_oracle_parity.py regardless of the window. Must match
+#: tools/rotate_gate.py::MAX_EVIDENCE_AGE.
+_MAX_EVIDENCE_AGE = 5
 _GATE_SLOTS = 50
 
 

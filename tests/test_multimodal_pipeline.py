@@ -506,3 +506,60 @@ def test_synthesized_y4m_decodes_to_formula(spark, sf_dir):
                 np.uint8
             ).reshape(h, w)
             assert np.array_equal(plane, expected)
+
+
+def test_truncated_after_magic_raises_value_error_not_struct_error():
+    """A payload truncated AFTER a valid magic hits struct.unpack_from
+    mid-header; the decoders must surface that as ValueError (the
+    dead-letter kernels' corrupt-blob contract catches ValueError
+    only — round-13 advice)."""
+    import numpy as np
+    import pytest
+
+    from capital.llm.multimodal import (
+        decode_bmp,
+        decode_image,
+        decode_wav,
+        encode_wav,
+    )
+
+    for payload in (b"BM", b"BM\x00\x01\x02\x03\x04"):
+        with pytest.raises(ValueError):
+            decode_bmp(payload)
+        with pytest.raises(ValueError):
+            decode_image(payload)
+    # WAVE with a valid RIFF magic but a truncated fmt chunk body.
+    wav = bytearray(
+        encode_wav(np.zeros((4, 1), dtype=np.int16), 8000)
+    )
+    fmt_at = bytes(wav).index(b"fmt ")
+    with pytest.raises(ValueError):
+        decode_wav(bytes(wav[: fmt_at + 10]))
+    # Forged channel count of zero must not reach the reshape.
+    import struct
+
+    struct.pack_into("<H", wav, fmt_at + 10, 0)
+    with pytest.raises(ValueError):
+        decode_wav(bytes(wav))
+
+
+def test_truncated_after_magic_dead_letters_over_spark(spark):
+    """End-to-end: truncated-after-magic blobs ride the mapInPandas
+    dead-letter path (null metadata) instead of killing the stage."""
+    import numpy as np
+
+    from capital.llm.multimodal import encode_bmp, real_decode_assets
+
+    img = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    rows = [
+        (1, "image/bmp", encode_bmp(img), 0),
+        (2, "image/bmp", b"BM\x01\x02\x03\x04\x05", 0),
+        (3, "audio/wav", b"RIFF\x04\x00\x00\x00WAVE", 0),
+    ]
+    assets = spark.createDataFrame(
+        rows, "asset_id long, media_type string, payload binary, n_bytes long"
+    )
+    got = {r.asset_id: r for r in real_decode_assets(assets).collect()}
+    assert got[1].width == 2 and got[1].checksum is not None
+    assert got[2].width is None and got[2].checksum is None
+    assert got[3].width is None and got[3].checksum is None

@@ -404,6 +404,22 @@ def test_py_tokens_matches_spark_tokenizer(spark, sf_dir):
     # engine-wide convention: empty text -> [""]
     assert py_tokens("") == [""]
     assert py_tokens("  A  b\tC ") == ["a", "b", "c"]
+    # Non-ASCII whitespace (U+00A0, U+2028, U+3000): Java \s and trim
+    # are ASCII-only, so these must SURVIVE tokenization on both sides
+    # (round-13 advice: bare str.strip() silently ate them).
+    tricky = [
+        " alpha beta ",
+        "a b c",
+        "　 wide　gap ",
+        " ",
+    ]
+    got = (
+        spark.createDataFrame([(t,) for t in tricky], "text string")
+        .select("text", tokens(normalized(F.col("text"))).alias("toks"))
+        .collect()
+    )
+    for r in got:
+        assert py_tokens(r.text) == list(r.toks), repr(r.text)
 
 
 def test_bm25_dfc_window_mode_equals_default(spark, sf_dir):

@@ -38,7 +38,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 GATE_SLOTS = 50
-MAX_EVIDENCE_AGE = 4
+#: Round-14 capacity policy (round-13 verdict ask #2): the paired-query
+#: count hit 197 vs the 50x4=200 ceiling, so the cap is raised 4 -> 5
+#: (ceiling 250, slack 53) rather than adopting evidence-slot sharing —
+#: a full rotation of ~200 queries takes exactly 4 gates, so age-5
+#: keeps one round of scheduling slack while every query is still
+#: driver-verified at least once per 5 rounds AND locally verified
+#: against DuckDB at sf0.001 EVERY round (tests/test_oracle_parity.py
+#: checks all queries regardless of the window). Must match
+#: tests/test_driver_shape.py::_MAX_EVIDENCE_AGE.
+MAX_EVIDENCE_AGE = 5
 
 
 def latest_green_rounds() -> tuple[int, dict[str, int]]:
