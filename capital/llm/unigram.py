@@ -232,6 +232,30 @@ def unigram_doc_tokens(
 
     from capital.llm.text import tokens
 
+    doc_words, per_word = _apply_frames(docs, wc, id_col, text_col, rounds)
+    return (
+        doc_words.join(F.broadcast(per_word), "word")
+        .groupBy(id_col)
+        .agg(F.sum("n_sub").cast("long").alias("n_unigram_tokens"))
+    )
+
+
+def _apply_frames(
+    docs: DataFrame,
+    wc: DataFrame,
+    id_col: str,
+    text_col: str,
+    rounds: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared apply-pass frames: ``(doc_words, per_word)`` — the
+    truncated/filtered (id, word) explode and the distinct-word
+    piece-count table from one more Viterbi pass over the trained
+    (unpruned) vocabulary."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    from capital.llm.text import tokens
+
     vocab, _singles, wc_b = _train_vocab(wc, rounds)
 
     @pandas_udf(IntegerType())
@@ -247,8 +271,43 @@ def unigram_doc_tokens(
     ).select(
         F.col(id_col), F.substring("__w", 1, WORD_CAP).alias("word")
     ).filter(F.length("word") >= 1)
+    return doc_words, per_word
+
+
+def unigram_fertility(
+    docs: DataFrame,
+    wc: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strata_col: str = "source",
+    rounds: int = EM_ROUNDS,
+) -> DataFrame:
+    """Per-stratum unigram fertility report — the tokenizer-quality
+    rollup :func:`~capital.queries.llm_queries.llm_bpe_fertility`
+    runs for BPE, over the unigram-LM vocabulary (round-13 verdict
+    ask #7: closes the tokenizer-family symmetry). One row per
+    stratum: exact integer word/piece/char counts plus
+    pieces-per-word (fertility) and chars-per-piece (compression)
+    under the engine's floor-stable rounding. Same apply-pass shape
+    as :func:`unigram_doc_tokens` — the vocabulary carries the
+    per-word piece count; the corpus joins it once."""
+    from capital.llm.text import round6_stable
+
+    doc_words, per_word = _apply_frames(docs, wc, id_col, text_col, rounds)
     return (
         doc_words.join(F.broadcast(per_word), "word")
-        .groupBy(id_col)
-        .agg(F.sum("n_sub").cast("long").alias("n_unigram_tokens"))
+        .join(docs.select(id_col, strata_col), id_col)
+        .groupBy(strata_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_unigram_tokens"),
+            F.sum(F.length("word")).cast("long").alias("n_chars"),
+            round6_stable(
+                F.sum("n_sub").cast("double") / F.count(F.lit(1))
+            ).alias("fertility"),
+            round6_stable(
+                F.sum(F.length("word")).cast("double")
+                / F.sum("n_sub").cast("double")
+            ).alias("chars_per_token"),
+        )
     )

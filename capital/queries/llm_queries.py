@@ -2871,43 +2871,52 @@ def llm_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _unigram_oracle() -> str:
-    r"""Unigram-LM trainer oracle, GENERATED from the same constants
-    as capital/llm/unigram.py (the llm_queries convention). The
-    engine runs a per-word Viterbi DP; the oracle enumerates ALL
+def _unigram_walk_block(tag: str | int, prev: str) -> str:
+    """One brute-force Viterbi block: enumerate ALL segmentations of
+    every distinct word over the ``prev`` piece table (recursive CTE)
+    and keep the pure-integer lexicographic minimum — shared by every
+    EM round and by the apply pass."""
+    return f"""
+    walk{tag}(word, pos, path, sumfreq) AS (
+      SELECT word, 0, CAST([] AS VARCHAR[]), CAST(0 AS BIGINT) FROM wc
+      UNION ALL
+      SELECT w.word, w.pos + length(p.piece),
+             list_append(w.path, p.piece), w.sumfreq + p.freq
+      FROM walk{tag} w, {prev} p
+      WHERE w.pos < length(w.word)
+        AND substr(w.word, w.pos + 1, length(p.piece)) = p.piece),
+    best{tag} AS MATERIALIZED (
+      SELECT word, path FROM (
+        SELECT word, path,
+               ROW_NUMBER() OVER (PARTITION BY word
+                 ORDER BY len(path), sumfreq DESC, path) AS rn
+        FROM walk{tag} WHERE pos = length(word)) WHERE rn = 1)"""
+
+
+def _unigram_train_ctes() -> str:
+    r"""The unigram trainer's CTE chain (``wc`` → ``seed`` →
+    ``walk/best/u/p`` per EM round), GENERATED from the same
+    constants as capital/llm/unigram.py (the llm_queries convention).
+    The engine runs a per-word Viterbi DP; the oracle enumerates ALL
     segmentations per word with a recursive CTE (bounded by
     tetranacci(WORD_CAP) paths/word — deliberately brute-force ground
     truth, the fullrecall-oracle convention) and picks the SAME
     pure-integer lexicographic minimum: ORDER BY len(path),
     sumfreq DESC, path — DuckDB VARCHAR[] comparison is element-wise
     codepoint order, identical to Python tuple-of-str ordering on
-    this ASCII corpus."""
+    this ASCII corpus. Callers prepend ``WITH RECURSIVE`` and read
+    ``p{EM_ROUNDS}`` as the final trained piece table."""
     from capital.llm.unigram import (
         EM_ROUNDS,
         PIECE_MAX_LEN,
         SEED_KEEP,
-        VOCAB_TARGET,
         WORD_CAP,
     )
 
     rounds = []
     for r in range(1, EM_ROUNDS + 1):
         prev = "seed" if r == 1 else f"p{r - 1}"
-        rounds.append(f"""
-    walk{r}(word, pos, path, sumfreq) AS (
-      SELECT word, 0, CAST([] AS VARCHAR[]), CAST(0 AS BIGINT) FROM wc
-      UNION ALL
-      SELECT w.word, w.pos + length(p.piece),
-             list_append(w.path, p.piece), w.sumfreq + p.freq
-      FROM walk{r} w, {prev} p
-      WHERE w.pos < length(w.word)
-        AND substr(w.word, w.pos + 1, length(p.piece)) = p.piece),
-    best{r} AS MATERIALIZED (
-      SELECT word, path FROM (
-        SELECT word, path,
-               ROW_NUMBER() OVER (PARTITION BY word
-                 ORDER BY len(path), sumfreq DESC, path) AS rn
-        FROM walk{r} WHERE pos = length(word)) WHERE rn = 1),
+        rounds.append(f"""{_unigram_walk_block(r, prev)},
     u{r} AS MATERIALIZED (
       SELECT t.piece, CAST(SUM(wc.cnt) AS BIGINT) AS freq
       FROM best{r} b JOIN wc USING (word),
@@ -2920,8 +2929,7 @@ def _unigram_oracle() -> str:
       WHERE length(s.piece) = 1
         AND s.piece NOT IN (SELECT piece FROM u{r}))""")
     rounds_sql = ",".join(rounds)
-    return rf"""
-    WITH RECURSIVE wc AS MATERIALIZED (
+    return rf"""wc AS MATERIALIZED (
       SELECT substr(word, 1, {WORD_CAP}) AS word,
              CAST(COUNT(*) AS BIGINT) AS cnt
       FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
@@ -2947,7 +2955,14 @@ def _unigram_oracle() -> str:
                ROW_NUMBER() OVER (ORDER BY freq DESC, piece) AS rn
         FROM subfreq)
       WHERE rn <= {SEED_KEEP} OR length(piece) = 1),
-    {rounds_sql},
+    {rounds_sql}"""
+
+
+def _unigram_oracle() -> str:
+    from capital.llm.unigram import EM_ROUNDS, VOCAB_TARGET
+
+    return f"""
+    WITH RECURSIVE {_unigram_train_ctes()},
     ranked AS (
       SELECT piece, freq,
              ROW_NUMBER() OVER (ORDER BY freq DESC, piece) AS rn
@@ -2977,6 +2992,55 @@ def llm_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return unigram_train(word_counts(d))
+
+
+def _unigram_fertility_oracle() -> str:
+    from capital.llm.unigram import EM_ROUNDS, WORD_CAP
+
+    return rf"""
+    WITH RECURSIVE {_unigram_train_ctes()},
+    {_unigram_walk_block("A", f"p{EM_ROUNDS}")},
+    tk AS (
+      SELECT doc_id, substr(word, 1, {WORD_CAP}) AS word
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\s+')) AS word
+            FROM documents)
+      WHERE length(word) >= 1)
+    SELECT d.source AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(b.path)) AS BIGINT) AS n_unigram_tokens,
+           CAST(SUM(length(tk.word)) AS BIGINT) AS n_chars,
+           floor(CAST(SUM(len(b.path)) AS DOUBLE) / COUNT(*)
+                 * 1e6 + 0.5e0) / 1e6 AS fertility,
+           floor(CAST(SUM(length(tk.word)) AS DOUBLE)
+                 / CAST(SUM(len(b.path)) AS DOUBLE)
+                 * 1e6 + 0.5e0) / 1e6 AS chars_per_token
+    FROM tk
+    JOIN bestA b USING (word)
+    JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """
+
+
+@query(
+    "llm_unigram_fertility", memoize=False, oracle=_unigram_fertility_oracle()
+)
+def llm_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum unigram-LM fertility report (capital/llm/unigram.py
+    unigram_fertility) — the tokenizer-quality rollup llm_bpe_fertility
+    runs for BPE, over the unigram vocabulary (round-13 verdict ask
+    #7: the tokenizer-family symmetry row). Same column conventions as
+    the BPE row so the two reports compare directly per source:
+    fertility = pieces/word, chars_per_token = chars/piece, exact
+    integer counts, floor-stable rounding. The oracle re-trains with
+    the brute-force recursive-CTE chain and applies ONE more
+    exhaustive-enumeration Viterbi pass over the final piece table —
+    same ground-truth convention as llm_unigram_vocab.
+    memoize=False: trains in-call."""
+    from capital.llm.unigram import unigram_fertility, word_counts
+
+    d = load_table(spark, sf_dir, "documents")
+    return unigram_fertility(d, word_counts(d))
 
 
 #: Chunk length for id-level sequence packing (training seq_len).
