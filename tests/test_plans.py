@@ -101,6 +101,12 @@ def test_no_python_udfs_in_relational_surface(spark, sf_dir):
         "sim_pq_topk",
         "sim_pq_topk_pinned",
         "sim_ivfpq_stored_fullprobe",
+        # The unigram apply-pass runs the per-DISTINCT-WORD Viterbi DP
+        # as an Arrow pandas_udf over the vocabulary-sized word table
+        # (capital/llm/unigram.py _apply_frames) — bounded closure
+        # state, never corpus-sized; the corpus side joins the result
+        # JVM-side (broadcast).
+        "llm_unigram_fertility",
     }
     for name, fn in _QUERIES.items():
         if name in explicitly_python:
