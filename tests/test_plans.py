@@ -453,3 +453,21 @@ def test_cross_snapshot_band_exchanges_carry_no_text(spark, sf_dir):
     # BroadcastExchange too, so ANY band-key movement (shuffle or
     # broadcast) is audited; the fixture plan carries at least one.
     assert checked >= 1, "no band-key exchange found — audit is vacuous"
+
+
+def test_cdc_broadcast_dup_set_probe_shape(spark, sf_dir):
+    """dedup_cdc_stats (round 14): the sparse dup-digest set must
+    BROADCAST into the probe — a shuffle join on digest would
+    colocate a hot boilerplate digest's chunk rows into one task
+    (the count-window-vs-broadcast regime note). With the probe
+    map-side, the chunk window's id-partitioning carries both the
+    (id, chunk) digest aggregate and the final per-doc aggregate."""
+    spark.catalog.clearCache()
+    plan = plan_of(_QUERIES["dedup_cdc_stats"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # No digest-keyed shuffle join anywhere in the probe.
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
