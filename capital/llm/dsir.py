@@ -99,15 +99,27 @@ def dsir_log_ratios(
         "__is_target",
         _bucket(F.col("token"), seed, n_buckets),
     )
-    doc_buckets = bucketed.groupBy("doc_id", "bucket").agg(
+    # ONE corpus pass (round 14): the former shape aggregated
+    # `bucketed` twice (per-(doc,bucket) counts AND per-bucket totals),
+    # so the tokenize+explode ran in BOTH the ratio-broadcast build job
+    # and the weights probe. Grouping by (doc, __is_target, bucket)
+    # first lets the per-bucket totals derive from the already-reduced
+    # frame (__is_target is constant per doc, so the groups are
+    # unchanged), and the probe job reuses the aggregate's shuffle
+    # files — the corpus is tokenized once. Toy-scale wash (within
+    # host noise at sf0.1); at lake scale tokenization is the cost.
+    dbt = bucketed.groupBy("doc_id", "__is_target", "bucket").agg(
         F.count(F.lit(1)).alias("c")
     )
+    doc_buckets = dbt.select("doc_id", "bucket", "c")
     # Per-bucket totals for both LMs in ONE aggregate (conditional
     # partials), densified over the full bucket range so smoothing
     # covers buckets one side never saw.
-    per_bucket = bucketed.groupBy("bucket").agg(
-        F.sum(F.when(F.col("__is_target"), 1).otherwise(0)).alias("ct"),
-        F.count(F.lit(1)).alias("cr"),
+    per_bucket = dbt.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__is_target"), F.col("c")).otherwise(0)).alias(
+            "ct"
+        ),
+        F.sum("c").alias("cr"),
     )
     grid = docs.sparkSession.range(n_buckets).select(
         F.col("id").alias("bucket")

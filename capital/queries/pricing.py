@@ -50,9 +50,23 @@ _CUTOFF = "2000-01-01 00:00:00"
     """,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1-shaped pricing summary (scan → partial agg → tiny shuffle)."""
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") <= F.lit(_CUTOFF).cast("timestamp")
+    """TPC-H Q1-shaped pricing summary (scan → partial agg → tiny shuffle).
+
+    The seven DECIMAL(28,6) aggregates are the expensive part and they
+    run SCAN-side (map partial agg), so the single-row-group local
+    lineitem file (1–3 byte-range splits; a row group can't split) caps
+    them at 3 cores — parallelize_narrow round-robins the projected
+    rows first (round 14: 1.35 → 0.81 s at sf0.1; at 100 TB inputs
+    carry thousands of row groups and the guard makes this a no-op)."""
+    from capital.io import parallelize_narrow
+
+    li = parallelize_narrow(
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit(_CUTOFF).cast("timestamp"))
+        .select(
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax",
+        )
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
