@@ -150,54 +150,75 @@ def with_repetition(
     - ``top_token_frac``: frequency share of the most common token —
       high for keyword-stuffed or degenerate text.
 
-    Shape: BOTH signals are explode → groupBy((id, gram)) →
-    groupBy(id) partial-agg pipelines joined back on the id. A per-row
-    "mode of the token multiset" would be O(distinct×len) inside one
-    task (measured 13× slower at sf0.1). The bigram fraction was
-    originally a per-row ``array_distinct`` HOF — correct, but any
-    downstream *filter* on ``dup_bigram_frac`` re-evaluates the
-    interpreted HOF once in the pushed predicate and again in the
-    projection (measured 3.4× on the cleaning-pipeline gates at
-    sf0.1); the aggregate join is a materialization barrier, so the
-    filter reads a computed column instead. distinct/total over the
-    exploded bigrams is value-identical to the array form.
+    Shape at scale (round 14): both signals are PER-DOCUMENT — no row
+    influences another document — so the right plan is one shuffle-free
+    Arrow ``mapInPandas`` kernel doing the O(doc_len) dict walk per doc
+    (the :func:`capital.llm.dedup.self_repetition_trim` treatment; no
+    corpus-derived broadcast set is involved, so the round-14
+    kernel-inversion hazard does not apply). The previous form
+    expressed the same per-doc logic through four corpus-sized
+    exchanges (two explode → groupBy(id, gram) → groupBy(id) pipelines)
+    plus two joins back on the id — measured 1.33 s vs 0.47 s at sf0.1,
+    and at 100 TB those exchanges are pure waste. The kernel is also a
+    materialization barrier, so downstream *filters* on the fractions
+    (the cleaning-pipeline gates) cannot push into and re-evaluate the
+    signal — the property the old aggregate-join shape existed to
+    provide. Tokenization uses :func:`py_tokens`, the asserted twin of
+    ``tokens(normalized(.))``; a null text yields null fractions
+    (exactly the old left-join behavior). Rounding is the
+    :func:`round6_stable` four-IEEE-op form on both engines (the
+    pre-round value is a ratio of exact integers — bit-identical in
+    Python, the JVM, and DuckDB).
     """
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
     from capital.io import parallelize_narrow
 
     df = parallelize_narrow(df)
-    toks = tokens(normalized(F.col(text_col)))
-    n = F.size(toks)
-    bigrams = zip_grams(toks, 2)
-    bg_counts = (
-        df.select(F.col(id_col), F.explode(bigrams).alias("__bg"))
-        .groupBy(id_col, "__bg")
-        .agg(F.count(F.lit(1)).alias("__c"))
-    )
-    bg_stats = bg_counts.groupBy(id_col).agg(
-        (
-            F.lit(1.0)
-            - F.count(F.lit(1)) / F.sum("__c").cast("double")
-        ).alias("__dup_raw")
-    )
-    bg_frac = bg_stats.select(
-        F.col(id_col), F.round("__dup_raw", 6).alias("dup_bigram_frac")
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("dup_bigram_frac", DoubleType()),
+            StructField("top_token_frac", DoubleType()),
+        ]
     )
 
-    tok_counts = (
-        df.select(F.col(id_col), F.explode(toks).alias("__tok"))
-        .groupBy(id_col, "__tok")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-    )
-    top = tok_counts.groupBy(id_col).agg(
-        F.max("__cnt").alias("__top"), F.sum("__cnt").alias("__n")
-    )
-    frac = top.select(
-        F.col(id_col),
-        F.round(F.col("__top") / F.greatest("__n", F.lit(1)), 6).alias(
-            "top_token_frac"
-        ),
-    )
-    return df.join(bg_frac, id_col, "left").join(frac, id_col, "left")
+    def _rep(batches):
+        import math
+
+        import pandas as pd
+
+        for pdf in batches:
+            dup, top = [], []
+            for text in pdf[text_col]:
+                if text is None:
+                    dup.append(None)
+                    top.append(None)
+                    continue
+                toks = py_tokens(text)
+                n = len(toks)
+                if n >= 2:
+                    distinct = len(
+                        {(toks[i], toks[i + 1]) for i in range(n - 1)}
+                    )
+                    d_raw = 1.0 - distinct / float(n - 1)
+                else:
+                    # One (possibly empty) token degrades to a single
+                    # truncated gram — dup fraction 0, same as the old
+                    # zip-of-slices shape.
+                    d_raw = 0.0
+                cnt: dict[str, int] = {}
+                for t in toks:
+                    cnt[t] = cnt.get(t, 0) + 1
+                t_raw = max(cnt.values()) / float(n)
+                dup.append(math.floor(d_raw * 1000000.0 + 0.5) / 1000000.0)
+                top.append(math.floor(t_raw * 1000000.0 + 0.5) / 1000000.0)
+            out = pdf.copy()
+            out["dup_bigram_frac"] = pd.Series(dup, dtype="float64")
+            out["top_token_frac"] = pd.Series(top, dtype="float64")
+            yield out
+
+    return df.mapInPandas(_rep, schema=out_schema)
 
 
 def with_char_entropy(

@@ -210,10 +210,12 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
              FOR i IN range(1, greatest(len(toks) - 1, 1) + 1)] AS bg
           FROM t)
     SELECT doc_id,
-      round(1.0 - len(list_distinct(bg)) / len(bg), 6) AS dup_bigram_frac,
-      round(list_max(list_transform(list_distinct(toks),
+      floor((1.0e0 - len(list_distinct(bg)) / len(bg)) * 1e6 + 0.5e0)
+        / 1e6 AS dup_bigram_frac,
+      floor((list_max(list_transform(list_distinct(toks),
                 w -> len(list_filter(toks, x -> x = w))))
-            / greatest(len(toks), 1), 6) AS top_token_frac
+             / greatest(len(toks), 1)) * 1e6 + 0.5e0)
+        / 1e6 AS top_token_frac
     FROM b
     """,
 )
