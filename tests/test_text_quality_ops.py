@@ -151,3 +151,28 @@ def test_kneser_ney_layout_invariant(spark):
     a = sorted(map(tuple, kneser_ney_logprob(docs).collect()))
     b = sorted(map(tuple, kneser_ney_logprob(docs.repartition(7)).collect()))
     assert a == b
+
+
+def test_repetition_null_and_empty_text(spark):
+    """The r14 mapInPandas kernel must mirror the old left-join
+    behavior: null text -> null fractions (the kernel must not die on
+    None), empty text -> the [""] single-token convention (dup 0,
+    top 1)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, "")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in with_repetition(df).collect()}
+    assert rows[1].dup_bigram_frac is None
+    assert rows[1].top_token_frac is None
+    assert rows[2].dup_bigram_frac == 0.0
+    assert rows[2].top_token_frac == 1.0
+
+
+def test_repetition_kernel_is_shuffle_free(spark):
+    """Per-document signal: no Exchange may appear in the plan (any
+    corpus shuffle at 100 TB would be a bug — round-13 kernel rule)."""
+    df = spark.createDataFrame(
+        [(1, "a b a b")], "doc_id long, text string"
+    )
+    plan = with_repetition(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
