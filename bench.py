@@ -158,6 +158,14 @@ def headline_names(all_names) -> list[str]:
         "mm_wav_features_real",
         # (anchor 0.336 s: REAL Y4M frame extraction + histograms)
         "mm_y4m_frames_real",
+        # --- added round 14 (anchors 0.307 / 0.366 s in BASELINE.md:
+        # REAL PNG decode — zlib inflate + all five defilters,
+        # hash-verified against the arithmetic raster rebuild — and
+        # the unigram-tokenizer fertility report, a 13-job
+        # train+Viterbi+rollup chain whose every job is <=0.16 s,
+        # dispositioned as stage floors in BASELINE.md) ---
+        "mm_png_decode_real",
+        "llm_unigram_fertility",
     ]
     return [n for n in preferred if n in all_names] or sorted(all_names)[:8]
 
