@@ -657,10 +657,14 @@ def decontaminate_spans(
         )
         .distinct()
     )
-    # Eval-suite-sized by contract; broadcast once, not per-task.
-    bench_grams = train.sparkSession.sparkContext.broadcast(
-        frozenset(r.g for r in b_sh.collect())
-    )
+    # Eval-suite-sized by contract (the IVF-probe literal-collect
+    # precedent): the deliberate plan-build collect buys a
+    # shuffle-free kernel. Shipped by CLOSURE capture, not
+    # sc.broadcast — the task binary is torrent-broadcast once per
+    # stage anyway, and a bare broadcast variable built at plan time
+    # is never safely unpersistable (round-14 review: repeated plan
+    # construction leaked one driver-pinned broadcast per call).
+    bench_grams = frozenset(r.g for r in b_sh.collect())
     kk = int(k)
 
     def _scrub(batches):
@@ -668,36 +672,60 @@ def decontaminate_spans(
 
         import pandas as pd
 
-        grams = bench_grams.value
+        grams = bench_grams
         for pdf in batches:
             out = {
                 "__id": [], "n_tokens": [], "n_removed_tokens": [],
                 "clean_md5": [],
             }
             for did, text in zip(pdf[id_col], pdf[text_col]):
-                toks = py_tokens(text or "")
+                out["__id"].append(did)
+                if text is None:
+                    # NULL text mirrors the SQL oracle's NULL token
+                    # array: NULL counts, md5('') digest (round-14
+                    # review — `text or ""` silently mapped NULL to
+                    # the [""] row and broke oracle parity).
+                    out["n_tokens"].append(None)
+                    out["n_removed_tokens"].append(None)
+                    out["clean_md5"].append(
+                        hashlib.md5(b"").hexdigest()
+                    )
+                    continue
+                toks = py_tokens(text)
                 n = len(toks)
                 covered: set[int] = set()
                 for p in range(n - kk + 1):
                     if " ".join(toks[p : p + kk]) in grams:
                         covered.update(range(p, p + kk))
                 kept = [t for i, t in enumerate(toks) if i not in covered]
-                out["__id"].append(did)
                 out["n_tokens"].append(n)
                 out["n_removed_tokens"].append(n - len(kept))
                 out["clean_md5"].append(
                     hashlib.md5(" ".join(kept).encode("utf-8")).hexdigest()
                 )
             yield pd.DataFrame(out).astype(
-                {"n_tokens": "int64", "n_removed_tokens": "int64"}
+                {"n_tokens": "Int64", "n_removed_tokens": "Int64"}
             ).rename(columns={"__id": id_col})
 
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    # The id column keeps its INPUT type (generic over string keys —
+    # round-14 review).
+    out_schema = StructType(
+        [train.schema[id_col]]
+        + [
+            StructField("n_tokens", LongType()),
+            StructField("n_removed_tokens", LongType()),
+            StructField("clean_md5", StringType()),
+        ]
+    )
     return parallelize_narrow(train.select(id_col, text_col)).mapInPandas(
-        _scrub,
-        schema=(
-            f"{id_col} long, n_tokens long, n_removed_tokens long, "
-            "clean_md5 string"
-        ),
+        _scrub, schema=out_schema
     )
 
 

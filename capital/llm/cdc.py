@@ -85,6 +85,7 @@ def cdc_dup_stats(
     text_col: str = "text",
     seed: str = "cdc",
     scope=None,
+    broadcast_dups: bool = True,
 ) -> DataFrame:
     """Per-document CDC duplication profile:
     ``(id, n_chunks, n_dup_chunks, dup_tokens)`` where a chunk is
@@ -112,16 +113,22 @@ def cdc_dup_stats(
     # boilerplate digest's rows into one join task; this shape keeps
     # the probe map-side, so the whole probe job rides the window's
     # id-partitioning (groupBy (id, chunk) and groupBy id both reuse
-    # it — one exchange total on the probe). If a lake's dup-digest
-    # set outgrows a broadcast, drop the hint — the plain shuffle
-    # join is the fallback. Output-identical (A/B'd at sf0.1).
+    # it — one exchange total on the probe). The dup-digest set is
+    # CORPUS-DERIVED, so the hint is a regime switch, not a law: pass
+    # ``broadcast_dups=False`` when a lake's dup-digest set outgrows
+    # a broadcast and the plain shuffle join (AQE-skew-split) takes
+    # over. Output-identical either way (A/B'd at sf0.1).
     dup_set = (
         chunks.groupBy("digest")
         .agg(F.count_distinct(F.col(id_col)).alias("__docs"))
         .filter(F.col("__docs") > 1)
         .select("digest", F.lit(1).alias("__dup"))
     )
-    probed = chunks.join(F.broadcast(dup_set), "digest", "left")
+    probed = chunks.join(
+        F.broadcast(dup_set) if broadcast_dups else dup_set,
+        "digest",
+        "left",
+    )
     dup = F.when(F.col("__dup").isNotNull(), 1).otherwise(0)
     return probed.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_chunks"),

@@ -932,6 +932,7 @@ def substring_dup_spans(
     text_col: str = "text",
     window_tokens: int = 8,
     min_occurrences: int = 2,
+    broadcast_dups: bool = True,
 ) -> DataFrame:
     """MAXIMAL duplicated token spans per document — the rolling
     (stride-1) member of the exact-substring dedup family (Lee et
@@ -989,14 +990,16 @@ def substring_dup_spans(
     # never shuffles, and the count stays map-side combined —
     # skew-immune on both legs (a count window over the gram
     # partition measured slightly faster here but colocates a hot
-    # boilerplate gram into one task; this shape doesn't). If a lake's
-    # dup-gram set outgrows a broadcast, drop the hint — the plain
-    # shuffle join is the fallback. 1.35 → 1.20 s at sf0.1.
+    # boilerplate gram into one task; this shape doesn't). The set is
+    # CORPUS-DERIVED, so the hint is a regime switch, not a law: pass
+    # ``broadcast_dups=False`` when a lake's dup-gram set outgrows a
+    # broadcast and the plain shuffle join (AQE-skew-split) takes
+    # over. 1.35 → 1.20 s at sf0.1 with the hint.
+    dup_grams = counts.filter(
+        F.col("__cnt") >= min_occurrences
+    ).select("__gram")
     dup_pos = wins.join(
-        F.broadcast(
-            counts.filter(F.col("__cnt") >= min_occurrences)
-            .select("__gram")
-        ),
+        F.broadcast(dup_grams) if broadcast_dups else dup_grams,
         "__gram",
     ).select(F.col(id_col), "__pos")
     per_doc = _island_stats(dup_pos, id_col, L)
@@ -1074,10 +1077,21 @@ def self_repetition_trim(
                 "n_removed_tokens": [], "clean_md5": [],
             }
             for did, text in zip(pdf[id_col], pdf[text_col]):
-                # Null text must not kill the stage (the DataFrame
-                # form propagated nulls harmlessly); [""] is the
-                # engine-wide empty tokenization.
-                toks = py_tokens(text or "")
+                if text is None:
+                    # NULL text must neither kill the stage nor
+                    # masquerade as the [""] empty-string row: the
+                    # SQL oracle's token array is NULL, so counts are
+                    # NULL with 0 repeat windows and the md5('')
+                    # digest (round-14 review).
+                    out["__id"].append(did)
+                    out["n_tokens"].append(None)
+                    out["n_repeat_windows"].append(0)
+                    out["n_removed_tokens"].append(None)
+                    out["clean_md5"].append(
+                        hashlib.md5(b"").hexdigest()
+                    )
+                    continue
+                toks = py_tokens(text)
                 n = len(toks)
                 seen: dict[tuple, int] = {}
                 covered: set[int] = set()
@@ -1099,18 +1113,34 @@ def self_repetition_trim(
                 )
             yield pd.DataFrame(out).astype(
                 {
-                    "n_tokens": "int32",
+                    "n_tokens": "Int32",
                     "n_repeat_windows": "int64",
-                    "n_removed_tokens": "int64",
+                    "n_removed_tokens": "Int64",
                 }
             ).rename(columns={"__id": id_col})
 
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    # The id column keeps its INPUT type (the old DataFrame form was
+    # generic over it; a hardcoded `long` would Arrow-cast or fail on
+    # string keys — round-14 review).
+    out_schema = StructType(
+        [df.schema[id_col]]
+        + [
+            StructField("n_tokens", IntegerType()),
+            StructField("n_repeat_windows", LongType()),
+            StructField("n_removed_tokens", LongType()),
+            StructField("clean_md5", StringType()),
+        ]
+    )
     return parallelize_narrow(df.select(id_col, text_col)).mapInPandas(
-        _trim,
-        schema=(
-            f"{id_col} long, n_tokens int, n_repeat_windows long, "
-            "n_removed_tokens long, clean_md5 string"
-        ),
+        _trim, schema=out_schema
     )
 
 

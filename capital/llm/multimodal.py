@@ -498,6 +498,14 @@ def decode_png(data: bytes):
         if crc != (zlib.crc32(ctype + body) & 0xFFFFFFFF):
             raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")
         if ctype == b"IHDR":
+            # The CRC validates ANY body length, so a short IHDR with
+            # a correct checksum reaches this unpack — struct.error
+            # must re-raise as ValueError (the dead-letter contract;
+            # the same class decode_bmp/decode_wav wrap).
+            if len(body) != 13:
+                raise ValueError(
+                    f"corrupt PNG IHDR (length {len(body)}, want 13)"
+                )
             ihdr = struct.unpack(">IIBBBBB", body)
         elif ctype == b"IDAT":
             idat.append(body)

@@ -498,3 +498,29 @@ def test_semantic_contamination_via_ivf_partial_probe_is_subset(
         if r.is_contaminated
     }
     assert part <= full
+
+
+def test_decontaminate_spans_null_text_matches_oracle(spark):
+    """NULL-text train docs must mirror the SQL oracle's NULL token
+    array — (NULL, NULL, md5('')) — not the [""] row (round-14
+    review; DuckDB-verified oracle values pinned here)."""
+    import hashlib
+
+    from capital.llm.assemble import decontaminate_spans
+
+    train = spark.createDataFrame(
+        [(1, None), (2, "")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(0, "bench text here only")], "doc_id long, text string"
+    )
+    rows = {
+        r.doc_id: r for r in decontaminate_spans(train, bench).collect()
+    }
+    empty_md5 = hashlib.md5(b"").hexdigest()
+    assert rows[1].n_tokens is None
+    assert rows[1].n_removed_tokens is None
+    assert rows[1].clean_md5 == empty_md5
+    assert rows[2].n_tokens == 1
+    assert rows[2].n_removed_tokens == 0
+    assert rows[2].clean_md5 == empty_md5

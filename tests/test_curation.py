@@ -773,3 +773,30 @@ def test_self_repetition_trim_hand_computed(spark):
     assert out[4].n_repeat_windows == 1
     assert out[4].n_removed_tokens == 3
     assert out[4].clean_md5 == md5("a")
+
+
+def test_self_repetition_trim_null_text_matches_oracle(spark):
+    """NULL text must mirror the SQL oracle's NULL token array —
+    (NULL, 0, NULL, md5('')) — not the [""] empty-string row the
+    `text or ""` coalesce produced (round-14 review; DuckDB-verified
+    oracle values pinned here)."""
+    import hashlib
+
+    from capital.llm.dedup import self_repetition_trim
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "")], "doc_id long, text string"
+    )
+    rows = {
+        r.doc_id: r
+        for r in self_repetition_trim(docs, window_tokens=3).collect()
+    }
+    empty_md5 = hashlib.md5(b"").hexdigest()
+    assert rows[1].n_tokens is None
+    assert rows[1].n_repeat_windows == 0
+    assert rows[1].n_removed_tokens is None
+    assert rows[1].clean_md5 == empty_md5
+    # Empty string stays the [""] single-token convention.
+    assert rows[2].n_tokens == 1
+    assert rows[2].n_removed_tokens == 0
+    assert rows[2].clean_md5 == empty_md5

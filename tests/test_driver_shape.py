@@ -58,8 +58,9 @@ def _is_bad_duck_type(t: object) -> bool:
 #: A query's driver evidence may be at most this many rounds old
 #: before the rotation MUST put it in the next gate's 50-slot window.
 #: Round-14 capacity policy (round-13 verdict ask #2): 197 paired
-#: queries hit the 50x4=200 ceiling, so the cap is 5 (ceiling 250,
-#: slack 53) — a full rotation of ~200 queries takes exactly 4 gates,
+#: queries hit the 50x4=200 ceiling (199 after the two round-14 rows
+#: landed), so the cap is 5 (ceiling 250, slack 51) — a full rotation
+#: of ~200 queries takes exactly 4 gates,
 #: so age-5 keeps one round of scheduling slack, and every query is
 #: still locally DuckDB-verified at sf0.001 EVERY round by
 #: test_oracle_parity.py regardless of the window. Must match

@@ -563,3 +563,26 @@ def test_truncated_after_magic_dead_letters_over_spark(spark):
     assert got[1].width == 2 and got[1].checksum is not None
     assert got[2].width is None and got[2].checksum is None
     assert got[3].width is None and got[3].checksum is None
+
+
+def test_png_short_ihdr_with_valid_crc_raises_value_error():
+    """A PNG chunk CRC validates ANY body length, so a 12-byte IHDR
+    with a correct checksum reaches the header unpack — decode_png
+    must surface that as ValueError, not struct.error (the round-14
+    review reproduction of the round-13 dead-letter class)."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from capital.llm.multimodal import _PNG_MAGIC, decode_png
+
+    body = b"\x00" * 12  # one byte short of the 13-byte IHDR
+    chunk = (
+        struct.pack(">I", len(body))
+        + b"IHDR"
+        + body
+        + struct.pack(">I", zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF)
+    )
+    with pytest.raises(ValueError):
+        decode_png(_PNG_MAGIC + chunk)

@@ -39,8 +39,9 @@ sys.path.insert(0, REPO)
 
 GATE_SLOTS = 50
 #: Round-14 capacity policy (round-13 verdict ask #2): the paired-query
-#: count hit 197 vs the 50x4=200 ceiling, so the cap is raised 4 -> 5
-#: (ceiling 250, slack 53) rather than adopting evidence-slot sharing —
+#: count hit 197 vs the 50x4=200 ceiling (199 after the two round-14
+#: rows landed; slack 51 vs the new ceiling 250), so the cap is raised
+#: 4 -> 5 rather than adopting evidence-slot sharing —
 #: a full rotation of ~200 queries takes exactly 4 gates, so age-5
 #: keeps one round of scheduling slack while every query is still
 #: driver-verified at least once per 5 rounds AND locally verified
