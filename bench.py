@@ -166,6 +166,10 @@ def headline_names(all_names) -> list[str]:
         # dispositioned as stage floors in BASELINE.md) ---
         "mm_png_decode_real",
         "llm_unigram_fertility",
+        # (anchor 1.626 s: the full Gopher §A1.1 n-gram battery —
+        # twelve per-doc signals in one shuffle-free kernel; engine
+        # BEATS the anchor, 0.39x)
+        "text_gopher_battery",
     ]
     return [n for n in preferred if n in all_names] or sorted(all_names)[:8]
 

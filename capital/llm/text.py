@@ -221,6 +221,124 @@ def with_repetition(
     return df.mapInPandas(_rep, schema=out_schema)
 
 
+#: The Gopher §A1.1 n-gram battery: duplicate-FRACTION n-grams …
+GOPHER_DUP_NS = (2, 3, 4)
+#: … and duplicated-n-gram character-COVERAGE n-grams.
+GOPHER_COVER_NS = (5, 6, 7, 8, 9, 10)
+
+
+def with_gopher_ngrams(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The FULL Gopher §A1.1 repetition battery (Rae et al. 2021,
+    Table A1) beyond :func:`with_repetition`'s two signals — one
+    column per filter row of the paper's table:
+
+    - ``dup_{n}gram_frac`` (n = 2, 3, 4): fraction of the document's
+      word n-grams that are repeats (occurrences beyond the first);
+    - ``top_{n}gram_char_frac`` (n = 2, 3, 4): character share of the
+      single most frequent n-gram, counting every occurrence (ties
+      break to the lexicographically smallest gram — deterministic
+      and SQL-replicable);
+    - ``dup_{n}gram_char_frac`` (n = 5…10): character share of the
+      UNION of token positions covered by any n-gram occurring more
+      than once (all occurrences mark coverage; overlaps count once —
+      the union semantics of the span family).
+
+    Character mass is token characters (whitespace carries no mass):
+    a position contributes ``len(token)``, a gram ``len(' '.join) −
+    (n−1)``; the denominator is the document's total token characters
+    (docs whose tokens are all empty — the ``[""]`` convention —
+    score 0 everywhere, as do docs shorter than n). NULL text yields
+    NULL fractions (the oracle's NULL token array).
+
+    Shape at scale: PER-DOCUMENT — one shuffle-free Arrow
+    ``mapInPandas`` kernel, one O(doc_len · Σn) dict walk per doc, no
+    corpus-derived state (the round-14 kernel regime). All fractions
+    are :func:`round6_stable` ratios of exact integers, bit-identical
+    on both engines.
+    """
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from capital.io import parallelize_narrow
+
+    df = parallelize_narrow(df)
+    cols = (
+        [f"dup_{n}gram_frac" for n in GOPHER_DUP_NS]
+        + [f"top_{n}gram_char_frac" for n in GOPHER_DUP_NS]
+        + [f"dup_{n}gram_char_frac" for n in GOPHER_COVER_NS]
+    )
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField(c, DoubleType()) for c in cols]
+    )
+
+    def _r6(x: float) -> float:
+        import math
+
+        return math.floor(x * 1000000.0 + 0.5) / 1000000.0
+
+    def _battery(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            vals: dict[str, list] = {c: [] for c in cols}
+            for text in pdf[text_col]:
+                if text is None:
+                    for c in cols:
+                        vals[c].append(None)
+                    continue
+                toks = py_tokens(text)
+                lens = [len(t) for t in toks]
+                total_chars = sum(lens)
+                for n in GOPHER_DUP_NS:
+                    m = len(toks) - n + 1
+                    if m <= 0:
+                        vals[f"dup_{n}gram_frac"].append(0.0)
+                        vals[f"top_{n}gram_char_frac"].append(0.0)
+                        continue
+                    cnt: dict[tuple, int] = {}
+                    for i in range(m):
+                        g = tuple(toks[i : i + n])
+                        cnt[g] = cnt.get(g, 0) + 1
+                    vals[f"dup_{n}gram_frac"].append(
+                        _r6(1.0 - len(cnt) / float(m))
+                    )
+                    # argmax by count, ties to the lex-smallest gram.
+                    top_g = min(
+                        (g for g, c in cnt.items()
+                         if c == max(cnt.values())),
+                    )
+                    mass = cnt[top_g] * sum(len(t) for t in top_g)
+                    vals[f"top_{n}gram_char_frac"].append(
+                        _r6(mass / float(total_chars))
+                        if total_chars else 0.0
+                    )
+                for n in GOPHER_COVER_NS:
+                    m = len(toks) - n + 1
+                    if m <= 0 or total_chars == 0:
+                        vals[f"dup_{n}gram_char_frac"].append(0.0)
+                        continue
+                    cnt2: dict[tuple, int] = {}
+                    for i in range(m):
+                        g = tuple(toks[i : i + n])
+                        cnt2[g] = cnt2.get(g, 0) + 1
+                    covered: set[int] = set()
+                    for i in range(m):
+                        if cnt2[tuple(toks[i : i + n])] >= 2:
+                            covered.update(range(i, i + n))
+                    mass = sum(lens[p] for p in covered)
+                    vals[f"dup_{n}gram_char_frac"].append(
+                        _r6(mass / float(total_chars))
+                    )
+            out = pdf.copy()
+            for c in cols:
+                out[c] = pd.Series(vals[c], dtype="float64")
+            yield out
+
+    return df.mapInPandas(_battery, schema=out_schema)
+
+
 def with_char_entropy(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -230,6 +230,124 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gopher_battery_oracle() -> str:
+    """Generated from the SAME n-ranges as the kernel (the engine's
+    generated-oracle convention): per-n subqueries joined back on the
+    document — dup-fraction + lex-tie-broken top-gram char share for
+    n = 2…4, duplicated-gram covered-position char share (union, the
+    decon-oracle unnest-range pattern) for n = 5…10. Character mass is
+    token characters: a joined gram's mass is ``length(gram) − (n−1)``
+    (tokens carry no whitespace). NULL token arrays propagate NULL
+    through every branch."""
+    from capital.llm.text import GOPHER_COVER_NS, GOPHER_DUP_NS
+
+    r6 = "floor(({x}) * 1e6 + 0.5e0) / 1e6"
+    ctes, selects, joins = [], [], []
+    for n in GOPHER_DUP_NS:
+        ctes.append(f"""
+    d{n} AS (
+      SELECT doc_id,
+             [array_to_string(t[i:i+{n - 1}], ' ')
+              FOR i IN range(1, greatest(len(t) - {n - 1}, 0) + 1)] AS g
+      FROM norm),
+    u{n} AS (SELECT doc_id, unnest(g) AS gram FROM d{n}),
+    c{n} AS (SELECT doc_id, gram, COUNT(*) AS cnt
+             FROM u{n} GROUP BY doc_id, gram),
+    t{n} AS (SELECT doc_id, gram, cnt FROM (
+               SELECT doc_id, gram, cnt,
+                      row_number() OVER (PARTITION BY doc_id
+                        ORDER BY cnt DESC, gram ASC) AS rn
+               FROM c{n}) WHERE rn = 1)""")
+        dup = r6.format(
+            x=f"1.0e0 - len(list_distinct(d{n}.g)) / len(d{n}.g)"
+        )
+        top = r6.format(
+            x=f"t{n}.cnt * (length(t{n}.gram) - {n - 1}) / ch.tc"
+        )
+        # norm.t IS NULL must come first: DuckDB's greatest() IGNORES
+        # NULL args, so the comprehension over a NULL token array
+        # yields [] (not NULL) and len(g)=0 would mask the NULL doc.
+        selects.append(
+            f"CASE WHEN norm.t IS NULL THEN NULL"
+            f" WHEN len(d{n}.g) = 0 THEN 0.0e0 ELSE {dup} END"
+            f" AS dup_{n}gram_frac"
+        )
+        selects.append(
+            f"CASE WHEN norm.t IS NULL THEN NULL"
+            f" WHEN len(d{n}.g) = 0 OR ch.tc = 0 THEN 0.0e0"
+            f" ELSE {top} END AS top_{n}gram_char_frac"
+        )
+        joins.append(f"LEFT JOIN d{n} USING (doc_id)")
+        joins.append(f"LEFT JOIN t{n} USING (doc_id)")
+    for n in GOPHER_COVER_NS:
+        ctes.append(f"""
+    w{n} AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(t[i:i+{n - 1}], ' ') AS gram
+      FROM norm, unnest(range(1, greatest(len(t) - {n - 1}, 0) + 1))
+           AS u(i)),
+    f{n} AS (SELECT doc_id, gram FROM w{n}
+             GROUP BY doc_id, gram HAVING COUNT(*) >= 2),
+    cov{n} AS (
+      SELECT DISTINCT w{n}.doc_id AS doc_id, p
+      FROM w{n} JOIN f{n} USING (doc_id, gram),
+           unnest(range(pos, pos + {n})) AS v(p)),
+    m{n} AS (SELECT cov{n}.doc_id AS doc_id,
+                    SUM(length(nn.t[p])) AS mass
+             FROM cov{n} JOIN norm nn USING (doc_id)
+             GROUP BY cov{n}.doc_id)""")
+        cover = r6.format(x=f"COALESCE(m{n}.mass, 0) / ch.tc")
+        selects.append(
+            f"CASE WHEN norm.t IS NULL THEN NULL"
+            f" WHEN len(norm.t) < {n} OR ch.tc = 0 THEN 0.0e0"
+            f" ELSE {cover} END AS dup_{n}gram_char_frac"
+        )
+        joins.append(f"LEFT JOIN m{n} USING (doc_id)")
+    nl = ",".join(ctes)
+    return f"""
+    WITH norm AS MATERIALIZED (
+      SELECT doc_id,
+             string_split_regex(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+               '\\s+') AS t
+      FROM documents),
+    ch AS (SELECT doc_id, length(array_to_string(t, '')) AS tc
+           FROM norm),{nl}
+    SELECT norm.doc_id AS doc_id,
+           {", ".join(selects)}
+    FROM norm
+    JOIN ch USING (doc_id)
+    {" ".join(joins)}
+    """
+
+
+@query("text_gopher_battery", memoize=False,
+       oracle=_gopher_battery_oracle())
+def text_gopher_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Gopher §A1.1 repetition battery (Rae et al. 2021,
+    Table A1): duplicate n-gram fractions (n=2–4), top-n-gram
+    character shares (n=2–4, lex tie-break), duplicated-n-gram
+    character coverage (n=5–10, union of covered positions) — the
+    twelve per-document signals a production quality gate thresholds.
+    One shuffle-free per-document mapInPandas kernel
+    (capital/llm/text.py with_gopher_ngrams); the oracle is generated
+    from the same n-ranges."""
+    from capital.llm.text import (
+        GOPHER_COVER_NS,
+        GOPHER_DUP_NS,
+        with_gopher_ngrams,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    keep = (
+        ["doc_id"]
+        + [f"dup_{n}gram_frac" for n in GOPHER_DUP_NS]
+        + [f"top_{n}gram_char_frac" for n in GOPHER_DUP_NS]
+        + [f"dup_{n}gram_char_frac" for n in GOPHER_COVER_NS]
+    )
+    return with_gopher_ngrams(d).select(*keep)
+
+
 @query(
     "text_char_entropy",
     oracle="""

@@ -176,3 +176,57 @@ def test_repetition_kernel_is_shuffle_free(spark):
     )
     plan = with_repetition(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_gopher_battery_hand_computed(spark):
+    """Hand-derived Gopher §A1.1 battery values on a crafted doc:
+    "a b a b a b a b a b a b" (12 tokens, 12 chars of token mass)."""
+    from capital.llm.text import with_gopher_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b a b a b a b")], "doc_id long, text string"
+    )
+    r = with_gopher_ngrams(df).collect()[0]
+    # 11 bigrams, 2 distinct -> dup = 1 - 2/11
+    assert math.isclose(r.dup_2gram_frac, 1 - 2 / 11, abs_tol=1e-6)
+    # top bigram "a b" occurs 6x, mass 6*2 = 12 of 12 chars
+    assert r.top_2gram_char_frac == 1.0
+    # 10 trigrams, 2 distinct
+    assert math.isclose(r.dup_3gram_frac, 1 - 2 / 10, abs_tol=1e-6)
+    # top trigram "a b a" 5x, mass 5*3 = 15/12 > 1 (the Gopher
+    # count-times-length convention on degenerate text)
+    assert math.isclose(r.top_3gram_char_frac, 1.25, abs_tol=1e-6)
+    # every 5..10-gram repeats -> full coverage
+    for n in range(5, 11):
+        assert getattr(r, f"dup_{n}gram_char_frac") == 1.0
+
+
+def test_gopher_battery_null_and_short_text(spark):
+    """NULL text -> NULL fractions; short/clean docs -> zeros."""
+    from capital.llm.text import with_gopher_ngrams
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "hello"), (3, "all distinct words here")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in with_gopher_ngrams(df).collect()}
+    assert rows[1].dup_2gram_frac is None
+    assert rows[1].dup_10gram_char_frac is None
+    assert rows[2].dup_2gram_frac == 0.0
+    assert rows[2].top_2gram_char_frac == 0.0
+    assert rows[3].dup_2gram_frac == 0.0
+    assert rows[3].dup_5gram_char_frac == 0.0
+
+
+def test_gopher_battery_is_shuffle_free(spark):
+    """Per-document battery: no Exchange in the plan."""
+    from capital.llm.text import with_gopher_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "a b a b")], "doc_id long, text string"
+    )
+    plan = (
+        with_gopher_ngrams(df)._jdf.queryExecution().executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
