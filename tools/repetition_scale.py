@@ -32,32 +32,48 @@ def main() -> None:
     from bm25_index_scale import replicate
 
     from capital.io import clear_engine_cache, load_table
-    from capital.llm.text import with_repetition
+    from capital.llm.text import (
+        GOPHER_COVER_NS,
+        GOPHER_DUP_NS,
+        with_gopher_ngrams,
+        with_repetition,
+    )
     from capital.session import get_spark
 
     spark = get_spark(app_name="repetition-scale")
     spark.sparkContext.setLogLevel("ERROR")
     docs = load_table(spark, SF_DIR, "documents")
-    base = None
-    for n in SCALES:
-        rep = replicate(spark, docs, n)
-        t0 = time.perf_counter()
-        agg = with_repetition(rep).agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.sum(F.round(F.col("dup_bigram_frac") * 1e6).cast("long"))
-            .alias("dup_u"),
-            F.sum(F.round(F.col("top_token_frac") * 1e6).cast("long"))
-            .alias("top_u"),
-        ).collect()[0]
-        dt = time.perf_counter() - t0
-        got = (int(agg["rows"]), int(agg["dup_u"]), int(agg["top_u"]))
-        print(f"{n:3d}x: rows/dup_micro/top_micro = {got}, {dt:6.2f}s")
-        if n == 1:
-            base = got
-        else:
-            assert got == tuple(v * n for v in base), (n, got, base)
-            print(f"{n}x: every sum exactly {n}x the 1x sums — linear")
-        clear_engine_cache(spark)
+    battery_cols = (
+        [f"dup_{n}gram_frac" for n in GOPHER_DUP_NS]
+        + [f"top_{n}gram_char_frac" for n in GOPHER_DUP_NS]
+        + [f"dup_{n}gram_char_frac" for n in GOPHER_COVER_NS]
+    )
+    for label, fn, cols in (
+        ("with_repetition", with_repetition,
+         ["dup_bigram_frac", "top_token_frac"]),
+        ("gopher_battery", with_gopher_ngrams, battery_cols),
+    ):
+        base = None
+        for n in SCALES:
+            rep = replicate(spark, docs, n)
+            t0 = time.perf_counter()
+            agg = fn(rep).agg(
+                F.count(F.lit(1)).alias("rows"),
+                *[
+                    F.sum(F.round(F.col(c) * 1e6).cast("long")).alias(c)
+                    for c in cols
+                ],
+            ).collect()[0]
+            dt = time.perf_counter() - t0
+            got = tuple(int(agg[c]) for c in ["rows"] + cols)
+            print(f"{label} {n:3d}x: rows={got[0]}, {dt:6.2f}s")
+            if n == 1:
+                base = got
+            else:
+                assert got == tuple(v * n for v in base), (
+                    label, n, got, base)
+                print(f"  every micro-unit sum exactly {n}x — linear")
+            clear_engine_cache(spark)
 
 
 if __name__ == "__main__":
