@@ -618,6 +618,7 @@ def decontaminate_spans(
     k: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bench_grams: int = 5_000_000,
 ) -> DataFrame:
     """SURGICAL decontamination: instead of dropping every document
     that overlaps the benchmark (:func:`decontaminate` — which throws
@@ -664,7 +665,19 @@ def decontaminate_spans(
     # stage anyway, and a bare broadcast variable built at plan time
     # is never safely unpersistable (round-14 review: repeated plan
     # construction leaked one driver-pinned broadcast per call).
-    bench_grams = frozenset(r.g for r in b_sh.collect())
+    # The by-contract bound is ASSERTED: limit(max+1) caps the
+    # transfer, and a mis-sized benchmark fails loudly at plan time
+    # instead of stalling the driver (round-14 advice).
+    rows = b_sh.limit(max_bench_grams + 1).collect()
+    if len(rows) > max_bench_grams:
+        raise ValueError(
+            f"decontaminate_spans: benchmark side exceeds "
+            f"{max_bench_grams} distinct {k}-grams — this operator's "
+            f"kernel regime requires an eval-suite-sized (constant) "
+            f"benchmark; raise max_bench_grams only if the driver "
+            f"can hold the set, or pre-filter the benchmark."
+        )
+    bench_grams = frozenset(r.g for r in rows)
     kk = int(k)
 
     def _scrub(batches):

@@ -297,19 +297,23 @@ def with_gopher_ngrams(
                         vals[f"dup_{n}gram_frac"].append(0.0)
                         vals[f"top_{n}gram_char_frac"].append(0.0)
                         continue
-                    cnt: dict[tuple, int] = {}
+                    cnt: dict[str, int] = {}
                     for i in range(m):
-                        g = tuple(toks[i : i + n])
+                        g = " ".join(toks[i : i + n])
                         cnt[g] = cnt.get(g, 0) + 1
                     vals[f"dup_{n}gram_frac"].append(
                         _r6(1.0 - len(cnt) / float(m))
                     )
-                    # argmax by count, ties to the lex-smallest gram.
-                    top_g = min(
-                        (g for g, c in cnt.items()
-                         if c == max(cnt.values())),
+                    # argmax by count, ties to the lex-smallest gram —
+                    # the STRING key, matching the oracle's
+                    # `ORDER BY cnt DESC, gram ASC` (tuple order can
+                    # diverge on sub-space control chars). mx hoisted:
+                    # the in-generator form was O(distinct²) per doc.
+                    mx = max(cnt.values())
+                    top_s = min(
+                        g for g, c in cnt.items() if c == mx
                     )
-                    mass = cnt[top_g] * sum(len(t) for t in top_g)
+                    mass = mx * (len(top_s) - (n - 1))
                     vals[f"top_{n}gram_char_frac"].append(
                         _r6(mass / float(total_chars))
                         if total_chars else 0.0
@@ -319,14 +323,19 @@ def with_gopher_ngrams(
                     if m <= 0 or total_chars == 0:
                         vals[f"dup_{n}gram_char_frac"].append(0.0)
                         continue
-                    cnt2: dict[tuple, int] = {}
+                    pos_by_gram: dict[tuple, list] = {}
                     for i in range(m):
                         g = tuple(toks[i : i + n])
-                        cnt2[g] = cnt2.get(g, 0) + 1
+                        ps = pos_by_gram.get(g)
+                        if ps is None:
+                            pos_by_gram[g] = [i]
+                        else:
+                            ps.append(i)
                     covered: set[int] = set()
-                    for i in range(m):
-                        if cnt2[tuple(toks[i : i + n])] >= 2:
-                            covered.update(range(i, i + n))
+                    for ps in pos_by_gram.values():
+                        if len(ps) >= 2:
+                            for i in ps:
+                                covered.update(range(i, i + n))
                     mass = sum(lens[p] for p in covered)
                     vals[f"dup_{n}gram_char_frac"].append(
                         _r6(mass / float(total_chars))

@@ -210,12 +210,14 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
              FOR i IN range(1, greatest(len(toks) - 1, 1) + 1)] AS bg
           FROM t)
     SELECT doc_id,
-      floor((1.0e0 - len(list_distinct(bg)) / len(bg)) * 1e6 + 0.5e0)
-        / 1e6 AS dup_bigram_frac,
-      floor((list_max(list_transform(list_distinct(toks),
-                w -> len(list_filter(toks, x -> x = w))))
-             / greatest(len(toks), 1)) * 1e6 + 0.5e0)
-        / 1e6 AS top_token_frac
+      CASE WHEN toks IS NULL THEN NULL ELSE
+        floor((1.0e0 - len(list_distinct(bg)) / len(bg)) * 1e6 + 0.5e0)
+          / 1e6 END AS dup_bigram_frac,
+      CASE WHEN toks IS NULL THEN NULL ELSE
+        floor((list_max(list_transform(list_distinct(toks),
+                  w -> len(list_filter(toks, x -> x = w))))
+               / greatest(len(toks), 1)) * 1e6 + 0.5e0)
+          / 1e6 END AS top_token_frac
     FROM b
     """,
 )

@@ -398,6 +398,31 @@ def test_decontaminate_spans_hand_computed(spark):
     assert out[3].clean_md5 == md5("")
 
 
+def test_decontaminate_spans_bench_size_guard(spark):
+    """The plan-build collect's by-contract bound is ASSERTED: a
+    benchmark whose distinct gram count exceeds max_bench_grams must
+    raise at plan time (limit(max+1) caps the transfer) instead of
+    silently stalling the driver (round-15 advice)."""
+    import pytest
+
+    from capital.llm.assemble import decontaminate_spans
+
+    bench = spark.createDataFrame(
+        [(0, "a b c d e f g h i j")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [(1, "x y z")], "doc_id long, text string"
+    )
+    # 10 tokens -> 6 distinct 5-grams > 4
+    with pytest.raises(ValueError, match="exceeds 4 distinct"):
+        decontaminate_spans(train, bench, k=5, max_bench_grams=4)
+    # at the bound it still works
+    out = decontaminate_spans(
+        train, bench, k=5, max_bench_grams=6
+    ).collect()
+    assert len(out) == 1 and out[0].n_removed_tokens == 0
+
+
 def test_semantic_contamination_hand_computed(spark):
     """Dense decontamination on constructed vectors: hand-computed
     cosines pin the flag, hit count, round6 max_sim and the min-id

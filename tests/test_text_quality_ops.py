@@ -218,6 +218,52 @@ def test_gopher_battery_null_and_short_text(spark):
     assert rows[3].dup_5gram_char_frac == 0.0
 
 
+def test_gopher_battery_tie_break_is_string_order(spark):
+    """Tied max-count grams break on the JOINED-STRING key (the
+    oracle's ORDER BY cnt DESC, gram ASC), not Python tuple order —
+    they diverge when a token contains a control char below 0x20:
+    tuple says ("ab","z") < ("ab\\x01","z") (prefix rule) but the
+    joined strings compare '\\x01' < ' ' at position 2, so the string
+    winner is "ab\\x01 z" (round-15 advice pin)."""
+    from capital.llm.text import with_gopher_ngrams
+
+    # tokens: ab z ab\x01 z ab z ab\x01 z — bigrams (ab,z), (z,ab\x01)
+    # and (ab\x01,z) all tied at count 2; string-min is "ab\x01 z"
+    # (mass 2·4) while tuple-min would be "ab z" (mass 2·3).
+    df = spark.createDataFrame(
+        [(1, "ab z ab\x01 z ab z ab\x01 z")],
+        "doc_id long, text string",
+    )
+    r = with_gopher_ngrams(df).collect()[0]
+    total = 2 * 2 + 1 * 4 + 3 * 2  # token chars: ab×2, z×4, ab\x01×2
+    assert math.isclose(
+        r.top_2gram_char_frac, round(8 / total, 6), abs_tol=1e-6
+    )
+
+
+def test_gopher_battery_long_doc_is_linear(spark):
+    """The hoisted-argmax kernel must stay near-linear on a LONG
+    document with many distinct grams (the regime the O(distinct²)
+    in-generator max broke): 20k tokens of mostly-distinct words must
+    complete in seconds, not minutes."""
+    import random
+    import time
+
+    from capital.llm.text import with_gopher_ngrams
+
+    rng = random.Random(7)
+    toks = [f"w{rng.randrange(15000)}" for _ in range(20000)]
+    df = spark.createDataFrame(
+        [(1, " ".join(toks))], "doc_id long, text string"
+    )
+    t0 = time.time()
+    r = with_gopher_ngrams(df).collect()[0]
+    elapsed = time.time() - t0
+    assert r.dup_2gram_frac is not None
+    # quadratic form took minutes at this size; linear is ~a second.
+    assert elapsed < 30, f"battery kernel took {elapsed:.1f}s on 20k tokens"
+
+
 def test_gopher_battery_is_shuffle_free(spark):
     """Per-document battery: no Exchange in the plan."""
     from capital.llm.text import with_gopher_ngrams
