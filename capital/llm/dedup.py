@@ -933,6 +933,7 @@ def substring_dup_spans(
     window_tokens: int = 8,
     min_occurrences: int = 2,
     broadcast_dups: bool = True,
+    hash_keyed_count: bool = False,
 ) -> DataFrame:
     """MAXIMAL duplicated token spans per document — the rolling
     (stride-1) member of the exact-substring dedup family (Lee et
@@ -984,7 +985,6 @@ def substring_dup_spans(
             " ", *[F.col(f"__s.t{i}") for i in range(L)]
         ).alias("__gram"),
     )
-    counts = wins.groupBy("__gram").agg(F.count(F.lit(1)).alias("__cnt"))
     # The duplicated-gram set (cnt ≥ min) is sparse by nature
     # (boilerplate + verbatim reuse), so BROADCAST it: the probe side
     # never shuffles, and the count stays map-side combined —
@@ -995,13 +995,53 @@ def substring_dup_spans(
     # ``broadcast_dups=False`` when a lake's dup-gram set outgrows a
     # broadcast and the plain shuffle join (AQE-skew-split) takes
     # over. 1.35 → 1.20 s at sf0.1 with the hint.
-    dup_grams = counts.filter(
-        F.col("__cnt") >= min_occurrences
-    ).select("__gram")
-    dup_pos = wins.join(
-        F.broadcast(dup_grams) if broadcast_dups else dup_grams,
-        "__gram",
-    ).select(F.col(id_col), "__pos")
+    if hash_keyed_count:
+        # Round-15 experiment (the round-9 xxhash64-join-key trick,
+        # adapted for exactness): the corpus-wide count groups on
+        # 8-byte ``xxhash64(gram)`` longs instead of gram strings, so
+        # the big exchange ships (long, count) partials. Hash-count ≥
+        # min is a SUPERSET of true dups (collisions only merge
+        # counts upward), so candidate rows are filtered by hash and
+        # then RECOUNTED exactly by gram — a true dup gram's rows all
+        # survive the prefilter (its own count already clears min),
+        # so the residual count equals the global count and the
+        # output is byte-identical to the string-keyed form
+        # (property-tested). Costs one extra sparse exchange + a
+        # candidate barrier; see BASELINE for the measured regime.
+        winh = wins.withColumn("__gh", F.xxhash64("__gram"))
+        hcounts = winh.groupBy("__gh").agg(
+            F.count(F.lit(1)).alias("__hcnt")
+        )
+        cand_h = hcounts.filter(
+            F.col("__hcnt") >= min_occurrences
+        ).select("__gh")
+        cand = winh.join(
+            F.broadcast(cand_h) if broadcast_dups else cand_h, "__gh"
+        ).select(F.col(id_col), "__pos", "__gram")
+        # sparse (dup positions + hash-collision noise): barrier it —
+        # consumed by the exact recount AND the join-back.
+        cand = cand.localCheckpoint(eager=False)
+        gcounts = cand.groupBy("__gram").agg(
+            F.count(F.lit(1)).alias("__cnt")
+        )
+        dup_grams = gcounts.filter(
+            F.col("__cnt") >= min_occurrences
+        ).select("__gram")
+        dup_pos = cand.join(
+            F.broadcast(dup_grams) if broadcast_dups else dup_grams,
+            "__gram",
+        ).select(F.col(id_col), "__pos")
+    else:
+        counts = wins.groupBy("__gram").agg(
+            F.count(F.lit(1)).alias("__cnt")
+        )
+        dup_grams = counts.filter(
+            F.col("__cnt") >= min_occurrences
+        ).select("__gram")
+        dup_pos = wins.join(
+            F.broadcast(dup_grams) if broadcast_dups else dup_grams,
+            "__gram",
+        ).select(F.col(id_col), "__pos")
     per_doc = _island_stats(dup_pos, id_col, L)
     return (
         tk.select(F.col(id_col), n.alias("n_tokens"))

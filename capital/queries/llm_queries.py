@@ -350,6 +350,59 @@ def text_gopher_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_gopher_ngrams(d).select(*keep)
 
 
+def _html_extract_oracle() -> str:
+    """Generated from the SAME fixture constants as
+    ``capital.llm.extract`` (chunk size / linky modulus — the
+    generated-oracle convention): the fixture's kept blocks are the
+    non-linky, non-empty token chunks, so the oracle re-derives them
+    from the raw text. COALESCE guards the empty-kept case (DuckDB
+    array_to_string([]) IS NULL); the NULL-text CASE comes first."""
+    from capital.llm.extract import FIXTURE_CHUNK, FIXTURE_LINKY_MOD
+
+    k, m = FIXTURE_CHUNK, FIXTURE_LINKY_MOD
+    return f"""
+    WITH t AS (SELECT doc_id, text, {_NTOKS} AS toks FROM documents),
+    b AS (SELECT doc_id, text,
+            (len(toks) - 1) // {k} + 1 AS n_blocks,
+            [array_to_string(toks[i*{k}+1 : i*{k}+{k}], ' ')
+             FOR i IN range(0, (len(toks) - 1) // {k} + 1)
+             IF i % {m} != {m - 1}] AS plain
+          FROM t),
+    kk AS (SELECT doc_id, text, n_blocks,
+             list_filter(plain, p -> p <> '') AS kept
+           FROM b)
+    SELECT doc_id,
+      CASE WHEN text IS NULL THEN NULL ELSE n_blocks END AS n_blocks,
+      CASE WHEN text IS NULL THEN NULL ELSE len(kept) END AS n_kept,
+      CASE WHEN text IS NULL THEN NULL ELSE
+        length(replace(coalesce(array_to_string(kept, ''), ''), ' ', ''))
+        END AS main_chars,
+      CASE WHEN text IS NULL THEN NULL ELSE
+        md5(coalesce(array_to_string(kept, chr(10)), ''))
+        END AS main_md5
+    FROM kk
+    """
+
+
+@query("text_html_extract", oracle=_html_extract_oracle())
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → main-content extraction (boilerplate stripping), the
+    first operator of a crawl-to-corpus pipeline: each document is
+    rendered into a deterministic synthetic page (paragraph blocks +
+    an all-anchor "related links" block every third paragraph + full
+    nav/footer/script chrome), then the stdlib-parser kernel strips
+    chrome by tag rules and link-density (> 0.5 anchored chars drops
+    the block). One shuffle-free per-document mapInPandas kernel
+    (capital/llm/extract.py); the oracle re-derives the kept blocks
+    from the same fixture constants."""
+    from capital.llm.extract import extract_main_content, with_html_fixture
+
+    d = load_table(spark, sf_dir, "documents")
+    return extract_main_content(with_html_fixture(d)).select(
+        "doc_id", "n_blocks", "n_kept", "main_chars", "main_md5"
+    )
+
+
 @query(
     "text_char_entropy",
     oracle="""

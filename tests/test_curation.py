@@ -441,6 +441,44 @@ def test_substring_dup_spans_counts_within_doc_repeats(spark):
     assert r.dup_tokens == 16
 
 
+def test_substring_dup_spans_hash_keyed_count_is_equivalent(spark):
+    """The round-15 xxhash64-prefilter variant (long-keyed corpus
+    count + exact residual gram recount over candidate rows) must be
+    row-identical to the string-keyed form on a corpus mixing planted
+    cross-doc spans, within-doc repeats, uniques and sub-window
+    docs — for both broadcast regimes."""
+    from capital.llm.dedup import substring_dup_spans
+
+    shared = " ".join(f"dup{i}" for i in range(12))
+    block = " ".join(f"w{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} tail one"),
+            (2, f"{shared} other words here"),
+            (3, f"{block} aa bb cc dd ee ff gg hh ii jj {block}"),
+            (4, "totally unique " + " ".join(f"u{i}" for i in range(25))),
+            (5, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    base = sorted(
+        map(tuple, substring_dup_spans(df, window_tokens=8).collect())
+    )
+    for bcast in (True, False):
+        got = sorted(
+            map(
+                tuple,
+                substring_dup_spans(
+                    df,
+                    window_tokens=8,
+                    broadcast_dups=bcast,
+                    hash_keyed_count=True,
+                ).collect(),
+            )
+        )
+        assert got == base
+
+
 def test_ks_zero_total_side_yields_null_not_nan(spark):
     """Regression (round-10 advice): an all-zero side (absent period /
     fully zero-filled stored-baseline join) must surface as NULL

@@ -422,6 +422,35 @@ def test_py_tokens_matches_spark_tokenizer(spark, sf_dir):
         assert py_tokens(r.text) == list(r.toks), repr(r.text)
 
 
+def test_py_tokens_unicode_casefold_pairs(spark):
+    """Pin the twin's Unicode-lowercase edge (round-15 advice): Python
+    str.lower() is Unicode-aware while Spark lower() is JVM/ICU-backed
+    — the divergence candidates are the classic special-casing pairs
+    (sharp s ß/ẞ, Turkish dotted İ / dotless ı, Greek final sigma
+    context, titlecase digraphs Ǆ/ǅ, presentation-form ligatures ﬁﬃ).
+    Verified MATCHING today; this test turns that observation into a
+    contract the same way the ASCII-whitespace fix was pinned."""
+    from capital.llm.text import normalized, py_tokens, tokens
+
+    cases = [
+        "Straße GROSS",
+        "ẞHARP start",
+        "İstanbul I ı İ",
+        "ΣΙΓΜΑ ΤΕΛΟΣ",
+        "ΑΣ ΒΣΓ",          # final-sigma context at word end
+        "Ǆungla ǅ mix",     # titlecase digraph
+        "ﬁ ﬂ LIGATURE ﬃ",  # presentation forms
+        "San İ I",
+    ]
+    got = (
+        spark.createDataFrame([(t,) for t in cases], "text string")
+        .select("text", tokens(normalized(F.col("text"))).alias("toks"))
+        .collect()
+    )
+    for r in got:
+        assert py_tokens(r.text) == list(r.toks), repr(r.text)
+
+
 def test_bm25_dfc_window_mode_equals_default(spark, sf_dir):
     """dfc_via_window=True (small-corpus stage-floor shape) must be
     result-identical to the default broadcast-df shape."""

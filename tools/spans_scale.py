@@ -38,26 +38,32 @@ def main() -> None:
     spark = get_spark(app_name="spans-scale")
     spark.sparkContext.setLogLevel("ERROR")
     docs = load_table(spark, SF_DIR, "documents")
+    variants = (
+        ("string-keyed", dict()),
+        ("hash-keyed  ", dict(hash_keyed_count=True)),
+    )
     base = None
     for n in SCALES:
         rep = replicate_tagged(spark, docs, n)
-        t0 = time.perf_counter()
-        agg = substring_dup_spans(rep).agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.sum("n_dup_windows").alias("w"),
-            F.sum("n_dup_spans").alias("s"),
-            F.sum("dup_tokens").alias("t"),
-        ).collect()[0]
-        dt = time.perf_counter() - t0
-        got = (int(agg["rows"]), int(agg["w"]), int(agg["s"]), int(agg["t"]))
-        print(f"{n:3d}x: rows/dup_windows/dup_spans/dup_tokens = "
-              f"{got}, {dt:6.2f}s")
-        if n == 1:
-            base = got
-        else:
-            assert got == tuple(v * n for v in base), (n, got, base)
-            print(f"{n}x: every count exactly {n}x the 1x counts — linear")
-        clear_engine_cache(spark)
+        for label, kw in variants:
+            t0 = time.perf_counter()
+            agg = substring_dup_spans(rep, **kw).agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum("n_dup_windows").alias("w"),
+                F.sum("n_dup_spans").alias("s"),
+                F.sum("dup_tokens").alias("t"),
+            ).collect()[0]
+            dt = time.perf_counter() - t0
+            got = (int(agg["rows"]), int(agg["w"]), int(agg["s"]),
+                   int(agg["t"]))
+            print(f"{n:3d}x {label}: rows/dup_windows/dup_spans/"
+                  f"dup_tokens = {got}, {dt:6.2f}s")
+            if n == 1 and base is None:
+                base = got
+            else:
+                assert got == tuple(v * n for v in base), (n, got, base)
+            clear_engine_cache(spark)
+        print(f"{n}x: both variants exact {n}x the 1x counts — linear")
 
 
 if __name__ == "__main__":
