@@ -1006,8 +1006,16 @@ def substring_dup_spans(
         # survive the prefilter (its own count already clears min),
         # so the residual count equals the global count and the
         # output is byte-identical to the string-keyed form
-        # (property-tested). Costs one extra sparse exchange + a
-        # candidate barrier; see BASELINE for the measured regime.
+        # (property-tested). MEASURED REJECTED as the default
+        # (round 15, idle min-of-2 after warmup): 3.06 vs 2.10 s at
+        # 1x sf0.1, 4.40 vs 3.74 at 10x, 8.47 vs 8.68 at 30x — the
+        # extra candidate barrier + sparse recount stages cost more
+        # than the long-key shuffle saves until ~30x, where they
+        # wash. The flag stays for the true-lake regime (shuffle-
+        # byte-bound, where an 8-byte key vs a ~45-byte gram string
+        # is the dominant term and two extra sparse stages are
+        # noise). With map-side combine the exchange carries one row
+        # per (partition, distinct gram) either way.
         winh = wins.withColumn("__gh", F.xxhash64("__gram"))
         hcounts = winh.groupBy("__gh").agg(
             F.count(F.lit(1)).alias("__hcnt")

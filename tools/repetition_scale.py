@@ -75,6 +75,36 @@ def main() -> None:
                 print(f"  every micro-unit sum exactly {n}x — linear")
             clear_engine_cache(spark)
 
+    # --- LONG-document stratum (round-15 verdict ask #1) -------------
+    # The quadratic-argmax bug was invisible on the <=100-token corpus
+    # docs; this stratum measures the battery in the regime that broke
+    # it: documents of 5k-40k tokens with tens of thousands of
+    # DISTINCT grams each. The hoisted-argmax kernel is O(doc_len*SUMn)
+    # per doc, so wall must grow ~linearly in total token volume.
+    import random
+
+    rng = random.Random(42)
+    long_rows = []
+    did = 0
+    for n_toks, n_docs in ((5_000, 64), (20_000, 16), (40_000, 8)):
+        for _ in range(n_docs):
+            did += 1
+            toks = [f"w{rng.randrange(n_toks)}" for _ in range(n_toks)]
+            long_rows.append((did, n_toks, " ".join(toks)))
+    long_df = spark.createDataFrame(
+        long_rows, "doc_id long, n_toks long, text string"
+    ).repartition(32)
+    for n_toks in (5_000, 20_000, 40_000):
+        sub = long_df.filter(F.col("n_toks") == n_toks)
+        t0 = time.perf_counter()
+        cnt = with_gopher_ngrams(sub).select("dup_2gram_frac").count()
+        dt = time.perf_counter() - t0
+        vol = cnt * n_toks
+        print(f"battery long-doc: {cnt} docs x {n_toks} toks "
+              f"({vol / 1e6:.2f}M tokens) in {dt:6.2f}s "
+              f"({dt / vol * 1e6:.2f} us/token)")
+        clear_engine_cache(spark)
+
 
 if __name__ == "__main__":
     main()
