@@ -170,6 +170,13 @@ def headline_names(all_names) -> list[str]:
         # twelve per-doc signals in one shuffle-free kernel; engine
         # BEATS the anchor, 0.39x)
         "text_gopher_battery",
+        # --- added round 15 (anchors in BASELINE.md: HTML
+        # main-content extraction — stdlib-parser boilerplate
+        # stripping in one shuffle-free kernel — and REAL baseline
+        # JPEG decode, hash-verified against the arithmetic raster
+        # rebuild) ---
+        "text_html_extract",
+        "mm_jpeg_decode_real",
     ]
     return [n for n in preferred if n in all_names] or sorted(all_names)[:8]
 

@@ -1671,6 +1671,67 @@ def mm_png_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "mm_jpeg_decode_real",
+    # The synthetic JPEG corpus is 8×8-block-constant gray (w =
+    # 8·(1+id%4), h = 8·(1+id%3), block (bx,by) = (id·31+by·7+bx·13)
+    # mod 256) — the lossy DCT path is numerically EXACT on constant
+    # blocks at quant 1 (AC ≡ 0, DC integer round-trip), so DuckDB
+    # rebuilds the raster the real entropy-coded decoder must recover.
+    # Decoded gray expands to 3 identical channels (the decode_image
+    # contract): raster byte i belongs to pixel i//3. n_bytes omitted
+    # (compressed size is not SQL-predictable).
+    oracle="""
+    WITH params AS (
+      SELECT doc_id, 8*(1 + doc_id % 4) AS w, 8*(1 + doc_id % 3) AS h
+      FROM documents),
+    px AS (
+      SELECT doc_id, w, h, i,
+             (doc_id*31 + (((i//3)//w)//8)*7 + (((i//3)%w)//8)*13) % 256
+               AS v
+      FROM params,
+           LATERAL (SELECT unnest(range(0, w*h*3)) AS i) t),
+    agg AS (
+      SELECT doc_id, w, h,
+             CAST(SUM(v) AS BIGINT) AS pix_sum,
+             CAST(SUM((i+1)*v) AS BIGINT) AS pix_dot,
+             md5(string_agg(
+               substr('0123456789abcdef', CAST(v//16 AS INTEGER) + 1, 1) ||
+               substr('0123456789abcdef', CAST(v%16 AS INTEGER) + 1, 1),
+               '' ORDER BY i)) AS raster_md5
+      FROM px GROUP BY doc_id, w, h)
+    SELECT doc_id AS asset_id,
+           'image/jpeg' AS media_type,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           pix_sum, pix_dot, raster_md5
+    FROM agg
+    """,
+)
+def mm_jpeg_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode, hash-verified end to end (round-15
+    adjudication of the compressed-format boundary, verdict ask #7):
+    synthesize one deterministic block-constant grayscale JPEG per
+    document (capital/llm/multimodal.py encode_jpeg_gray — Annex K
+    canonical Huffman tables, DC prediction, byte stuffing, zigzag,
+    8×8 DCT), then decode with the pure-numpy baseline decoder
+    (marker walk, Huffman bitstream decode with unstuffing, dequant,
+    IDCT, level shift, crop) and emit decoded dimensions + raster
+    digests. A hash match proves the decoder inverted the ENTIRE
+    entropy-coded path byte-exactly. Color subsampling / progressive
+    JPEG / MP4 remain the documented PIL/av seam (reference parity
+    target: opaque-media handling, dags/brz_news_weekly payloads)."""
+    from capital.io import right_size_narrow
+    from capital.llm.multimodal import real_decode_assets, synthesize_jpeg_assets
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    assets = synthesize_jpeg_assets(right_size_narrow(d))
+    return real_decode_assets(assets).select(
+        "asset_id", "media_type", "width", "height",
+        "pix_sum", "pix_dot", "raster_md5",
+    )
+
+
 # --- pyspark.ml library-path surface ------------------------------------
 
 

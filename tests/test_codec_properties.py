@@ -118,3 +118,92 @@ def test_png_truncation_and_corruption_raise_value_error(img, cut):
     flipped[len(flipped) // 2] ^= 0xFF
     with pytest.raises(ValueError):
         decode_png(bytes(flipped))
+
+
+@st.composite
+def _gray_blocks(draw):
+    bh = draw(st.integers(1, 4))
+    bw = draw(st.integers(1, 4))
+    seed = draw(st.integers(0, 2**31 - 1))
+    blocks = np.random.default_rng(seed).integers(0, 256, size=(bh, bw))
+    return np.kron(blocks, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+
+
+@_fast
+@given(_gray_blocks())
+def test_jpeg_block_constant_round_trip_is_exact(img):
+    """Baseline JPEG at quant 1 must round-trip 8x8-block-constant
+    grayscale rasters BYTE-exactly (AC = 0, integer DC path) — the
+    subspace the mm_jpeg_decode_real oracle lives in, across long DC
+    prediction chains."""
+    from capital.llm.multimodal import decode_jpeg_gray, encode_jpeg_gray
+
+    assert np.array_equal(decode_jpeg_gray(encode_jpeg_gray(img)), img)
+
+
+@st.composite
+def _gray_image(draw):
+    h = draw(st.integers(1, 40))
+    w = draw(st.integers(1, 40))
+    seed = draw(st.integers(0, 2**31 - 1))
+    return np.random.default_rng(seed).integers(
+        0, 256, size=(h, w), dtype=np.uint8
+    )
+
+
+@_fast
+@given(_gray_image())
+def test_jpeg_round_trip_near_lossless_any_shape(img):
+    """At quant 1 the only loss is DCT float rounding: any grayscale
+    raster (odd dims exercise edge-replication padding + crop) must
+    round-trip within +/-2 grey levels, exercising the AC run-length
+    path for real."""
+    from capital.llm.multimodal import decode_jpeg_gray, encode_jpeg_gray
+
+    out = decode_jpeg_gray(encode_jpeg_gray(img))
+    assert out.shape == img.shape
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 2
+
+
+@_fast
+@given(_gray_image(), st.integers(4, 120))
+def test_jpeg_truncation_and_corruption_raise_value_error(img, cut):
+    """Truncated / header-corrupted JPEG streams must surface as
+    ValueError (the dead-letter contract), never struct errors or
+    silent garbage from the Huffman walk."""
+    import pytest
+
+    from capital.llm.multimodal import decode_jpeg_gray, encode_jpeg_gray
+
+    data = encode_jpeg_gray(img)
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(data[: min(cut, len(data) - 1)])
+
+
+def test_jpeg_coarse_quant_degrades_gracefully():
+    """A realistic coarse quant table stays a VALID stream whose
+    decode is close on smooth content (the lossy regime the codec is
+    for) — mean error small on a gradient, exact nowhere required."""
+    from capital.llm.multimodal import decode_jpeg_gray, encode_jpeg_gray
+
+    q = np.full(64, 16, dtype=np.int64)
+    q[0] = 8
+    x = np.linspace(0, 255, 48)
+    img = (x[None, :] * np.ones((24, 1))).astype(np.uint8)
+    out = decode_jpeg_gray(encode_jpeg_gray(img, quant=q))
+    assert out.shape == img.shape
+    assert float(np.abs(out.astype(int) - img.astype(int)).mean()) < 8.0
+
+
+def test_jpeg_unsupported_features_raise():
+    """Progressive/multi-component/restart markers are the documented
+    seam: explicit ValueError, not misdecoding."""
+    import pytest
+
+    from capital.llm.multimodal import decode_jpeg_gray, encode_jpeg_gray
+
+    data = bytearray(encode_jpeg_gray(np.zeros((8, 8), dtype=np.uint8)))
+    sof = data.find(b"\xff\xc0")
+    data[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(bytes(data))
