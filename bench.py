@@ -177,6 +177,13 @@ def headline_names(all_names) -> list[str]:
         # rebuild) ---
         "text_html_extract",
         "mm_jpeg_decode_real",
+        # (anchors 0.165 / 0.222 s: C4 line-rule battery — narrow
+        # single-pass expressions over the line fixture — and
+        # corpus-wide first-occurrence line dedup, whose skew-immune
+        # broadcast-join shape is dispositioned in BASELINE against
+        # the measured-faster-but-Zipf-hot window variant)
+        "cur_c4_rules",
+        "dedup_corpus_lines",
     ]
     return [n for n in preferred if n in all_names] or sorted(all_names)[:8]
 

@@ -1013,3 +1013,138 @@ def cur_cluster_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
         "epochs_alloc",
         "saturated",
     )
+
+
+# --- C4 line-granular curation (round 15) --------------------------------
+
+
+def _c4_fixture_sql() -> str:
+    """DuckDB twin of capital.llm.c4.with_line_fixture, generated from
+    the same constants: FIXTURE_LINE_TOKENS-token lines with the
+    punct/javascript/brace/lorem injections."""
+    from capital.llm.c4 import (
+        FIXTURE_BRACE_MOD,
+        FIXTURE_JS_MOD,
+        FIXTURE_LINE_TOKENS,
+        FIXTURE_LOREM_MOD,
+        FIXTURE_PUNCT_MOD,
+    )
+    from capital.queries.llm_queries import _NTOKS
+
+    k, pm, jm = FIXTURE_LINE_TOKENS, FIXTURE_PUNCT_MOD, FIXTURE_JS_MOD
+    return f"""
+    fx AS (
+      SELECT doc_id, text,
+        list_concat(list_concat(
+          [array_to_string(t[i*{k}+1 : i*{k}+{k}], ' ')
+             || (CASE WHEN (doc_id + i) % {jm} = 3
+                 THEN ' javascript' ELSE '' END)
+             || (CASE WHEN i % {pm} != {pm - 1} THEN '.' ELSE '' END)
+           FOR i IN range(0, (len(t) - 1) // {k} + 1)],
+          CASE WHEN doc_id % {FIXTURE_BRACE_MOD} = 5
+               THEN ['var cfg = {{ }}'] ELSE [] END),
+          CASE WHEN doc_id % {FIXTURE_LOREM_MOD} = 7
+               THEN ['lorem ipsum dolor sit amet.'] ELSE [] END)
+          AS lines
+      FROM (SELECT doc_id, text, {_NTOKS} AS t FROM documents))"""
+
+
+def _c4_rules_oracle() -> str:
+    from capital.llm.c4 import MIN_KEPT_LINES, MIN_LINE_WORDS
+
+    keep_line = (
+        "l -> regexp_matches(l, '[.!?\"]$')"
+        f" AND len(string_split_regex(trim(l), '\\s+')) >= {MIN_LINE_WORDS}"
+        " AND NOT contains(lower(l), 'javascript')"
+    )
+    return f"""
+    WITH {_c4_fixture_sql()},
+    sig AS (
+      SELECT doc_id, text,
+             lines,
+             list_filter(lines, {keep_line}) AS kept,
+             array_to_string(lines, chr(10)) AS lined
+      FROM fx)
+    SELECT doc_id,
+      CASE WHEN text IS NULL THEN NULL
+           ELSE CAST(len(lines) AS INTEGER) END AS n_lines,
+      CASE WHEN text IS NULL THEN NULL
+           ELSE CAST(len(kept) AS INTEGER) END AS n_kept_lines,
+      CASE WHEN text IS NULL THEN NULL
+           ELSE contains(lined, '{{') END AS has_brace,
+      CASE WHEN text IS NULL THEN NULL
+           ELSE contains(lower(lined), 'lorem ipsum') END AS has_lorem,
+      CASE WHEN text IS NULL THEN NULL
+           ELSE md5(coalesce(array_to_string(kept, chr(10)), ''))
+           END AS clean_md5,
+      CASE WHEN text IS NULL THEN NULL
+           ELSE len(kept) >= {MIN_KEPT_LINES}
+                AND NOT contains(lined, '{{')
+                AND NOT contains(lower(lined), 'lorem ipsum')
+           END AS c4_keep
+    FROM sig
+    """
+
+
+@query("cur_c4_rules", oracle=_c4_rules_oracle())
+def cur_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-granular quality battery (Raffel et al. 2020
+    §2.2), complementing the document-level Gopher rules: line rule =
+    terminal punctuation + >=3 words + no 'javascript'; page rule =
+    >=5 kept lines, no curly brace, no 'lorem ipsum'. The driver
+    corpus is single-line, so the query rebuilds a deterministic
+    '\\n'-structured fixture from the tokens (the html_fixture
+    convention); the oracle re-derives it from the same constants.
+    Narrow single-pass column expressions — no shuffle
+    (capital/llm/c4.py)."""
+    from capital.llm.c4 import c4_quality_filter, with_line_fixture
+
+    d = load_table(spark, sf_dir, "documents")
+    return c4_quality_filter(with_line_fixture(d)).select(
+        "doc_id", "n_lines", "n_kept_lines", "has_brace", "has_lorem",
+        "clean_md5", "c4_keep",
+    )
+
+
+def _dedup_lines_oracle() -> str:
+    return f"""
+    WITH {_c4_fixture_sql()},
+    ln AS (
+      SELECT doc_id, u.i AS idx, lines[u.i] AS line
+      FROM fx, unnest(range(1, len(lines) + 1)) AS u(i)
+      WHERE text IS NOT NULL),
+    rnk AS (
+      SELECT doc_id, idx, line,
+             row_number() OVER (PARTITION BY line
+                                ORDER BY doc_id, idx) AS rn
+      FROM ln),
+    agg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed_lines,
+             md5(coalesce(string_agg(CASE WHEN rn = 1 THEN line END,
+                                     chr(10) ORDER BY idx), ''))
+               AS clean_md5
+      FROM rnk GROUP BY doc_id)
+    SELECT d.doc_id AS doc_id,
+           agg.n_lines, agg.n_removed_lines, agg.clean_md5
+    FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+    """
+
+
+@query("dedup_corpus_lines", oracle=_dedup_lines_oracle())
+def dedup_corpus_lines_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-WIDE exact line dedup, global first occurrence wins —
+    C4's one-copy-survives span dedup at line granularity (the
+    boilerplate-line removal member of the dedup family, between
+    exact-doc and token-window tiers). Shape: posexplode → one
+    map-side-combined min(doc,idx) aggregate per distinct line →
+    fan-out-proof equi-join back (aggregate side is one row per
+    line) → per-doc rebuild (capital/llm/c4.py dedup_corpus_lines)."""
+    from capital.llm.c4 import dedup_corpus_lines, with_line_fixture
+
+    d = load_table(spark, sf_dir, "documents")
+    return dedup_corpus_lines(with_line_fixture(d)).select(
+        "doc_id", "n_lines", "n_removed_lines", "clean_md5"
+    )
