@@ -668,6 +668,174 @@ def bloom_state_words(spark: SparkSession, state_dir: str) -> DataFrame:
     )
 
 
+def incremental_lines_run(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    state_dir: str,
+    flags_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "lined_text",
+    id_col: str = "doc_id",
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Incremental corpus-wide line dedup against a GROWING stored
+    line index — the streaming twin of
+    :func:`capital.llm.c4.dedup_corpus_lines` (the incremental-LSH /
+    Bloom / CDC posture: history is never re-exploded).
+
+    Each micro-batch: a line is removed when it appears in the index
+    accumulated over PRIOR batches, or earlier within this batch
+    (the within-batch ``(doc_id, idx)`` first-occurrence rule — the
+    batch operator's rule restricted to the batch). Flags land as one
+    row per document (``n_lines``, ``n_removed_lines``, ``clean_md5``
+    of the surviving lines — the batch twin's columns plus
+    ``batch_id``); the batch's DISTINCT lines join the index as its
+    own ``batch_id=`` partition.
+
+    Replay convergence: batch N scores against partitions
+    ``batch_id < N`` only and dynamic-overwrites its own flag/state
+    partitions, so a replayed batch (crash between sink write and
+    checkpoint commit) reproduces identical bytes — the PSI/Bloom
+    convergence argument (distinct-union on read is order-free). On a
+    ``doc_id``-ordered stream the union of flag partitions equals the
+    batch operator run over the concatenated corpus exactly
+    (first-batch-wins == global (doc, idx) min; stream-vs-batch
+    equality tested).
+
+    Scale: the prior index is CORPUS-DERIVED, so it joins as a JVM
+    relation (left join on the line — one row per distinct line, no
+    fan-out; AQE may broadcast small states at runtime but nothing
+    forces a driver-sized collect — the round-14 kernel-probe
+    lesson); per-batch state written is the batch's distinct lines
+    only.
+    """
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        st = read_prior_state(spark, state_dir)
+        if st is not None:
+            prior = (
+                st.filter(F.col("batch_id") < batch_id)
+                .select("__line")
+                .distinct()
+                .withColumn("__seen", F.lit(True))
+            )
+        else:
+            prior = spark.createDataFrame(
+                [], "__line string, __seen boolean"
+            )
+        base = batch_df.select(id_col, text_col).localCheckpoint(
+            eager=False
+        )
+        ln = base.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias(
+                "__idx", "__line"
+            ),
+        )
+        dup_first = (
+            ln.groupBy("__line")
+            .agg(
+                F.count(F.lit(1)).alias("__cnt"),
+                F.min(
+                    F.struct(
+                        F.col(id_col).alias("d"),
+                        F.col("__idx").alias("i"),
+                    )
+                ).alias("__first"),
+            )
+            .filter(F.col("__cnt") >= 2)
+            .select("__line", "__first")
+        )
+        kept = (
+            ln.join(prior, "__line", "left")
+            .join(dup_first, "__line", "left")
+            .withColumn(
+                "__keep",
+                F.col("__seen").isNull()
+                & (
+                    F.col("__first").isNull()
+                    | (
+                        (F.col("__first.d") == F.col(id_col))
+                        & (F.col("__first.i") == F.col("__idx"))
+                    )
+                ),
+            )
+        )
+        per_doc = kept.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(~F.col("__keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_removed_lines"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("__keep"),
+                                    F.struct("__idx", "__line"),
+                                )
+                            )
+                        ),
+                        lambda s: s["__line"],
+                    ),
+                    "\n",
+                )
+            ).alias("clean_md5"),
+        )
+        # NULL-text docs never explode — re-attach as NULL flag rows
+        # (the batch twin's column contract).
+        flags = (
+            base.select(
+                F.col(id_col),
+                F.col(text_col).isNotNull().alias("__has"),
+            )
+            .join(per_doc, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.when(F.col("__has"), F.col("n_lines")).alias("n_lines"),
+                F.when(F.col("__has"), F.col("n_removed_lines")).alias(
+                    "n_removed_lines"
+                ),
+                F.when(F.col("__has"), F.col("clean_md5")).alias(
+                    "clean_md5"
+                ),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        flags.write.mode("overwrite").partitionBy("batch_id").option(
+            "partitionOverwriteMode", "dynamic"
+        ).parquet(flags_dir)
+        own = (
+            ln.select("__line")
+            .distinct()
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        own.write.mode("overwrite").partitionBy("batch_id").option(
+            "partitionOverwriteMode", "dynamic"
+        ).parquet(state_dir)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return (
+        reader.format(fmt)
+        .load(source_dir)
+        .writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def lines_state_lines(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Read half: the accumulated distinct-line index (order-free
+    distinct union of the batch partitions)."""
+    return spark.read.parquet(state_dir).select("__line").distinct()
+
+
 def incremental_kmeans_run(
     spark: SparkSession,
     source_dir: str,

@@ -843,3 +843,95 @@ def test_read_prior_state_corrupt_store_propagates(spark, tmp_path):
     empty.mkdir()
     with pytest.raises(AnalysisException):
         read_prior_state(spark, str(empty))
+
+
+def test_incremental_lines_stream_matches_batch_and_replays(
+    spark, tmp_path
+):
+    """Round-15 streaming twin of dedup_corpus_lines: on a
+    doc_id-ordered stream the union of flag partitions equals the
+    batch operator over the concatenated corpus exactly
+    (first-batch-wins == global (doc, idx) first occurrence); a
+    replay from a fresh checkpoint converges to identical flags and
+    state; the folded state is the corpus's distinct-line set."""
+    import shutil
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from capital.llm.c4 import dedup_corpus_lines
+    from capital.streaming.incremental import (
+        incremental_lines_run,
+        lines_state_lines,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("lined_text", StringType()),
+        ]
+    )
+    batches = [
+        [(1, "alpha one.\nshared line.\nbeta two."),
+         (2, "shared line.\ngamma three.")],
+        [(3, "shared line.\ndelta four.\ndelta four."),
+         (4, None)],
+        [(5, "gamma three.\nunique six.\nalpha one.")],
+    ]
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    flags_dir = str(tmp_path / "flags")
+    ckpt = str(tmp_path / "ckpt")
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run(ck):
+        q = incremental_lines_run(
+            spark, src, schema, state, flags_dir, ck,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(120)
+
+    run(ckpt)
+    stream_flags = {
+        r.doc_id: (r.n_lines, r.n_removed_lines, r.clean_md5)
+        for r in spark.read.parquet(flags_dir).collect()
+    }
+    all_rows = [r for rows in batches for r in rows]
+    batch_flags = {
+        r.doc_id: (r.n_lines, r.n_removed_lines, r.clean_md5)
+        for r in dedup_corpus_lines(
+            spark.createDataFrame(all_rows, schema)
+        ).collect()
+    }
+    assert stream_flags == batch_flags
+    # hand-check a few: doc 3's two 'delta four.' lines keep the first;
+    # its 'shared line.' is prior-seen (doc 1 owns it).
+    assert stream_flags[3][1] == 2
+    assert stream_flags[4] == (None, None, None)
+    # doc 5: 'gamma three.' and 'alpha one.' prior-seen, 'unique six.'
+    # survives.
+    assert stream_flags[5][1] == 2
+
+    # folded state = the corpus's distinct lines.
+    got_lines = {
+        r["__line"] for r in lines_state_lines(spark, state).collect()
+    }
+    want = set()
+    for _, t in all_rows:
+        if t is not None:
+            want.update(t.split("\n"))
+    assert got_lines == want
+
+    # replay from a fresh checkpoint: identical bytes.
+    shutil.rmtree(ckpt)
+    run(str(tmp_path / "ckpt2"))
+    flags2 = {
+        r.doc_id: (r.n_lines, r.n_removed_lines, r.clean_md5)
+        for r in spark.read.parquet(flags_dir).collect()
+    }
+    assert flags2 == stream_flags
+    assert {
+        r["__line"] for r in lines_state_lines(spark, state).collect()
+    } == want
