@@ -2996,6 +2996,110 @@ def llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _wp_cte_chain(k: int) -> str:
+    r"""The K-step unrolled WordPiece loop (the BPE chain with the
+    likelihood objective): each step adds a symbol-count CTE and
+    scores pairs ``pair_count / (cnt_lhs · cnt_rhs)`` — one IEEE
+    division of exact integers (BIGINT product, then CAST AS DOUBLE),
+    bit-identical to the engine's score on both backends."""
+    parts = [
+        r"""wc AS MATERIALIZED (
+      SELECT word, count(*) AS cnt FROM (
+        SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+        FROM documents)
+      WHERE NOT regexp_matches(word, '[|<>]')
+      GROUP BY word),
+    w0 AS MATERIALIZED (
+      SELECT word, cnt,
+             '||' || regexp_replace(word, '(.)', '\1||', 'g')
+                  || '</w>||' AS sym
+      FROM wc)"""
+    ]
+    for i in range(1, k + 1):
+        prev = f"w{i - 1}"
+        parts.append(f"""sy{i} AS MATERIALIZED (
+      SELECT s, SUM(cnt) AS sym_count
+      FROM (
+        SELECT cnt, unnest(syms) AS s
+        FROM (SELECT cnt,
+                     list_filter(string_split(sym, '|'), x -> x <> '')
+                       AS syms
+              FROM {prev}))
+      GROUP BY 1),
+    p{i} AS MATERIALIZED (
+      SELECT pr['l'] AS lhs, pr['r'] AS rhs, SUM(cnt) AS pair_count
+      FROM (
+        SELECT cnt,
+               unnest([struct_pack(l := syms[j], r := syms[j + 1])
+                       FOR j IN range(1, len(syms))]) AS pr
+        FROM (SELECT cnt,
+                     list_filter(string_split(sym, '|'), x -> x <> '')
+                       AS syms
+              FROM {prev}))
+      GROUP BY 1, 2),
+    t{i} AS MATERIALIZED (
+      SELECT lhs, rhs, pair_count,
+             CAST(pair_count AS DOUBLE)
+               / CAST(cl.sym_count * cr.sym_count AS DOUBLE) AS score
+      FROM p{i} JOIN sy{i} cl ON p{i}.lhs = cl.s
+                JOIN sy{i} cr ON p{i}.rhs = cr.s
+      ORDER BY score DESC, lhs, rhs LIMIT 1),
+    w{i} AS MATERIALIZED (
+      SELECT word, cnt,
+             replace(sym,
+                     '|' || (SELECT lhs FROM t{i}) || '||'
+                         || (SELECT rhs FROM t{i}) || '|',
+                     '|' || (SELECT lhs FROM t{i})
+                         || (SELECT rhs FROM t{i}) || '|') AS sym
+      FROM {prev})""")
+    return ",\n    ".join(parts)
+
+
+def _wp_merges_oracle() -> str:
+    steps = "\n      UNION ALL ".join(
+        f"SELECT {i} AS step, lhs, rhs, lhs || rhs AS merged, "
+        f"CAST(pair_count AS BIGINT) AS pair_count, "
+        f"floor(score * 1e6 + 0.5e0) / 1e6 AS score6 FROM t{i}"
+        for i in range(1, _BPE_K + 1)
+    )
+    return f"""
+    WITH {_wp_cte_chain(_BPE_K)}
+    SELECT step, lhs, rhs, merged, pair_count, score6 FROM (
+      {steps})
+    """
+
+
+@query("llm_wordpiece_merges", memoize=False, oracle=_wp_merges_oracle())
+def llm_wordpiece_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenizer TRAINING (llm/wordpiece.wordpiece_train —
+    Schuster & Nakajima 2012, the BERT tokenizer): K=8 merge rounds
+    selecting the pair maximizing the unigram-LM likelihood gain
+    score(a,b) = count(ab)/(count(a)·count(b)) — rare-but-associated
+    pairs beat merely frequent ones, the property separating
+    WordPiece from count-BPE (first merges genuinely differ on this
+    corpus; see tests). Completes the practical tokenizer-family triad
+    (count-BPE / unigram-LM / WordPiece). Oracle = the K-step unrolled
+    SQL chain (the BPE/PageRank pattern) with the score as one IEEE
+    division of exact integer counts. memoize=False: trains in-call."""
+    from capital.llm.bpe import word_counts
+    from capital.llm.wordpiece import wordpiece_train
+
+    d = load_table(spark, sf_dir, "documents")
+    rules, _state = wordpiece_train(word_counts(d), merges=_BPE_K)
+    return spark.createDataFrame(
+        [
+            (
+                r["step"], r["lhs"], r["rhs"], r["merged"],
+                r["pair_count"],
+                __import__("math").floor(r["score"] * 1e6 + 0.5) / 1e6,
+            )
+            for r in rules
+        ],
+        "step int, lhs string, rhs string, merged string, "
+        "pair_count long, score6 double",
+    )
+
+
 def _bpe_doc_tokens_oracle() -> str:
     return rf"""
     WITH {_bpe_cte_chain(_BPE_K)},

@@ -281,3 +281,69 @@ def test_bpe_encode_cross_corpus_shares_training_id_space(spark):
     assert nv["a"] is not None
     shifted = [t for t in tv if t in nv and nv[t] != tv[t]]
     assert shifted, "expected id shifts when the base alphabet grows"
+
+
+# --- WordPiece (round 15) -------------------------------------------------
+
+
+def test_wordpiece_hand_computed_first_merge(spark):
+    """score(a,b) = count(ab)/(count(a)count(b)): on 'ab ab cd' with
+    counts ab:2 cd:1, pair (c,d) scores 1/(1*1)=1.0 > (a,b) 2/(2*2)=0.5
+    — the rare-but-exclusive pair wins, where count-BPE picks (a,b)."""
+    from capital.llm.bpe import bpe_train
+    from capital.llm.wordpiece import wordpiece_train
+
+    wc = spark.createDataFrame(
+        [("ab", 2), ("cd", 1)], "word string, cnt long"
+    )
+    rules, _ = wordpiece_train(wc, merges=1)
+    assert (rules[0]["lhs"], rules[0]["rhs"]) == ("c", "d")
+    assert rules[0]["score"] == 1.0
+    brules, _ = bpe_train(wc, merges=1)
+    assert (brules[0]["lhs"], brules[0]["rhs"]) == ("a", "b")
+
+
+def test_wordpiece_local_equals_distributed_on_corpus(spark, sf_dir):
+    """Backend equivalence on real corpus words: identical rule tables
+    (incl. bit-equal scores) and final states."""
+    from capital.llm.bpe import word_counts
+    from capital.llm.wordpiece import wordpiece_train
+
+    from capital.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = word_counts(docs)
+    rl, stl = wordpiece_train(wc, merges=6, mode="local")
+    rd, std = wordpiece_train(wc, merges=6, mode="distributed")
+    assert [(r["lhs"], r["rhs"], r["pair_count"], r["score"]) for r in rl] \
+        == [(r["lhs"], r["rhs"], r["pair_count"], r["score"]) for r in rd]
+    assert sorted(map(tuple, stl.collect())) \
+        == sorted(map(tuple, std.collect()))
+
+
+def test_wordpiece_denominators_and_tie_break(spark):
+    """'xa xa xb xc' with the </w> marker: EVERY pair scores 0.25 in
+    round 1 ((x,a) 2/(4*2), (a,</w>) 2/(2*4), (x,b) 1/(4*1), ...) — the
+    all-ties case pins the lex tie-break, picking ('a','</w>'). Round 2
+    rescores against the merged symbol's denominators: (b,</w>) and
+    (c,</w>) now score 1/(1*2)=0.5 > the 0.25 field, lex picks b."""
+    from capital.llm.wordpiece import wordpiece_train
+
+    wc = spark.createDataFrame(
+        [("xa", 2), ("xb", 1), ("xc", 1)], "word string, cnt long"
+    )
+    rules, _ = wordpiece_train(wc, merges=2)
+    assert (rules[0]["lhs"], rules[0]["rhs"]) == ("a", "</w>")
+    assert rules[0]["score"] == 0.25
+    assert (rules[1]["lhs"], rules[1]["rhs"]) == ("b", "</w>")
+    assert rules[1]["score"] == 0.5
+
+
+def test_wordpiece_unknown_mode_raises(spark):
+    import pytest
+
+    from capital.llm.wordpiece import wordpiece_train
+
+    wc = spark.createDataFrame([("ab", 1)], "word string, cnt long")
+    with pytest.raises(ValueError, match="unknown mode"):
+        wordpiece_train(wc, merges=1, mode="nope")
