@@ -341,10 +341,16 @@ def parallelize_narrow(df: DataFrame, min_partitions: int | None = None) -> Data
     # node names matched at tree positions only (a column named
     # sort_key must not read as a Sort node).
     nodes = re.findall(r"(?m)^[\s+:\-]*'?(\w+)", plan)
-    if any(n.startswith(_EXCHANGE_NODES) for n in nodes):
-        return df
     est = None
-    if not any(n.startswith("Join") for n in nodes):
+    if any(n.startswith("Join") for n in nodes):
+        # Join-rooted frames ALWAYS take the exact probe — a broadcast
+        # join inherits the probe scan's split count even when an
+        # exchange node sits on its BUILD side, so the node shortcut
+        # below would mis-read an agg-fed broadcast join as parallel.
+        pass
+    elif any(n.startswith(_EXCHANGE_NODES) for n in nodes):
+        return df
+    else:
         try:
             files = df.inputFiles()
         except Exception:

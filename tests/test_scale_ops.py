@@ -291,6 +291,11 @@ def test_parallelize_narrow_probe_decisions(spark, sf_dir):
     loc = spark.createDataFrame([(1, "a")], "id long, t string")
     out = parallelize_narrow(loc)
     assert out.count() == 1
+    # an exchange node on a join's BUILD side must not mask a starved
+    # probe: join-containing plans always take the exact probe.
+    dim = d.groupBy("source").count()
+    j = d.join(F.broadcast(dim), "source")
+    assert parallelize_narrow(j) is not j
 
 
 def test_cluster_conf_applies(spark):
