@@ -250,14 +250,65 @@ def recover_compaction(path: str) -> bool:
     return False
 
 
-#: logical-plan nodes that guarantee an exchange (and therefore
-#: ``spark.sql.shuffle.partitions`` splits) somewhere below the root —
-#: a frame rooted in one is never split-starved. ``Join`` is NOT here:
-#: a broadcast join inherits the probe scan's split count (CLAUDE.md),
-#: so join-rooted frames take the exact probe.
-_EXCHANGE_NODES = (
-    "Repartition", "Aggregate", "Window", "Sort", "Deduplicate",
+#: analyzed-plan nodes that preserve their child's partitioning — a
+#: chain of these above a file relation means the frame's splits ARE
+#: the scan's splits.
+_NARROW_NODES = (
+    "Project", "Filter", "Generate", "SubqueryAlias", "MapInPandas",
+    "Relation", "LogicalRelation", "View",
 )
+
+
+def _scan_split_decision(plan: str) -> str:
+    """Walk the analyzed plan TOP-DOWN and classify the frame's
+    partitioning at the first decisive node (round-15 review — tree
+    order matters: a keyed aggregate BELOW a coalesce is still
+    starved):
+
+    - ``"exchange"``: the first non-narrow node is a keyed Aggregate
+      (two bracket groups — a global aggregate collapses to one
+      partition), a Deduplicate, a Window with a NON-empty partition
+      spec, or a global Sort (``…, true`` — a range exchange;
+      sortWithinPartitions prints ``false`` and exchanges nothing) →
+      the frame carries ``spark.sql.shuffle.partitions`` splits by
+      engine policy; no probe, and no double-shuffle "fix".
+    - ``"scan"``: only narrow nodes down to a file relation → splits
+      follow the file layout; estimate from ``inputFiles``.
+    - ``"unknown"``: anything else first (Join — broadcast inherits
+      the probe scan's splits; Repartition — may be coalesce(1);
+      empty-spec Window; Union, Limit, LocalRelation, checkpointed
+      RDDs, …) → exact probe.
+    """
+    import re
+
+    for m in re.finditer(r"(?m)^[\s+:\-]*'?(\w+)([^\n]*)", plan):
+        node, rest = m.group(1), m.group(2)
+        if node.startswith("Deduplicate"):
+            return "exchange"
+        if node == "Aggregate":
+            return (
+                "exchange"
+                if re.match(r" \[[^\]]+\], \[", rest)
+                else "unknown"
+            )
+        if node == "Window":
+            spec = re.search(r"\], \[([^\]]*)\], \[", rest)
+            return (
+                "exchange"
+                if spec and spec.group(1).strip()
+                else "unknown"
+            )
+        if node == "Sort":
+            return (
+                "exchange" if rest.rstrip().endswith("true")
+                else "unknown"
+            )
+        if node.startswith(_NARROW_NODES):
+            if node.startswith(("Relation", "LogicalRelation")):
+                return "scan"
+            continue
+        return "unknown"
+    return "unknown"
 
 
 def _parse_bytes(v: str) -> int:
@@ -320,37 +371,23 @@ def parallelize_narrow(df: DataFrame, min_partitions: int | None = None) -> Data
     Split-starvation probe (round 15): the old
     ``.rdd.getNumPartitions()`` check paid ~0.1 s of plan translation
     on EVERY call (the round-14 verdict's micro item, multiplied
-    across most sub-second queries). Now: (1) a frame whose logical
-    plan contains an exchange-introducing node already carries
-    shuffle-partition splits — no-op without any probe; (2) a
-    scan-rooted frame estimates its splits from ``inputFiles()`` +
-    local file sizes (Spark's packing formula, ~1 ms); (3) anything
-    else (LocalRelation, checkpointed RDD, join-rooted, remote files)
-    falls back to the exact RDD probe — byte-identical decisions to
-    the old form there.
+    across most sub-second queries). The ANALYZED plan (cheap,
+    rule-based, cached on the same QueryExecution the action uses;
+    the unresolved plan hides withColumn-built operators) is walked
+    top-down by :func:`_scan_split_decision`: a keyed exchange first
+    → no-op with no probe; narrow-to-file-relation → split estimate
+    from ``inputFiles()`` + local stat (~1 ms, Spark's packing
+    formula); anything else (join/repartition/sort/window/union/
+    LocalRelation/checkpoint roots) → the exact RDD probe,
+    byte-identical decisions to the old form.
     """
-    import re
-
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    # ANALYZED plan (not logical()): withColumn-built windows hide in
-    # unresolvedstarwithcolumns until analysis; analysis is rule-based
-    # (no optimization/physical planning — the expensive parts the old
-    # RDD probe paid) and cached on the same QueryExecution the action
-    # will use.
     plan = df._jdf.queryExecution().analyzed().toString()
-    # node names matched at tree positions only (a column named
-    # sort_key must not read as a Sort node).
-    nodes = re.findall(r"(?m)^[\s+:\-]*'?(\w+)", plan)
-    est = None
-    if any(n.startswith("Join") for n in nodes):
-        # Join-rooted frames ALWAYS take the exact probe — a broadcast
-        # join inherits the probe scan's split count even when an
-        # exchange node sits on its BUILD side, so the node shortcut
-        # below would mis-read an agg-fed broadcast join as parallel.
-        pass
-    elif any(n.startswith(_EXCHANGE_NODES) for n in nodes):
+    decision = _scan_split_decision(plan)
+    if decision == "exchange":
         return df
-    else:
+    est = None
+    if decision == "scan":
         try:
             files = df.inputFiles()
         except Exception:
@@ -358,6 +395,10 @@ def parallelize_narrow(df: DataFrame, min_partitions: int | None = None) -> Data
         if files:
             # NOT len(files) — packing merges many small files into
             # few splits, so file count alone over-states parallelism.
+            # Caveat (documented): inputFiles ignores partition
+            # pruning, so a partition-filtered scan over-estimates —
+            # missing a repartition (slow, never wrong); pass
+            # min_partitions explicitly for pruned-scan kernels.
             est = _estimate_scan_splits(df, files)
     if est is None:
         est = df.rdd.getNumPartitions()

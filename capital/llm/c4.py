@@ -170,6 +170,27 @@ def dedup_corpus_lines(
     base = parallelize_narrow(
         df.select(id_col, text_col)
     ).localCheckpoint(eager=False)
+    return line_dedup_flags(
+        base, id_col=id_col, text_col=text_col,
+        broadcast_dups=broadcast_dups,
+    )
+
+
+def line_dedup_flags(
+    base: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "lined_text",
+    prior: DataFrame | None = None,
+    broadcast_dups: bool = True,
+) -> DataFrame:
+    """The shared first-occurrence-wins core behind
+    :func:`dedup_corpus_lines` AND the streaming twin
+    (``capital.streaming.incremental.incremental_lines_run`` — one
+    implementation so the documented stream-vs-batch byte equality
+    cannot drift; round-15 review). ``prior``: an optional
+    ``(__line, __seen)`` relation of lines already owned by history —
+    any line present there is removed from every position in ``base``
+    (it joins as a JVM relation: corpus-derived, never broadcast)."""
     ln = base.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias(
@@ -189,21 +210,20 @@ def dedup_corpus_lines(
         .filter(F.col("__cnt") >= 2)
         .select("__line", "__first")
     )
-    kept = (
-        ln.join(
-            F.broadcast(dup_first) if broadcast_dups else dup_first,
-            "__line",
-            "left",
-        )
-        .withColumn(
-            "__keep",
-            F.col("__first").isNull()
-            | (
-                (F.col("__first.d") == F.col(id_col))
-                & (F.col("__first.i") == F.col("__idx"))
-            ),
-        )
+    kept = ln
+    if prior is not None:
+        kept = kept.join(prior, "__line", "left")
+    keep = F.col("__first").isNull() | (
+        (F.col("__first.d") == F.col(id_col))
+        & (F.col("__first.i") == F.col("__idx"))
     )
+    if prior is not None:
+        keep = F.col("__seen").isNull() & keep
+    kept = kept.join(
+        F.broadcast(dup_first) if broadcast_dups else dup_first,
+        "__line",
+        "left",
+    ).withColumn("__keep", keep)
     per_doc = kept.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(F.when(~F.col("__keep"), 1).otherwise(0))

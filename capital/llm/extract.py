@@ -74,7 +74,14 @@ class _MainContentParser(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.skip_depth = 0
-        self.a_depth = 0
+        # Anchor state is a STACK of was-opened-inside-chrome flags,
+        # maintained REGARDLESS of skip regions (round-15 review): a
+        # mis-nested `<a>logo<footer></a>chrome</footer>` — ubiquitous
+        # in real crawls — must still pop on the in-chrome `</a>`, or
+        # every later prose block counts as anchored and is stripped.
+        # Text is anchored iff some open anchor was opened OUTSIDE
+        # chrome.
+        self._a_stack: list[bool] = []
         # each block: [pieces, total_nonspace, linked_nonspace]
         self.blocks: list[list] = []
         self._cur: list | None = None
@@ -89,6 +96,8 @@ class _MainContentParser(HTMLParser):
             self._cur = None
 
     def handle_starttag(self, tag, attrs):  # noqa: D102
+        if tag == "a":
+            self._a_stack.append(self.skip_depth > 0)
         if tag in SKIP_TAGS:
             self.skip_depth += 1
             return
@@ -96,14 +105,15 @@ class _MainContentParser(HTMLParser):
             return
         if tag in BLOCK_TAGS:
             self._open_block()
-        elif tag == "a":
-            self.a_depth += 1
 
     def handle_startendtag(self, tag, attrs):  # noqa: D102
         # <br/> etc.: neither opens a skip region nor a block.
         return
 
     def handle_endtag(self, tag):  # noqa: D102
+        if tag == "a":
+            if self._a_stack:
+                self._a_stack.pop()
         if tag in SKIP_TAGS:
             self.skip_depth = max(0, self.skip_depth - 1)
             return
@@ -111,8 +121,6 @@ class _MainContentParser(HTMLParser):
             return
         if tag in BLOCK_TAGS:
             self._flush_block()
-        elif tag == "a":
-            self.a_depth = max(0, self.a_depth - 1)
 
     def handle_data(self, data):  # noqa: D102
         if self.skip_depth or self._cur is None:
@@ -120,7 +128,7 @@ class _MainContentParser(HTMLParser):
         ns = _nonspace_len(data)
         self._cur[0].append(data)
         self._cur[1] += ns
-        if self.a_depth:
+        if any(not in_chrome for in_chrome in self._a_stack):
             self._cur[2] += ns
 
 

@@ -126,9 +126,19 @@ def wordpiece_train(
                 "rhs",
             )
             .withColumn(
+                # exact integer product via DECIMAL(38,0) — a
+                # long*long product overflows 2^63 at few-billion-
+                # token symbol counts (ANSI throws) while the local
+                # backend's Python ints don't (round-15 review);
+                # decimal→double is correctly rounded, so all
+                # backends and the HUGEINT-product oracle agree
+                # bit-exactly.
                 "score",
                 F.col("pair_count").cast("double")
-                / (F.col("__cl") * F.col("__cr")).cast("double"),
+                / (
+                    F.col("__cl").cast("decimal(19,0)")
+                    * F.col("__cr").cast("decimal(19,0)")
+                ).cast("double"),
             )
             .orderBy(F.desc("score"), F.asc("lhs"), F.asc("rhs"))
             .limit(1)

@@ -3040,7 +3040,8 @@ def _wp_cte_chain(k: int) -> str:
     t{i} AS MATERIALIZED (
       SELECT lhs, rhs, pair_count,
              CAST(pair_count AS DOUBLE)
-               / CAST(cl.sym_count * cr.sym_count AS DOUBLE) AS score
+               / CAST(CAST(cl.sym_count AS HUGEINT) * cr.sym_count
+                      AS DOUBLE) AS score
       FROM p{i} JOIN sy{i} cl ON p{i}.lhs = cl.s
                 JOIN sy{i} cr ON p{i}.rhs = cr.s
       ORDER BY score DESC, lhs, rhs LIMIT 1),

@@ -713,6 +713,8 @@ def incremental_lines_run(
     """
 
     def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from capital.llm.c4 import line_dedup_flags
+
         st = read_prior_state(spark, state_dir)
         if st is not None:
             prior = (
@@ -728,88 +730,22 @@ def incremental_lines_run(
         base = batch_df.select(id_col, text_col).localCheckpoint(
             eager=False
         )
-        ln = base.select(
-            F.col(id_col),
-            F.posexplode(F.split(F.col(text_col), "\n")).alias(
-                "__idx", "__line"
-            ),
-        )
-        dup_first = (
-            ln.groupBy("__line")
-            .agg(
-                F.count(F.lit(1)).alias("__cnt"),
-                F.min(
-                    F.struct(
-                        F.col(id_col).alias("d"),
-                        F.col("__idx").alias("i"),
-                    )
-                ).alias("__first"),
-            )
-            .filter(F.col("__cnt") >= 2)
-            .select("__line", "__first")
-        )
-        kept = (
-            ln.join(prior, "__line", "left")
-            .join(dup_first, "__line", "left")
-            .withColumn(
-                "__keep",
-                F.col("__seen").isNull()
-                & (
-                    F.col("__first").isNull()
-                    | (
-                        (F.col("__first.d") == F.col(id_col))
-                        & (F.col("__first.i") == F.col("__idx"))
-                    )
-                ),
-            )
-        )
-        per_doc = kept.groupBy(id_col).agg(
-            F.count(F.lit(1)).alias("n_lines"),
-            F.sum(F.when(~F.col("__keep"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_removed_lines"),
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(
-                                F.when(
-                                    F.col("__keep"),
-                                    F.struct("__idx", "__line"),
-                                )
-                            )
-                        ),
-                        lambda s: s["__line"],
-                    ),
-                    "\n",
-                )
-            ).alias("clean_md5"),
-        )
-        # NULL-text docs never explode — re-attach as NULL flag rows
-        # (the batch twin's column contract).
-        flags = (
-            base.select(
-                F.col(id_col),
-                F.col(text_col).isNotNull().alias("__has"),
-            )
-            .join(per_doc, id_col, "left")
-            .select(
-                F.col(id_col),
-                F.when(F.col("__has"), F.col("n_lines")).alias("n_lines"),
-                F.when(F.col("__has"), F.col("n_removed_lines")).alias(
-                    "n_removed_lines"
-                ),
-                F.when(F.col("__has"), F.col("clean_md5")).alias(
-                    "clean_md5"
-                ),
-            )
-            .withColumn("batch_id", F.lit(batch_id))
-        )
+        # The SAME core as the batch operator (shared helper — the
+        # stream-vs-batch byte equality cannot drift), with the prior
+        # index as the history relation.
+        flags = line_dedup_flags(
+            base, id_col=id_col, text_col=text_col, prior=prior
+        ).withColumn("batch_id", F.lit(batch_id))
         flags.write.mode("overwrite").partitionBy("batch_id").option(
             "partitionOverwriteMode", "dynamic"
         ).parquet(flags_dir)
         own = (
-            ln.select("__line")
+            base.select(
+                F.posexplode(F.split(F.col(text_col), "\n")).alias(
+                    "__idx", "__line"
+                )
+            )
+            .select("__line")
             .distinct()
             .withColumn("batch_id", F.lit(batch_id))
         )

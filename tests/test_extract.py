@@ -68,6 +68,26 @@ def test_extract_page_nested_skip_regions():
     assert text == "kept"
 
 
+def test_extract_page_misnested_anchor_does_not_leak():
+    """Round-15 review: an <a> opened outside chrome but CLOSED inside
+    it (mis-nested logo/nav markup, ubiquitous in real crawls) must
+    still pop the anchor state — subsequent prose is NOT anchored.
+    Symmetrically, an <a> opened inside chrome that never closes must
+    not mark later text as linked."""
+    html = (
+        '<a href="x">logo<footer></a>chrome</footer>'
+        "<p>real prose sentence here</p>"
+    )
+    n_blocks, n_kept, _, text = extract_page(html)
+    assert (n_blocks, n_kept) == (1, 1)
+    assert text == "real prose sentence here"
+    html2 = (
+        '<nav><a href="x">menu</nav>'
+        "<p>clean prose paragraph text</p>"
+    )
+    assert extract_page(html2)[3] == "clean prose paragraph text"
+
+
 def test_extract_page_korean_text():
     html = (
         "<nav><a href='/'>홈</a></nav>"

@@ -276,11 +276,20 @@ def test_parallelize_narrow_probe_decisions(spark, sf_dir):
         F.row_number().over(Window.partitionBy("source").orderBy("doc_id")),
     )
     assert parallelize_narrow(w) is w
-    assert parallelize_narrow(d.orderBy("doc_id")) is not d.orderBy  # sanity
-    srt = d.orderBy("doc_id")
+    # empty-spec window = single partition: must NOT shortcut.
+    w0 = d.withColumn("rn", F.row_number().over(Window.orderBy("doc_id")))
+    assert parallelize_narrow(w0) is not w0
+    srt = d.orderBy("doc_id")  # global sort = range exchange
     assert parallelize_narrow(srt) is srt
+    # sortWithinPartitions exchanges nothing: a starved scan stays
+    # starved and must be repartitioned (round-15 review).
+    swp = d.sortWithinPartitions("doc_id")
+    assert parallelize_narrow(swp) is not swp
+    # coalesce(1) IS a Repartition node but IS starved.
+    co = d.repartition(target).coalesce(1)
+    assert parallelize_narrow(co) is not co
     rp = d.repartition(target)
-    assert parallelize_narrow(rp) is rp
+    assert parallelize_narrow(rp).rdd.getNumPartitions() == target
     # node-name-shaped COLUMN names must not read as exchange nodes.
     tricky = d.select(
         "doc_id", F.col("text").alias("sort_key"), F.lit(1).alias("WindowX")
