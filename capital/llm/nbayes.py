@@ -1,0 +1,186 @@
+"""Multinomial Naive Bayes text classifier — the engine's trainable
+(supervised) member of the curation/lang-ID family, next to the
+marker-heuristic ``text.with_lang_id`` and the unsupervised LM
+perplexity gates. The GPT-3/FineWeb-style "quality classifier" slot:
+train on labeled strata, score the lake, gate on the prediction.
+
+Model state is EXACT INTEGERS (the tokenizer-trainer discipline):
+
+- ``(label, token, cnt)`` — token occurrences per class,
+- ``(label, n_docs, total_tf)`` — class priors and token mass,
+- ``V`` — global distinct-vocabulary size (Laplace denominator).
+
+Floats appear only at scoring, under the engine's PSI/MI parity
+discipline: every log term is ``round(ln(exact_int / exact_int), 6)``
+(the integer division is bit-identical on any engine; round-6 absorbs
+the ≤1-ulp ``ln`` implementation difference), per-document term sums
+go through :func:`~capital.queries.registry.decimal_sum` (order-free
+exact decimal reduction), and the final three-term score has a fixed
+addition shape. The argmax breaks ties (score6 desc, label asc).
+
+Scoring shape at scale (the unseen-token decomposition): a document's
+score against class ``l`` is
+
+    ln(prior_l) + Σ_seen tf·lp_l(cnt) + (N_doc − seen_tf)·lp_l(0)
+
+with ``lp_l(c) = round(ln((c + α) / (total_l + α·V)), 6)`` — so the
+ONLY join is doc-tokens × the class-token table on the token (inner;
+each probe row matches ≤ |labels| aggregate rows), followed by a
+labels-sized broadcast grid. Nothing enumerates (doc × vocab), and
+the model is vocabulary-sized state, never corpus-sized.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Laplace smoothing pseudo-count.
+ALPHA = 1
+
+
+@dataclass(frozen=True)
+class NBModel:
+    """Trained multinomial NB: exact-integer frames + vocab size."""
+
+    token_counts: DataFrame   # (label, token, cnt)
+    label_stats: DataFrame    # (label, n_docs, total_tf)
+    n_docs: int
+    vocab_size: int
+
+
+def _doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, token, tf) over normalized tokens (the lang-ID twin).
+
+    Deliberately UN-barriered and un-repartitioned (round 15,
+    measured in-session min-of-2): train+classify read this frame five
+    times, but the duplicate tokenize passes are narrow and
+    concurrency-hidden on local[32] (the r14 rule — attribute, don't
+    barrier): plain 3.0 s vs +localCheckpoint 3.9 s vs
+    +parallelize_narrow 4.1–5.1 s at sf0.1. At lake scale the
+    duplicate passes are a throughput cost on the scan side; a caller
+    chaining several classifications should persist its own doc-token
+    frame and pass it through a custom flow."""
+    from capital.llm.text import normalized, tokens
+
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(tokens(normalized(F.col(text_col)))).alias("__tok"),
+        )
+        .groupBy(id_col, "__tok")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+
+
+def nb_train(
+    df: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> NBModel:
+    """Train from a labeled corpus: one explode + two map-side-combined
+    aggregates; the two driver collects are label-count and scalar
+    metadata (bounded — the IVF/centroid precedent)."""
+    dt = _doc_tokens(df, id_col, text_col)
+    labels = df.select(F.col(id_col), F.col(label_col).alias("__label"))
+    tok = dt.join(labels, id_col)
+    token_counts = tok.groupBy("__label", "__tok").agg(
+        F.sum("__tf").cast("long").alias("__cnt")
+    )
+    label_stats = (
+        tok.groupBy("__label")
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("__n_docs"),
+            F.sum("__tf").cast("long").alias("__total_tf"),
+        )
+    )
+    meta = dt.agg(
+        F.count_distinct("__tok").alias("v"),
+        F.count_distinct(F.col(id_col)).alias("n"),
+    ).collect()[0]
+    return NBModel(
+        token_counts=token_counts,
+        label_stats=label_stats,
+        n_docs=int(meta["n"]),
+        vocab_size=int(meta["v"]),
+    )
+
+
+def nb_classify(
+    df: DataFrame,
+    model: NBModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score every document against every class and emit the argmax:
+    ``(id, nb_pred, score6)`` — score6 the winner's rounded
+    log-posterior (up to the shared constant −Σ ln tf!)."""
+    from capital.queries.registry import decimal_sum
+
+    a = F.lit(float(ALPHA))
+    v = F.lit(float(model.vocab_size))
+    denom = F.col("__total_tf").cast("double") + a * v
+    lstats = model.label_stats.select(
+        "__label",
+        F.round(
+            F.log(F.col("__n_docs").cast("double") / F.lit(float(model.n_docs))),
+            6,
+        ).alias("__lp_prior"),
+        F.round(F.log(a / denom), 6).alias("__lp0"),
+    )
+    lp_cnt = F.round(
+        F.log(
+            (F.col("__cnt").cast("double") + a)
+            / (F.col("__total_tf").cast("double") + a * v)
+        ),
+        6,
+    )
+    # per-label token log-likelihoods carry their label's denominator.
+    ct = model.token_counts.join(
+        model.label_stats.select("__label", "__total_tf"), "__label"
+    ).select("__label", "__tok", lp_cnt.alias("__lp"))
+
+    dt = _doc_tokens(df, id_col, text_col)
+    seen = (
+        dt.join(ct, "__tok")
+        .groupBy(id_col, "__label")
+        .agg(
+            decimal_sum(
+                F.col("__tf").cast("double") * F.col("__lp"), "__seen_sum"
+            ),
+            F.sum("__tf").cast("long").alias("__seen_tf"),
+        )
+    )
+    ndoc = dt.groupBy(id_col).agg(F.sum("__tf").cast("long").alias("__n"))
+    grid = ndoc.crossJoin(F.broadcast(lstats))
+    scored = (
+        grid.join(seen, [id_col, "__label"], "left")
+        .select(
+            F.col(id_col),
+            "__label",
+            F.round(
+                F.col("__lp_prior")
+                + F.coalesce("__seen_sum", F.lit(0.0))
+                + (
+                    F.col("__n") - F.coalesce("__seen_tf", F.lit(0))
+                ).cast("double")
+                * F.col("__lp0"),
+                6,
+            ).alias("__score6"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("__score6"), F.asc("__label")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("__label").alias("nb_pred"),
+            F.col("__score6").alias("score6"),
+        )
+    )

@@ -1148,3 +1148,97 @@ def dedup_corpus_lines_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_corpus_lines(with_line_fixture(d)).select(
         "doc_id", "n_lines", "n_removed_lines", "clean_md5"
     )
+
+
+# --- Multinomial Naive Bayes classifier (round 15) -----------------------
+
+
+def _nb_oracle() -> str:
+    """Full SQL replication of train+classify (exact-integer model,
+    PSI-discipline log terms, decimal-sum seen mass, (score6 desc,
+    label asc) argmax). Multi-referenced CTEs MATERIALIZED."""
+    from capital.queries.llm_queries import _NTOKS
+    from capital.queries.registry import ora_sum
+
+    seen_sum = ora_sum("CAST(tf AS DOUBLE) * lp", "seen_sum")
+    return f"""
+    WITH dt AS MATERIALIZED (
+      SELECT doc_id, t AS tok, COUNT(*) AS tf FROM (
+        SELECT doc_id, unnest({_NTOKS}) AS t FROM documents)
+      GROUP BY 1, 2),
+    tok AS MATERIALIZED (
+      SELECT dt.doc_id AS doc_id, d.lang AS cls, tok, tf
+      FROM dt JOIN documents d ON dt.doc_id = d.doc_id),
+    ct AS MATERIALIZED (
+      SELECT cls, tok, CAST(SUM(tf) AS BIGINT) AS cnt
+      FROM tok GROUP BY 1, 2),
+    ls AS MATERIALIZED (
+      SELECT cls, COUNT(DISTINCT doc_id) AS nd_cls,
+             CAST(SUM(tf) AS BIGINT) AS total_tf
+      FROM tok GROUP BY 1),
+    meta AS MATERIALIZED (
+      SELECT COUNT(DISTINCT tok) AS v, COUNT(DISTINCT doc_id) AS n
+      FROM dt),
+    lstats AS MATERIALIZED (
+      SELECT cls,
+             round(ln(nd_cls / CAST((SELECT n FROM meta) AS DOUBLE)), 6)
+               AS lp_prior,
+             round(ln(1e0 / (CAST(total_tf AS DOUBLE)
+                             + 1e0 * (SELECT v FROM meta))), 6) AS lp0
+      FROM ls),
+    ctl AS MATERIALIZED (
+      SELECT ct.cls AS cls, tok,
+             round(ln((CAST(cnt AS DOUBLE) + 1e0)
+                      / (CAST(ls.total_tf AS DOUBLE)
+                         + 1e0 * (SELECT v FROM meta))), 6) AS lp
+      FROM ct JOIN ls ON ct.cls = ls.cls),
+    seen AS MATERIALIZED (
+      SELECT dt.doc_id AS doc_id, ctl.cls AS cls,
+             {seen_sum},
+             CAST(SUM(tf) AS BIGINT) AS seen_tf
+      FROM dt JOIN ctl USING (tok) GROUP BY 1, 2),
+    nd AS MATERIALIZED (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS ntf
+      FROM dt GROUP BY 1),
+    grid AS MATERIALIZED (
+      SELECT nd.doc_id AS doc_id, lstats.cls AS cls,
+             round(lp_prior + coalesce(seen_sum, 0e0)
+                   + CAST(nd.ntf - coalesce(seen_tf, 0) AS DOUBLE)
+                     * lp0, 6) AS score6
+      FROM nd CROSS JOIN lstats
+      LEFT JOIN seen ON seen.doc_id = nd.doc_id
+                    AND seen.cls = lstats.cls),
+    pick AS (
+      SELECT doc_id, cls, score6,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score6 DESC, cls ASC) AS rn
+      FROM grid)
+    SELECT d.doc_id AS doc_id, d.lang AS lang,
+           p.cls AS nb_pred, p.score6 AS score6,
+           (p.cls = d.lang) AS correct
+    FROM documents d JOIN pick p ON p.doc_id = d.doc_id AND p.rn = 1
+    """
+
+
+@query("cur_nb_lang_classify", memoize=False, oracle=_nb_oracle())
+def cur_nb_lang_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes, trained on the corpus's language
+    labels and resubstituted (capital/llm/nbayes.py) — the engine's
+    TRAINABLE classifier slot (the GPT-3/FineWeb quality-classifier
+    posture) next to the marker-heuristic lang ID. Exact-integer
+    model state; scoring under the PSI/MI parity discipline
+    (round(ln(int/int), 6) terms, decimal-sum seen mass, fixed-shape
+    final add, (score6 desc, label asc) argmax). memoize=False:
+    training collects bounded metadata eagerly."""
+    from capital.llm.nbayes import nb_classify, nb_train
+
+    d = load_table(spark, sf_dir, "documents")
+    model = nb_train(d)
+    return (
+        nb_classify(d, model)
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id", "lang", "nb_pred", "score6",
+            (F.col("nb_pred") == F.col("lang")).alias("correct"),
+        )
+    )
