@@ -114,13 +114,14 @@ def nb_classify(
     model: NBModel,
     text_col: str = "text",
     id_col: str = "doc_id",
+    alpha: float = ALPHA,
 ) -> DataFrame:
     """Score every document against every class and emit the argmax:
     ``(id, nb_pred, score6)`` — score6 the winner's rounded
     log-posterior (up to the shared constant −Σ ln tf!)."""
     from capital.queries.registry import decimal_sum
 
-    a = F.lit(float(ALPHA))
+    a = F.lit(float(alpha))
     v = F.lit(float(model.vocab_size))
     denom = F.col("__total_tf").cast("double") + a * v
     lstats = model.label_stats.select(
