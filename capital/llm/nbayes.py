@@ -185,3 +185,35 @@ def nb_classify(
             F.col("__score6").alias("score6"),
         )
     )
+
+
+def nb_save(model: NBModel, path: str) -> None:
+    """Persist the model: two integer frames + a 1-row meta table —
+    the stored-index posture (BM25 postings / IVF lake family). All
+    state is exact integers, so store→load→classify is bit-identical
+    to in-memory classification (tested)."""
+    import os
+
+    model.token_counts.write.mode("overwrite").parquet(
+        os.path.join(path, "token_counts")
+    )
+    model.label_stats.write.mode("overwrite").parquet(
+        os.path.join(path, "label_stats")
+    )
+    spark = model.token_counts.sparkSession
+    spark.createDataFrame(
+        [(model.n_docs, model.vocab_size)], "n_docs long, vocab_size long"
+    ).write.mode("overwrite").parquet(os.path.join(path, "meta"))
+
+
+def nb_load(spark, path: str) -> NBModel:
+    """Read half of :func:`nb_save`."""
+    import os
+
+    meta = spark.read.parquet(os.path.join(path, "meta")).collect()[0]
+    return NBModel(
+        token_counts=spark.read.parquet(os.path.join(path, "token_counts")),
+        label_stats=spark.read.parquet(os.path.join(path, "label_stats")),
+        n_docs=int(meta["n_docs"]),
+        vocab_size=int(meta["vocab_size"]),
+    )

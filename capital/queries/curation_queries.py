@@ -1242,3 +1242,35 @@ def cur_nb_lang_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("nb_pred") == F.col("lang")).alias("correct"),
         )
     )
+
+
+@query("cur_nb_stored_classify", memoize=False, oracle=_nb_oracle())
+def cur_nb_stored_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive Bayes against a STORED model (llm/nbayes.nb_save /
+    nb_load) — the classifier member of the stored-index family (BM25
+    postings, LSH band table, IVF/PQ lakes): train once, persist the
+    exact-integer state, score any corpus without retraining. The
+    whole train→write→load→classify path must hash-match the SAME
+    oracle as the in-call cur_nb_lang_classify (integer state is
+    lossless through parquet). memoize=False: writes the model
+    eagerly per call."""
+    import os
+    import tempfile
+
+    from capital.llm.nbayes import nb_classify, nb_load, nb_save, nb_train
+
+    d = load_table(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"capital_nb_model_v1_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    nb_save(nb_train(d), path)
+    model = nb_load(spark, path)
+    return (
+        nb_classify(d, model)
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id", "lang", "nb_pred", "score6",
+            (F.col("nb_pred") == F.col("lang")).alias("correct"),
+        )
+    )

@@ -80,3 +80,25 @@ def test_nb_model_state_is_integer_and_bounded(spark):
     for f in model.label_stats.schema.fields:
         assert f.dataType.typeName() in ("string", "long")
     assert model.token_counts.count() == 4  # (a,w1) (a,w2) (b,w2) (b,w3)
+
+
+def test_nb_save_load_roundtrip_identical(spark, tmp_path):
+    """Store→load→classify must be bit-identical to in-memory
+    classification (integer state is lossless through parquet)."""
+    from capital.llm.nbayes import nb_load, nb_save
+
+    train = _docs(spark, [
+        (1, "a", "apple apple banana"),
+        (2, "a", "apple banana banana cherry"),
+        (3, "b", "zebra zebra yak"),
+        (4, "b", "zebra yak yak kiwi"),
+    ])
+    model = nb_train(train)
+    nb_save(model, str(tmp_path / "nbm"))
+    loaded = nb_load(spark, str(tmp_path / "nbm"))
+    assert (loaded.n_docs, loaded.vocab_size) == (
+        model.n_docs, model.vocab_size
+    )
+    a = sorted(map(tuple, nb_classify(train, model).collect()))
+    b = sorted(map(tuple, nb_classify(train, loaded).collect()))
+    assert a == b
