@@ -385,7 +385,20 @@ def parallelize_narrow(df: DataFrame, min_partitions: int | None = None) -> Data
     plan = df._jdf.queryExecution().analyzed().toString()
     decision = _scan_split_decision(plan)
     if decision == "exchange":
-        return df
+        # A keyed exchange generally lands on shuffle.partitions
+        # splits — but an explicit min_partitions ABOVE that width can
+        # still be starved (the old probe would have repartitioned).
+        # Only the cheap no-op when the exchange width already covers
+        # the target; otherwise fall through to the exact probe for
+        # byte-identical decisions with the pre-round-15 form.
+        try:
+            width = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except (TypeError, ValueError):
+            width = None
+        if width is not None and target <= width:
+            return df
     est = None
     if decision == "scan":
         try:

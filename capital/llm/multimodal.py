@@ -821,7 +821,20 @@ def decode_jpeg_gray(data: bytes):
     Huffman decode with byte unstuffing, DC prediction, dezigzag,
     dequantize, 8×8 IDCT, level shift, clamp, crop. Progressive /
     multi-component / restart-interval streams raise ValueError (the
-    dead-letter contract)."""
+    dead-letter contract). Short declared segment lengths and
+    truncated entropy streams surface as struct.error/IndexError from
+    the fixed-offset unpacks — normalized to ValueError here so the
+    dead-letter catch in the decode kernels holds for ANY malformed
+    payload, not just the validations we wrote explicitly."""
+    import struct
+
+    try:
+        return _decode_jpeg_gray_impl(data)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"malformed JPEG stream: {exc}") from exc
+
+
+def _decode_jpeg_gray_impl(data: bytes):
     import struct
 
     import numpy as np
@@ -836,6 +849,10 @@ def decode_jpeg_gray(data: bytes):
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"bad JPEG marker alignment at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker code — advance to the LAST 0xFF before the code byte.
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = struct.unpack_from(">H", data, pos)[0]
         if marker == 0xFFD9:
             raise ValueError("JPEG EOI before SOS")

@@ -119,6 +119,7 @@ def nb_classify(
     """Score every document against every class and emit the argmax:
     ``(id, nb_pred, score6)`` — score6 the winner's rounded
     log-posterior (up to the shared constant −Σ ln tf!)."""
+    from capital.llm.text import round6_stable
     from capital.queries.registry import decimal_sum
 
     a = F.lit(float(alpha))
@@ -162,14 +163,18 @@ def nb_classify(
         .select(
             F.col(id_col),
             "__label",
-            F.round(
+            # round6_stable, not round(): the pre-round double is
+            # bit-identical by construction (decimal-summed round-6
+            # terms + integer × round-6), so engine round()
+            # half-way divergence (round-7 audit) applies — the
+            # four-IEEE-op form is the parity-safe round here.
+            round6_stable(
                 F.col("__lp_prior")
                 + F.coalesce("__seen_sum", F.lit(0.0))
                 + (
                     F.col("__n") - F.coalesce("__seen_tf", F.lit(0))
                 ).cast("double")
-                * F.col("__lp0"),
-                6,
+                * F.col("__lp0")
             ).alias("__score6"),
         )
     )

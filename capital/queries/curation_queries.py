@@ -1153,10 +1153,15 @@ def dedup_corpus_lines_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Multinomial Naive Bayes classifier (round 15) -----------------------
 
 
-def _nb_oracle() -> str:
-    """Full SQL replication of train+classify (exact-integer model,
-    PSI-discipline log terms, decimal-sum seen mass, (score6 desc,
-    label asc) argmax). Multi-referenced CTEs MATERIALIZED."""
+def nb_pred_sql(rel: str = "documents") -> str:
+    """Standalone ``WITH … SELECT`` producing ``(doc_id, nb_pred,
+    score6)`` — resubstitution train+classify over relation ``rel``
+    with columns (doc_id, lang, text). Parameterized so composing
+    pipelines (pipe_curation_v2) splice it as a nested-WITH CTE body
+    (the _clusters_oracle convention); full SQL replication of the
+    exact-integer model, PSI-discipline log terms, decimal-sum seen
+    mass, (score6 desc, label asc) argmax. Multi-referenced CTEs
+    MATERIALIZED."""
     from capital.queries.llm_queries import _NTOKS
     from capital.queries.registry import ora_sum
 
@@ -1164,11 +1169,11 @@ def _nb_oracle() -> str:
     return f"""
     WITH dt AS MATERIALIZED (
       SELECT doc_id, t AS tok, COUNT(*) AS tf FROM (
-        SELECT doc_id, unnest({_NTOKS}) AS t FROM documents)
+        SELECT doc_id, unnest({_NTOKS}) AS t FROM {rel})
       GROUP BY 1, 2),
     tok AS MATERIALIZED (
       SELECT dt.doc_id AS doc_id, d.lang AS cls, tok, tf
-      FROM dt JOIN documents d ON dt.doc_id = d.doc_id),
+      FROM dt JOIN {rel} d ON dt.doc_id = d.doc_id),
     ct AS MATERIALIZED (
       SELECT cls, tok, CAST(SUM(tf) AS BIGINT) AS cnt
       FROM tok GROUP BY 1, 2),
@@ -1202,9 +1207,9 @@ def _nb_oracle() -> str:
       FROM dt GROUP BY 1),
     grid AS MATERIALIZED (
       SELECT nd.doc_id AS doc_id, lstats.cls AS cls,
-             round(lp_prior + coalesce(seen_sum, 0e0)
-                   + CAST(nd.ntf - coalesce(seen_tf, 0) AS DOUBLE)
-                     * lp0, 6) AS score6
+             floor((lp_prior + coalesce(seen_sum, 0e0)
+                    + CAST(nd.ntf - coalesce(seen_tf, 0) AS DOUBLE)
+                      * lp0) * 1e6 + 0.5e0) / 1e6 AS score6
       FROM nd CROSS JOIN lstats
       LEFT JOIN seen ON seen.doc_id = nd.doc_id
                     AND seen.cls = lstats.cls),
@@ -1213,10 +1218,16 @@ def _nb_oracle() -> str:
              row_number() OVER (PARTITION BY doc_id
                                 ORDER BY score6 DESC, cls ASC) AS rn
       FROM grid)
+    SELECT doc_id, cls AS nb_pred, score6 FROM pick WHERE rn = 1
+    """
+
+
+def _nb_oracle() -> str:
+    return f"""
     SELECT d.doc_id AS doc_id, d.lang AS lang,
-           p.cls AS nb_pred, p.score6 AS score6,
-           (p.cls = d.lang) AS correct
-    FROM documents d JOIN pick p ON p.doc_id = d.doc_id AND p.rn = 1
+           p.nb_pred AS nb_pred, p.score6 AS score6,
+           (p.nb_pred = d.lang) AS correct
+    FROM documents d JOIN ({nb_pred_sql()}) p ON p.doc_id = d.doc_id
     """
 
 

@@ -207,3 +207,40 @@ def test_jpeg_unsupported_features_raise():
     data[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
     with pytest.raises(ValueError):
         decode_jpeg_gray(bytes(data))
+
+
+def test_jpeg_short_declared_segment_length_is_value_error():
+    """A segment whose declared length leaves a too-short body (e.g.
+    SOF0 length 3 -> 1-byte body) hits fixed-offset unpacks — must
+    surface as ValueError for the dead-letter catch, never
+    struct.error/IndexError (round-16 ADVICE pin)."""
+    import pytest
+
+    from capital.llm.multimodal import decode_jpeg_gray
+
+    # SOI + SOF0 with declared length 3 (one body byte), then EOI.
+    data = b"\xff\xd8" + b"\xff\xc0\x00\x03\x08" + b"\xff\xd9"
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(data)
+    # DHT with a bits table that overruns the declared body.
+    data = b"\xff\xd8" + b"\xff\xc4\x00\x04\x00\x01" + b"\xff\xd9"
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(data)
+
+
+def test_jpeg_fill_bytes_before_markers_decode():
+    """T.81 B.1.1.2 permits any number of 0xFF fill bytes before a
+    marker code; a legal stream padded that way must decode to the
+    same raster (round-16 ADVICE pin)."""
+    from capital.llm.multimodal import decode_jpeg_gray, encode_jpeg_gray
+
+    img = (np.arange(64, dtype=np.uint8).reshape(8, 8) // 8 * 8 + 16)
+    data = encode_jpeg_gray(img)
+    # Insert fill bytes immediately before the SOF0 and DHT markers
+    # (safe spots: between segments, never inside a body).
+    padded = data
+    for marker in (b"\xff\xc0", b"\xff\xc4", b"\xff\xdb"):
+        i = padded.find(marker)
+        assert i > 0
+        padded = padded[:i] + b"\xff\xff\xff" + padded[i:]
+    assert np.array_equal(decode_jpeg_gray(bytes(padded)), img)

@@ -305,6 +305,13 @@ def test_parallelize_narrow_probe_decisions(spark, sf_dir):
     dim = d.groupBy("source").count()
     j = d.join(F.broadcast(dim), "source")
     assert parallelize_narrow(j) is not j
+    # an explicit min_partitions ABOVE the shuffle width must not be
+    # swallowed by the exchange shortcut (round-16 ADVICE): the old
+    # RDD probe would have repartitioned — so must the cheap form.
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    over = parallelize_narrow(d.groupBy("source").count(),
+                              min_partitions=width + 8)
+    assert over.rdd.getNumPartitions() == width + 8
 
 
 def test_cluster_conf_applies(spark):
