@@ -59,10 +59,22 @@ def with_line_fixture(df: DataFrame, text_col: str = "text") -> DataFrame:
     from capital.llm.text import normalized, tokens
 
     k, pm, jm = FIXTURE_LINE_TOKENS, FIXTURE_PUNCT_MOD, FIXTURE_JS_MOD
+    # Group the tokens into k-token lines WITHOUT the per-index
+    # slice-inside-transform shape (the round-9/12 interpreted-HOF
+    # trap — a k-array allocation per line; ~0.4 s of both paired
+    # rows at sf0.1, round-16 verdict): one codegen'd regex pass
+    # rewrites every k-th inter-token space of the joined string to
+    # '\n' (tokens are \S+ by construction — `normalized` collapses
+    # whitespace), and a single flat indexed transform appends the
+    # per-line suffixes (scalar concat per element, no allocations).
+    rx = rf"((?:\\S+ ){{{k - 1}}}\\S+) "
+    base_lines = (
+        f"split(regexp_replace(array_join(__lt, ' '), '{rx}', '$1\\n'),"
+        f" '\\n')"
+    )
     lines = (
-        f"transform(sequence(0, int((size(__lt) - 1) / {k})),"
-        f" i -> concat("
-        f"   array_join(slice(__lt, i * {k} + 1, {k}), ' '),"
+        f"transform({base_lines},"
+        f" (l, i) -> concat(l,"
         f"   CASE WHEN (__did + i) % {jm} = 3 THEN ' javascript'"
         f"     ELSE '' END,"
         f"   CASE WHEN i % {pm} != {pm - 1} THEN '.' ELSE '' END))"
@@ -182,6 +194,7 @@ def line_dedup_flags(
     text_col: str = "lined_text",
     prior: DataFrame | None = None,
     broadcast_dups: bool = True,
+    with_text: bool = False,
 ) -> DataFrame:
     """The shared first-occurrence-wins core behind
     :func:`dedup_corpus_lines` AND the streaming twin
@@ -224,40 +237,49 @@ def line_dedup_flags(
         "__line",
         "left",
     ).withColumn("__keep", keep)
-    per_doc = kept.groupBy(id_col).agg(
+    clean = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("__keep"),
+                        F.struct("__idx", "__line"),
+                    )
+                )
+            ),
+            lambda s: s["__line"],
+        ),
+        "\n",
+    )
+    aggs = [
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(F.when(~F.col("__keep"), 1).otherwise(0))
         .cast("long")
         .alias("n_removed_lines"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("__keep"),
-                                F.struct("__idx", "__line"),
-                            )
-                        )
-                    ),
-                    lambda s: s["__line"],
-                ),
-                "\n",
-            )
-        ).alias("clean_md5"),
-    )
+        F.md5(clean).alias("clean_md5"),
+    ]
+    if with_text:
+        # the exact string the md5 digests — for composing pipelines
+        # (pipe_curation_v2) that keep processing the deduped text.
+        aggs.append(clean.alias("clean_text"))
+    per_doc = kept.groupBy(id_col).agg(*aggs)
+    out_cols = [
+        F.col(id_col),
+        F.when(F.col("__has"), F.col("n_lines")).alias("n_lines"),
+        F.when(F.col("__has"), F.col("n_removed_lines")).alias(
+            "n_removed_lines"
+        ),
+        F.when(F.col("__has"), F.col("clean_md5")).alias("clean_md5"),
+    ]
+    if with_text:
+        out_cols.append(
+            F.when(F.col("__has"), F.col("clean_text")).alias("clean_text")
+        )
     # NULL lined_text rows never explode — re-attach as NULL rows.
     return (
         base.select(
             F.col(id_col), F.col(text_col).isNotNull().alias("__has")
         )
         .join(per_doc, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.when(F.col("__has"), F.col("n_lines")).alias("n_lines"),
-            F.when(F.col("__has"), F.col("n_removed_lines")).alias(
-                "n_removed_lines"
-            ),
-            F.when(F.col("__has"), F.col("clean_md5")).alias("clean_md5"),
-        )
+        .select(*out_cols)
     )
