@@ -114,9 +114,31 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 #: PII patterns, kept to syntax valid in both Java regex (Spark) and
-#: RE2 (DuckDB) so the oracle replicates the scrub exactly.
+#: RE2 (DuckDB) — no lookarounds (RE2 lacks them), no backreferences,
+#: ASCII \b/\d only — so the oracle replicates the scrub exactly.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 URL_RE = r"https?://[^\s]+"
+#: separator-delimited phone numbers: optional +country prefix, a
+#: 2–4 digit area/carrier group, 3–4 digit middle, 4 digit tail —
+#: covers Korean mobile/landline (010-1234-5678, +82-10-1234-5678,
+#: 02-312-3456) and NANP-style 555-123-4567 / 555 123 4567. Bare
+#: unseparated digit runs and parenthesized area codes are out of
+#: scope by design (deterministic, alternation-free, portable).
+PHONE_RE = r"(?:\+\d{1,3}[- .])?\d{2,4}[- .]\d{3,4}[- .]\d{4}"
+#: dotted-quad IPv4 (no octet range check — the C4-grade scrub masks
+#: version-string lookalikes too, deterministically on both engines).
+IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+#: scrub order (applied sequentially; URL before PHONE/IP so digits
+#: inside already-masked URLs are never re-matched). Shared with the
+#: SQL-twin generator in capital/queries/llm_queries.py so every
+#: composing oracle (text_pii_scrub, pipe_*) stays in lockstep.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("emails", EMAIL_RE, "<EMAIL>"),
+    ("urls", URL_RE, "<URL>"),
+    ("phones", PHONE_RE, "<PHONE>"),
+    ("ips", IP_RE, "<IP>"),
+)
 
 
 def zip_grams(toks: Column, k: int) -> Column:
@@ -430,19 +452,22 @@ def with_bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def with_pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Detect-and-redact PII-ish spans (emails, URLs): per-doc match
-    counts plus the redacted text. Narrow regexp projection — the
-    standard pre-training scrub pass, zero shuffle at any scale.
+    """Detect-and-redact PII-ish spans (emails, URLs, phone numbers,
+    IPv4 addresses — the C4/FineWeb-grade set): per-doc match counts
+    plus the redacted text. Counts are over the RAW text; redaction
+    applies the :data:`PII_PATTERNS` chain in order (URL before
+    PHONE/IP so URL-embedded digits are never re-matched). Narrow
+    regexp projection — the standard pre-training scrub pass, zero
+    shuffle at any scale.
     """
     text = F.col(text_col)
-    redacted = F.regexp_replace(
-        F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
-    )
-    return (
-        df.withColumn("n_emails", F.regexp_count(text, F.lit(EMAIL_RE)))
-        .withColumn("n_urls", F.regexp_count(text, F.lit(URL_RE)))
-        .withColumn("scrubbed_text", redacted)
-    )
+    redacted = text
+    out = df
+    for name, pat, _token in PII_PATTERNS:
+        out = out.withColumn(f"n_{name}", F.regexp_count(text, F.lit(pat)))
+    for _name, pat, token in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, token)
+    return out.withColumn("scrubbed_text", redacted)
 
 
 def normalized(text: Column) -> Column:

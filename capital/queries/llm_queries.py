@@ -429,30 +429,48 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_char_entropy(d).select("doc_id", "char_entropy")
 
 
-def _pii_oracle() -> str:
-    from capital.llm.text import EMAIL_RE, URL_RE
+def pii_scrub_sql(col: str) -> str:
+    """SQL twin of the :data:`capital.llm.text.PII_PATTERNS` redaction
+    chain — generated from the same constants so every composing
+    oracle (text_pii_scrub, pipe_clean_corpus, pipe_curation_v2)
+    tracks pattern changes automatically."""
+    from capital.llm.text import PII_PATTERNS
 
+    expr = col
+    for _name, pat, token in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{token}', 'g')"
+    return expr
+
+
+def _pii_oracle() -> str:
+    from capital.llm.text import PII_PATTERNS
+
+    counts = ",\n      ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS INTEGER)"
+        f" AS n_{name}"
+        for name, pat, _token in PII_PATTERNS
+    )
     return f"""
     SELECT doc_id,
-      CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS INTEGER)
-        AS n_emails,
-      CAST(len(regexp_extract_all(text, '{URL_RE}')) AS INTEGER) AS n_urls,
-      regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
-                     '{URL_RE}', '<URL>', 'g') AS scrubbed_text
+      {counts},
+      {pii_scrub_sql("text")} AS scrubbed_text
     FROM documents
     """
 
 
 @query("text_pii_scrub", oracle=_pii_oracle())
 def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII detect-and-redact (emails, URLs): match counts + scrubbed
-    text. Patterns are valid in both Java regex and RE2, so the oracle
-    replicates the redaction byte-for-byte."""
-    from capital.llm.text import with_pii_scrub
+    """PII detect-and-redact (emails, URLs, phone numbers, IPv4 —
+    the C4/FineWeb-grade set): match counts + scrubbed text. Patterns
+    are lookaround-free and valid in both Java regex and RE2, so the
+    oracle replicates the redaction byte-for-byte."""
+    from capital.llm.text import PII_PATTERNS, with_pii_scrub
 
     d = load_table(spark, sf_dir, "documents")
     return with_pii_scrub(d).select(
-        "doc_id", "n_emails", "n_urls", "scrubbed_text"
+        "doc_id",
+        *[f"n_{name}" for name, _p, _t in PII_PATTERNS],
+        "scrubbed_text",
     )
 
 
@@ -2262,12 +2280,7 @@ def _pipeline_ctes() -> str:
 
 
 def _pipe_corpus_oracle() -> str:
-    from capital.llm.text import EMAIL_RE, URL_RE
-
-    scrub = (
-        f"regexp_replace(regexp_replace(k.text, '{EMAIL_RE}', '<EMAIL>', 'g'),"
-        f" '{URL_RE}', '<URL>', 'g')"
-    )
+    scrub = pii_scrub_sql("k.text")
     return f"""
     WITH {_pipeline_ctes()}
     SELECT k.doc_id, k.n_tokens, k.quality_score,

@@ -52,7 +52,42 @@ def test_pii_scrub_redacts_and_counts(spark):
 def test_pii_scrub_clean_text_untouched(spark):
     r = _one(spark, "no contact info at all", with_pii_scrub)
     assert (r.n_emails, r.n_urls) == (0, 0)
+    assert (r.n_phones, r.n_ips) == (0, 0)
     assert r.scrubbed_text == "no contact info at all"
+
+
+def test_pii_scrub_korean_phone_formats(spark):
+    r = _one(
+        spark,
+        "call 010-1234-5678 or +82-10-1234-5678 or the office 02-312-3456",
+        with_pii_scrub,
+    )
+    assert r.n_phones == 3
+    assert r.scrubbed_text == (
+        "call <PHONE> or <PHONE> or the office <PHONE>"
+    )
+
+
+def test_pii_scrub_nanp_phone_and_ip(spark):
+    r = _one(
+        spark,
+        "dial 555-123-4567 / 555 123 4567, host 192.168.0.1 up",
+        with_pii_scrub,
+    )
+    assert (r.n_phones, r.n_ips) == (2, 1)
+    assert r.scrubbed_text == "dial <PHONE> / <PHONE>, host <IP> up"
+
+
+def test_pii_scrub_url_digits_not_rematched(spark):
+    # URL masked FIRST: its path digits must not resurface as a
+    # phone/IP match; bare digit runs and dates stay untouched.
+    r = _one(
+        spark,
+        "see https://ex.com/10.1.2.3/02-312-3456 on 2024-01-15 ref 0212345678",
+        with_pii_scrub,
+    )
+    assert (r.n_urls, r.n_phones, r.n_ips) == (1, 1, 1)
+    assert r.scrubbed_text == "see <URL> on 2024-01-15 ref 0212345678"
 
 
 def test_chunk_documents_semantics(spark):
