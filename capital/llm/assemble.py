@@ -619,6 +619,7 @@ def decontaminate_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bench_grams: int = 5_000_000,
+    with_text: bool = False,
 ) -> DataFrame:
     """SURGICAL decontamination: instead of dropping every document
     that overlaps the benchmark (:func:`decontaminate` — which throws
@@ -631,8 +632,9 @@ def decontaminate_spans(
     convention) appears in the benchmark's k-gram set. Output: one
     row per training doc — ``n_tokens``, ``n_removed_tokens``, and
     ``clean_md5`` (digest of the surviving tokens joined by single
-    spaces, the span_dedup_stats atomic-surrogate convention; rebuild
-    the text by dropping ``md5`` from the aggregate).
+    spaces, the span_dedup_stats atomic-surrogate convention;
+    ``with_text=True`` additionally emits that joined string as
+    ``clean_text`` for composing pipelines).
 
     Shape at scale (round 14, the ``self_repetition_trim`` treatment):
     benchmark grams deduplicate to an eval-suite-sized set IN SPARK,
@@ -679,6 +681,7 @@ def decontaminate_spans(
         )
     bench_grams = frozenset(r.g for r in rows)
     kk = int(k)
+    emit_text = bool(with_text)
 
     def _scrub(batches):
         import hashlib
@@ -691,6 +694,8 @@ def decontaminate_spans(
                 "__id": [], "n_tokens": [], "n_removed_tokens": [],
                 "clean_md5": [],
             }
+            if emit_text:
+                out["clean_text"] = []
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 out["__id"].append(did)
                 if text is None:
@@ -703,6 +708,8 @@ def decontaminate_spans(
                     out["clean_md5"].append(
                         hashlib.md5(b"").hexdigest()
                     )
+                    if emit_text:
+                        out["clean_text"].append(None)
                     continue
                 toks = py_tokens(text)
                 n = len(toks)
@@ -711,11 +718,14 @@ def decontaminate_spans(
                     if " ".join(toks[p : p + kk]) in grams:
                         covered.update(range(p, p + kk))
                 kept = [t for i, t in enumerate(toks) if i not in covered]
+                clean = " ".join(kept)
                 out["n_tokens"].append(n)
                 out["n_removed_tokens"].append(n - len(kept))
                 out["clean_md5"].append(
-                    hashlib.md5(" ".join(kept).encode("utf-8")).hexdigest()
+                    hashlib.md5(clean.encode("utf-8")).hexdigest()
                 )
+                if emit_text:
+                    out["clean_text"].append(clean)
             yield pd.DataFrame(out).astype(
                 {"n_tokens": "Int64", "n_removed_tokens": "Int64"}
             ).rename(columns={"__id": id_col})
@@ -736,6 +746,7 @@ def decontaminate_spans(
             StructField("n_removed_tokens", LongType()),
             StructField("clean_md5", StringType()),
         ]
+        + ([StructField("clean_text", StringType())] if emit_text else [])
     )
     return parallelize_narrow(train.select(id_col, text_col)).mapInPandas(
         _scrub, schema=out_schema
