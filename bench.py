@@ -184,6 +184,15 @@ def headline_names(all_names) -> list[str]:
         # the measured-faster-but-Zipf-hot window variant)
         "cur_c4_rules",
         "dedup_corpus_lines",
+        # --- added round 16 (anchors 1.36 / 1.31 s: the MODERN
+        # curation funnel end-to-end — holdout → HTML extract → NB
+        # language gate → Gopher → C4 rules → line dedup → MinHash
+        # cluster dedup → span decon → PII — and its per-source
+        # profile; composition rows whose ~15 job floors decompose
+        # onto already-attributed member operators, see BASELINE
+        # r16) ---
+        "pipe_curation_v2",
+        "pipe_curation_v2_profile",
     ]
     return [n for n in preferred if n in all_names] or sorted(all_names)[:8]
 

@@ -114,7 +114,11 @@ def _line_keep(line: Column) -> Column:
 
 
 def c4_quality_filter(
-    df: DataFrame, text_col: str = "lined_text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "lined_text",
+    id_col: str = "doc_id",
+    with_text: bool = False,
+    min_kept_lines: int = MIN_KEPT_LINES,
 ) -> DataFrame:
     """Per-document C4 signals + the composed ``c4_keep`` gate:
     ``n_lines``, ``n_kept_lines`` (line rule above), ``has_brace``,
@@ -134,9 +138,9 @@ def c4_quality_filter(
     has_brace = F.contains(text, F.lit("{"))
     has_lorem = F.contains(F.lower(text), F.lit("lorem ipsum"))
     keep = (
-        (F.size(kept) >= MIN_KEPT_LINES) & ~has_brace & ~has_lorem
+        (F.size(kept) >= int(min_kept_lines)) & ~has_brace & ~has_lorem
     )
-    return (
+    out = (
         df.withColumn("n_lines", F.size(lines))
         .withColumn("n_kept_lines", F.size(kept))
         .withColumn("has_brace", has_brace)
@@ -144,6 +148,11 @@ def c4_quality_filter(
         .withColumn("clean_md5", F.md5(F.array_join(kept, "\n")))
         .withColumn("c4_keep", keep)
     )
+    if with_text:
+        # the exact string clean_md5 digests — for composing
+        # pipelines that keep processing the rule-surviving lines.
+        out = out.withColumn("clean_text", F.array_join(kept, "\n"))
+    return out
 
 
 def dedup_corpus_lines(

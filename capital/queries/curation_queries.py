@@ -685,12 +685,18 @@ def drift_incremental_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GOPHER_OVERRIDES = {"min_words": 30, "min_required_stopwords": 1}
 
 
-def _gopher_oracle() -> str:
+def gopher_rules_sql(
+    rel: str = "documents", overrides: dict | None = None
+) -> str:
+    """Parameterized DuckDB twin of ``curation.gopher_quality_flags``
+    over any relation with (doc_id, text) — generated from the same
+    rule constants; spliced by cur_gopher_rules (documents) and the
+    composed pipe_curation_v2 funnel."""
     from capital.llm.curation import GOPHER_RULES
     from capital.llm.curation import GOPHER_STOPWORDS
 
     R = dict(GOPHER_RULES)
-    R.update(_GOPHER_OVERRIDES)
+    R.update(overrides or {})
     stoplist = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
     return rf"""
     WITH base AS (
@@ -700,7 +706,7 @@ def _gopher_oracle() -> str:
              len(string_split(text, '#')) - 1
                + len(string_split_regex(text, '\.\.\.')) - 1 AS n_symbols,
              text
-      FROM documents),
+      FROM {rel}),
     sig AS (
       SELECT doc_id,
              len(toks) AS n_words,
@@ -728,6 +734,10 @@ def _gopher_oracle() -> str:
             AND n_stop >= {R["min_required_stopwords"]}) AS gopher_keep
     FROM sig
     """
+
+
+def _gopher_oracle() -> str:
+    return gopher_rules_sql("documents", _GOPHER_OVERRIDES)
 
 
 @query("cur_gopher_rules", oracle=_gopher_oracle())
