@@ -61,6 +61,13 @@ from pyspark.sql import functions as F
 SEP = "|"
 EOW = "</w>"
 _BAD_WORD_RE = "[|<>]"
+#: Unknown-symbol token (the OOV contract, round 16): characters never
+#: seen in the TRAINING alphabet encode to the UNK id — one reserved
+#: id immediately after the merge-id block (``B + K``), so the trained
+#: id space is stable and total. The surface form uses characters a
+#: clean token can never contain (the _BAD_WORD_RE exclusion), so it
+#: cannot collide with a real symbol; decode emits it literally.
+UNK = "<unk>"
 
 
 def word_counts(
@@ -405,7 +412,9 @@ def apply_merges(
     return out
 
 
-def bpe_vocab(rules: list[dict], state: DataFrame) -> DataFrame:
+def bpe_vocab(
+    rules: list[dict], state: DataFrame, unk_token: str | None = None
+) -> DataFrame:
     """The trained tokenizer's id table: ``(token, token_id)``.
 
     Ids are assigned the standard way — the base alphabet (every
@@ -420,6 +429,12 @@ def bpe_vocab(rules: list[dict], state: DataFrame) -> DataFrame:
     The global row_number window runs on ONE task — fine: the
     alphabet is charset-bounded (hundreds of rows), the same bounded-
     metadata posture as the per-step winner collect.
+
+    ``unk_token``: reserve one extra id ``B + K`` (base alphabet +
+    number of merge rules — invariant to surface-collision dedup) for
+    the given unknown-symbol surface form, appended AFTER the min-id
+    dedup so it can never absorb a real symbol's id. Pass
+    :data:`UNK` to get the module's documented OOV contract.
     """
     spark = state.sparkSession
     chars = (
@@ -442,19 +457,37 @@ def bpe_vocab(rules: list[dict], state: DataFrame) -> DataFrame:
         "token",
         (F.col("__b") + F.col("step") - 1).cast("int").alias("token_id"),
     )
-    return (
+    out = (
         base.unionByName(merged_ids)
         .groupBy("token")
         .agg(F.min("token_id").alias("token_id"))
     )
+    if unk_token is not None:
+        unk_row = n_base.select(
+            F.lit(unk_token).alias("token"),
+            (F.col("__b") + F.lit(len(rules))).cast("int").alias(
+                "token_id"
+            ),
+        )
+        out = out.unionByName(unk_row)
+    return out
 
 
-def word_token_ids(state: DataFrame, vocab: DataFrame) -> DataFrame:
+def word_token_ids(
+    state: DataFrame, vocab: DataFrame, unk_token: str | None = None
+) -> DataFrame:
     """Vocabulary → per-word token-id sequence ``(word, wids
     array<int>)``: split each word's merged symbol string, join
     symbols against the id table, reassemble in symbol order. Total
-    by construction — every final symbol is either a training-
-    alphabet character or a merge rule's output, both in ``vocab``.
+    by construction when ``state`` is the TRAINING state — every
+    final symbol is either a training-alphabet character or a merge
+    rule's output, both in ``vocab``.
+
+    ``unk_token``: the OOV contract for a NEW corpus — symbols absent
+    from the id table (characters never seen in training) map to the
+    unk row's id instead of silently dropping (left join + a 1-row
+    broadcast scalar; the vocab passed in must carry the unk row —
+    ``bpe_vocab(..., unk_token=UNK)``).
 
     This is the "reduce to a small model, then apply" pass: the
     per-word merge walk happens once per DISTINCT word; encoding
@@ -464,8 +497,21 @@ def word_token_ids(state: DataFrame, vocab: DataFrame) -> DataFrame:
         F.col("word"),
         F.posexplode(_syms(F.col("sym"))).alias("spos", "token"),
     )
+    if unk_token is not None:
+        unk = vocab.filter(F.col("token") == unk_token).select(
+            F.col("token_id").alias("__unk_id")
+        )
+        joined = (
+            wsym.join(vocab, "token", "left")
+            .crossJoin(F.broadcast(unk))
+            .withColumn(
+                "token_id", F.coalesce("token_id", "__unk_id")
+            )
+        )
+    else:
+        joined = wsym.join(vocab, "token")
     return (
-        wsym.join(vocab, "token")
+        joined
         .groupBy("word")
         .agg(
             F.transform(
@@ -483,6 +529,7 @@ def bpe_encode(
     id_col: str = "doc_id",
     text_col: str = "text",
     vocab: DataFrame | None = None,
+    unk_token: str | None = None,
 ) -> DataFrame:
     """Tokenize documents to BPE token-ID sequences: ``(id_col,
     token_ids array<int>)`` — the training-ready form the packing
@@ -507,9 +554,17 @@ def bpe_encode(
     ``bpe_vocab(rules, training_state)`` — store it like any other
     model artifact, and pass it here via ``vocab`` for every corpus.
     When ``vocab`` is None the table is derived from ``state``, which
-    is only correct when ``state`` IS the training state. Characters
-    unknown to the training vocab drop out of the encoded sequence
-    (the inner symbol join), the usual OOV-as-UNK posture.
+    is only correct when ``state`` IS the training state.
+
+    **OOV contract (round 16):** with ``unk_token=None`` characters
+    unknown to the training vocab DROP out of the encoded sequence
+    (the historical inner-join behavior, kept for the pinned
+    training-corpus queries). Pass ``unk_token=UNK`` — and a stored
+    ``bpe_vocab(rules, training_state, unk_token=UNK)`` — to get the
+    production posture: unknown symbols encode to the reserved
+    ``B + K`` id and decode to the literal marker, so encode is total
+    over any corpus (pinned by llm_bpe_encode_oov + round-trip
+    tests).
 
     Shape: corpus → posexplode words (the token-count pass the
     engine already does) → join the vocabulary-sized ``(word, wids)``
@@ -520,8 +575,8 @@ def bpe_encode(
     from capital.llm.text import tokens
 
     if vocab is None:
-        vocab = bpe_vocab(rules, state)
-    wids = word_token_ids(state, vocab)
+        vocab = bpe_vocab(rules, state, unk_token=unk_token)
+    wids = word_token_ids(state, vocab, unk_token=unk_token)
     tk = docs.select(
         F.col(id_col),
         F.posexplode(tokens(F.col(text_col))).alias("wpos", "word"),

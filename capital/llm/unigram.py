@@ -59,6 +59,11 @@ from pyspark.sql import functions as F
 
 #: Maximum piece length considered by the seeder and the DP.
 PIECE_MAX_LEN = 4
+#: OOV piece marker — the llm/bpe.UNK surface form, shared so every
+#: tokenizer in the triad exposes ONE unknown-character contract
+#: (round 16): apply-side segmentation is total; characters never
+#: seen in training become this piece (frequency 0).
+_UNK = "<unk>"
 #: Hard-EM rounds.
 EM_ROUNDS = 2
 #: Final vocabulary size (multi-char pieces compete for these slots;
@@ -128,13 +133,25 @@ def _viterbi_path(word: str, vocab: dict[str, int]) -> list[str]:
             piece = word[j - piece_len : j]
             freq = vocab.get(piece)
             prev = best[j - piece_len]
-            if freq is None or prev is None:
+            if prev is None:
                 continue
-            c = (prev[0] + 1, prev[1] - freq, prev[2] + (piece,))
+            if freq is None:
+                if piece_len != 1:
+                    continue
+                # OOV contract (round 16, the llm/bpe.UNK decision
+                # applied to unigram): a character outside the
+                # trained piece inventory segments as the UNK piece
+                # with frequency 0 — apply is total over ANY corpus.
+                # Unreachable for training-corpus words (their single
+                # chars are always seeded), so trained segmentations
+                # are unchanged.
+                c = (prev[0] + 1, prev[1], prev[2] + (_UNK,))
+            else:
+                c = (prev[0] + 1, prev[1] - freq, prev[2] + (piece,))
             if cand is None or c < cand:
                 cand = c
         best[j] = cand
-    # Single chars are always in the vocabulary, so best[n] exists.
+    # Total by the single-char/UNK fallback above.
     assert best[n] is not None, f"unsegmentable word {word!r}"
     return list(best[n][2])
 

@@ -24,6 +24,14 @@ prefix convention is isomorphic to the engine's end-of-word marker
 (both distinguish word-boundary symbols; the marker form keeps one
 merge machinery for all trainers).
 
+OOV contract (round 16, recorded for the whole trainer triad): apply
+side uses the SHARED bpe machinery — ``bpe_vocab(rules, state,
+unk_token=UNK)`` + ``word_token_ids(..., unk_token=UNK)`` — so
+characters never seen in training encode to the reserved ``B + K``
+UNK id exactly as in ``llm/bpe.py`` (pinned by llm_bpe_encode_oov);
+the unigram trainer's Viterbi applies the same decision
+(``llm/unigram._UNK``).
+
 Modes (the bpe_train contract):
 
 - ``mode="local"`` (default): collect the (word, count) vocabulary

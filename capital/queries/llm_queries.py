@@ -2927,18 +2927,19 @@ def dedup_substring_multiscale(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_K = 8
 
 
-def _bpe_cte_chain(k: int) -> str:
+def _bpe_cte_chain(k: int, rel: str = "documents") -> str:
     r"""The K-step unrolled BPE loop as DuckDB CTEs (the PageRank
     pattern: fixed iterations make the loop plain SQL; each step's
     winning pair enters the next step's ``replace`` as two scalar
     subqueries). Every multi-referenced CTE is MATERIALIZED — default
     inlining would re-evaluate the whole prefix chain per reference
-    (the round-9 multiplicative re-evaluation gotcha)."""
+    (the round-9 multiplicative re-evaluation gotcha). ``rel``: the
+    training corpus relation (the OOV query trains on a subset)."""
     parts = [
-        r"""wc AS MATERIALIZED (
+        rf"""wc AS MATERIALIZED (
       SELECT word, count(*) AS cnt FROM (
         SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
-        FROM documents)
+        FROM {rel})
       WHERE NOT regexp_matches(word, '[|<>]')
       GROUP BY word),
     w0 AS MATERIALIZED (
@@ -3486,6 +3487,177 @@ def llm_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.col("token_ids").cast("array<string>"), " "),
             F.lit(""),
         ).alias("ids_str"),
+    )
+
+
+#: OOV fixture: the driver corpus is a–z only and every letter
+#: appears in ≥77% of docs, so NO document split yields unseen
+#: characters — the training corpus instead strips this class from
+#: its text (the fixture-restriction convention), making those
+#: letters genuine OOV symbols at encode time.
+_OOV_STRIP_RE = "[qjkvw]"
+
+
+def _bpe_apply_chain(k: int, rel: str) -> str:
+    r"""Apply the K trained merges (scalar subqueries over the t{i}
+    winner CTEs from ``_bpe_cte_chain``) to a NEW corpus's word
+    counts — the ``apply_merges(word_counts(new), rules)`` twin."""
+    parts = [
+        rf"""awc AS MATERIALIZED (
+      SELECT word, count(*) AS cnt FROM (
+        SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+        FROM {rel})
+      WHERE NOT regexp_matches(word, '[|<>]')
+      GROUP BY word),
+    a0 AS MATERIALIZED (
+      SELECT word, cnt,
+             '||' || regexp_replace(word, '(.)', '\1||', 'g')
+                  || '</w>||' AS sym
+      FROM awc)"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(f"""a{i} AS MATERIALIZED (
+      SELECT word, cnt,
+             replace(sym,
+                     '|' || (SELECT lhs FROM t{i}) || '||'
+                         || (SELECT rhs FROM t{i}) || '|',
+                     '|' || (SELECT lhs FROM t{i})
+                         || (SELECT rhs FROM t{i}) || '|') AS sym
+      FROM a{i - 1})""")
+    return ",\n    ".join(parts)
+
+
+def _bpe_encode_oov_oracle() -> str:
+    r"""Train on the even-doc_id half, encode the WHOLE corpus with
+    the stored training vocab + the reserved UNK id (``B + K``):
+    symbols outside the training alphabet coalesce to UNK instead of
+    dropping — the llm/bpe.py OOV contract, fragment-for-fragment."""
+    from capital.llm.bpe import UNK
+
+    k = _BPE_K
+    train_rel = (
+        f"(SELECT doc_id, regexp_replace(text, '{_OOV_STRIP_RE}', ' ',"
+        f" 'g') AS text FROM documents)"
+    )
+    merge_rows = "\n        UNION ALL ".join(
+        f"SELECT {i} AS mstep, (SELECT lhs FROM t{i}) || "
+        f"(SELECT rhs FROM t{i}) AS mtok"
+        for i in range(1, k + 1)
+    )
+    return rf"""
+    WITH {_bpe_cte_chain(k, train_rel)},
+    {_bpe_apply_chain(k, "documents")},
+    alpha AS MATERIALIZED (
+      SELECT DISTINCT ch AS tok FROM (
+        SELECT unnest(string_split(word, '')) AS ch FROM wc)
+      WHERE ch <> ''
+      UNION SELECT '</w>'),
+    vbase AS MATERIALIZED (
+      SELECT tok, CAST(row_number() OVER (ORDER BY tok) - 1 AS INT)
+               AS tid
+      FROM alpha),
+    mt AS ({merge_rows}),
+    vocab AS MATERIALIZED (
+      SELECT tok, MIN(tid) AS tid FROM (
+        SELECT tok, tid FROM vbase
+        UNION ALL
+        SELECT mtok AS tok,
+               CAST((SELECT COUNT(*) FROM vbase) + mstep - 1 AS INT)
+                 AS tid
+        FROM mt)
+      GROUP BY tok
+      UNION ALL
+      SELECT '{UNK}' AS tok,
+             CAST((SELECT COUNT(*) FROM vbase) + {k} AS INT) AS tid),
+    unkid AS (SELECT tid AS uid FROM vocab WHERE tok = '{UNK}'),
+    wsym AS MATERIALIZED (
+      SELECT word, j AS spos, syms[j] AS stok
+      FROM (SELECT word,
+                   list_filter(string_split(sym, '|'), x -> x <> '')
+                     AS syms
+            FROM a{k}),
+           unnest(range(1, len(syms) + 1)) AS u(j)),
+    wids AS MATERIALIZED (
+      SELECT word,
+             list(COALESCE(tid, (SELECT uid FROM unkid))
+                  ORDER BY spos) AS widlist
+      FROM wsym LEFT JOIN vocab ON wsym.stok = vocab.tok
+      GROUP BY word),
+    tkp AS (
+      SELECT doc_id, i AS wpos, toks[i] AS word
+      FROM (SELECT doc_id,
+                   string_split_regex(trim(text), '\s+') AS toks
+            FROM documents),
+           unnest(range(1, len(toks) + 1)) AS u(i)
+      WHERE NOT regexp_matches(toks[i], '[|<>]')),
+    enc AS MATERIALIZED (
+      SELECT doc_id, flatten(list(widlist ORDER BY wpos)) AS idseq
+      FROM tkp JOIN wids USING (word)
+      GROUP BY doc_id)
+    SELECT doc_id, CAST(len(idseq) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(idseq, x -> x = uid))
+                AS BIGINT) AS n_unk,
+           COALESCE(array_to_string(idseq, ' '), '') AS ids_str
+    FROM enc, unkid
+    """
+
+
+@query("llm_bpe_encode_oov", memoize=False, oracle=_bpe_encode_oov_oracle())
+def llm_bpe_encode_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer's UNKNOWN-CHARACTER contract (round-16 verdict
+    #3): train BPE on an alphabet-restricted view of the corpus
+    (the _OOV_STRIP_RE class removed — the fixture-restriction
+    convention; the driver corpus is a-z-dense so no document split
+    yields unseen characters), then encode the FULL corpus with the
+    stored training vocab — the standard production case of new text
+    containing characters never seen in training (the reference's
+    Korean payloads are the real-world analogue). Unknown
+    symbols encode to the reserved UNK id (``B + K``, llm/bpe.UNK)
+    via a left join + 1-row broadcast scalar instead of silently
+    dropping; ``n_unk`` counts them per document. memoize=False:
+    trains in-call."""
+    from capital.llm.bpe import (
+        UNK,
+        apply_merges,
+        bpe_encode,
+        bpe_train,
+        bpe_vocab,
+        word_counts,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    train = d.select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), _OOV_STRIP_RE, " ").alias(
+            "text"
+        ),
+    )
+    rules, tstate = bpe_train(word_counts(train), merges=_BPE_K)
+    state_all = apply_merges(word_counts(d), rules)
+    vocab = bpe_vocab(rules, tstate, unk_token=UNK)
+    enc = bpe_encode(
+        d, rules, state_all, vocab=vocab, unk_token=UNK
+    )
+    unk_id = vocab.filter(F.col("token") == UNK).select(
+        F.col("token_id").alias("__uid")
+    )
+    return (
+        enc.crossJoin(F.broadcast(unk_id))
+        .select(
+            "doc_id",
+            F.size("token_ids").cast("long").alias("n_tokens"),
+            F.size(
+                F.filter(
+                    "token_ids", lambda x: x == F.col("__uid")
+                )
+            ).cast("long").alias("n_unk"),
+            F.coalesce(
+                F.array_join(
+                    F.col("token_ids").cast("array<string>"), " "
+                ),
+                F.lit(""),
+            ).alias("ids_str"),
+        )
     )
 
 

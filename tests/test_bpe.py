@@ -347,3 +347,70 @@ def test_wordpiece_unknown_mode_raises(spark):
     wc = spark.createDataFrame([("ab", 1)], "word string, cnt long")
     with pytest.raises(ValueError, match="unknown mode"):
         wordpiece_train(wc, merges=1, mode="nope")
+
+
+def test_bpe_oov_unk_contract_round_trip(spark):
+    """The round-16 OOV contract: encode with a stored training vocab
+    maps never-seen characters to the reserved UNK id (B + K), and
+    decode emits the literal marker — total encode, no silent drops."""
+    from capital.llm.bpe import (
+        UNK,
+        apply_merges,
+        bpe_decode,
+        bpe_encode,
+        bpe_train,
+        bpe_vocab,
+        word_counts,
+    )
+
+    train_docs = spark.createDataFrame(
+        [(1, "low lower low"), (2, "new newer low")],
+        "doc_id long, text string",
+    )
+    rules, tstate = bpe_train(word_counts(train_docs), merges=2)
+    vocab = bpe_vocab(rules, tstate, unk_token=UNK)
+    # alphabet: </w> e l n o r w  (7 chars) -> UNK id = 7 + 2
+    n_base = 7
+    unk_row = vocab.filter(vocab.token == UNK).collect()
+    assert len(unk_row) == 1 and unk_row[0].token_id == n_base + 2
+
+    new_docs = spark.createDataFrame(
+        [(10, "low lozenge")], "doc_id long, text string"
+    )
+    state_all = apply_merges(word_counts(new_docs), rules)
+    enc = bpe_encode(
+        new_docs, rules, state_all, vocab=vocab, unk_token=UNK
+    )
+    row = enc.collect()[0]
+    # 'z' and 'g' never occurred in training: two UNK ids
+    assert row.token_ids.count(n_base + 2) == 2
+    dec = bpe_decode(enc, vocab).collect()[0]
+    assert dec.text == f"low lo{UNK}en{UNK}e"
+
+
+def test_bpe_oov_default_drop_behavior_unchanged(spark):
+    """Without unk_token the historical inner-join drop posture is
+    preserved (the pinned training-corpus queries depend on it)."""
+    from capital.llm.bpe import (
+        apply_merges,
+        bpe_encode,
+        bpe_train,
+        bpe_vocab,
+        word_counts,
+    )
+
+    train_docs = spark.createDataFrame(
+        [(1, "ab ab")], "doc_id long, text string"
+    )
+    rules, tstate = bpe_train(word_counts(train_docs), merges=1)
+    vocab = bpe_vocab(rules, tstate)
+    new_docs = spark.createDataFrame(
+        [(2, "ab az")], "doc_id long, text string"
+    )
+    enc = bpe_encode(
+        new_docs, rules, apply_merges(word_counts(new_docs), rules),
+        vocab=vocab,
+    ).collect()[0]
+    # 'z' silently dropped; 'a' of 'az' still encodes
+    ids = set(enc.token_ids)
+    assert len(enc.token_ids) < 6 and ids

@@ -102,3 +102,16 @@ def test_unigram_fertility_vs_bpe(spark, sf_dir):
     # Corpus-level: unigram's min-pieces Viterbi should be no worse
     # than (comparable to) BPE-with-8-merges on tokens per document.
     assert sum(uni.values()) <= sum(bpe.values()) * 1.5
+
+
+def test_viterbi_oov_char_segments_as_unk():
+    """Round-16 OOV contract: a character outside the trained piece
+    inventory segments as the UNK piece (freq 0) instead of crashing
+    the kernel — apply is total over any corpus; in-vocab words are
+    unchanged."""
+    from capital.llm.unigram import _UNK, _viterbi_path
+
+    vocab = {"a": 5, "b": 3, "ab": 4}
+    assert _viterbi_path("ab", vocab) == ["ab"]
+    assert _viterbi_path("azb", vocab) == ["a", _UNK, "b"]
+    assert _viterbi_path("zz", vocab) == [_UNK, _UNK]
