@@ -95,8 +95,63 @@ def with_v2_html(df: DataFrame, lined_col: str = "lined_text") -> DataFrame:
     )
 
 
+def gate_flags(work: DataFrame, nb_model=None, barrier=None):
+    """The per-document gate tier shared by the batch funnel AND the
+    streaming twin (one implementation, the ``line_dedup_flags``
+    no-drift convention): HTML render → REAL extraction → NB language
+    gate → Gopher rules → C4 line/page rules, evaluated as ONE flag
+    frame (the three gates are independent per-document predicates
+    over the extracted text, so filtering on the conjunction is
+    identical to sequential gating — and it buys a single checkpoint
+    plus a single aggregate for the per-source profile). Returns
+    ``(c0, flagged)``: the extracted corpus and the flag frame
+    ``(doc_id, lang, source, text, nb_ok, gopher_keep, c4_keep,
+    c4_text)``.
+
+    ``nb_model``: a stored model (llm/nbayes.nb_load) — the streaming
+    twin and its batch-equality test share one model; None trains
+    in-call (resubstitution, the registered query). ``barrier``:
+    materialization for the multi-read extracted corpus (the stages
+    builder passes its plan checkpointer)."""
+    from capital.llm.c4 import c4_quality_filter, with_line_fixture
+    from capital.llm.curation import gopher_quality_flags
+    from capital.llm.extract import extract_main_content
+    from capital.llm.nbayes import nb_classify, nb_train
+
+    if barrier is None:
+        barrier = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
+    h = with_v2_html(with_line_fixture(work)).select(
+        "doc_id", "lang", "source", "html"
+    )
+    ex = extract_main_content(h)
+    c0 = barrier(
+        ex.filter(F.col("main_text").isNotNull()).select(
+            "doc_id", "lang", "source", F.col("main_text").alias("text")
+        )
+    )
+    model = nb_model or nb_train(c0.select("doc_id", "lang", "text"))
+    pred = nb_classify(c0, model)
+    flagged = c0.join(pred.select("doc_id", "nb_pred"), "doc_id")
+    flagged = gopher_quality_flags(
+        flagged, text_col="text", rules=V2_GOPHER_OVERRIDES
+    )
+    flagged = c4_quality_filter(
+        flagged, text_col="text", with_text=True,
+        min_kept_lines=V2_MIN_KEPT_LINES,
+    )
+    return c0, flagged.select(
+        "doc_id", "lang", "source", "text",
+        (F.col("nb_pred") == F.col("lang")).alias("nb_ok"),
+        "gopher_keep", "c4_keep",
+        F.col("clean_text").alias("c4_text"),
+    )
+
+
 def curation_v2_stages(
-    docs: DataFrame, scope=None, checkpoint_dir: str | None = None
+    docs: DataFrame,
+    scope=None,
+    checkpoint_dir: str | None = None,
+    nb_model=None,
 ) -> dict[str, DataFrame]:
     """Build every funnel stage; returns the named stage frames so the
     per-document query, the profile query, and tests share one
@@ -113,64 +168,23 @@ def curation_v2_stages(
     bookkeeping, not re-execution). On a real cluster pass
     ``checkpoint_dir`` (HDFS/S3) so the barriers survive executor
     loss; output is identical either way."""
+    from capital.io import plan_checkpointer
     from capital.llm.assemble import decontaminate_spans
-    from capital.llm.c4 import (
-        c4_quality_filter,
-        line_dedup_flags,
-        with_line_fixture,
-    )
+    from capital.llm.c4 import line_dedup_flags
     from capital.llm.clusters import (
         component_summary,
         connected_components,
     )
     from capital.llm.dedup import verified_neardup_pairs
-    from capital.llm.extract import extract_main_content
-    from capital.llm.nbayes import nb_classify, nb_train
     from capital.llm.text import with_pii_scrub
-    from capital.io import plan_checkpointer
 
     ckpt = plan_checkpointer(docs.sparkSession, checkpoint_dir)
     key = F.col("doc_id") % V2_BENCH_MOD
     bench_raw = docs.filter(key == 0).select("doc_id", "text")
     work = docs.filter(key != 0)
 
-    h = with_v2_html(with_line_fixture(work)).select(
-        "doc_id", "lang", "source", "html"
-    )
-    ex = extract_main_content(h)
-    c0 = ckpt(
-        ex.filter(F.col("main_text").isNotNull()).select(
-            "doc_id", "lang", "source", F.col("main_text").alias("text")
-        )
-    )
-
-    # Gate tier, computed as ONE flag frame: the NB language gate,
-    # the Gopher rules, and the C4 line/page rules are independent
-    # per-document predicates over the extracted text, so evaluating
-    # all three on c0 and filtering on the conjunction is identical
-    # to sequential gating — and it buys a single checkpoint plus a
-    # single aggregate for the per-source profile (three sequential
-    # gate frames re-ran the NB join per profile count).
-    from capital.llm.curation import gopher_quality_flags
-
-    model = nb_train(c0.select("doc_id", "lang", "text"))
-    pred = nb_classify(c0, model)
-    flagged = c0.join(pred.select("doc_id", "nb_pred"), "doc_id")
-    flagged = gopher_quality_flags(
-        flagged, text_col="text", rules=V2_GOPHER_OVERRIDES
-    )
-    flagged = c4_quality_filter(
-        flagged, text_col="text", with_text=True,
-        min_kept_lines=V2_MIN_KEPT_LINES,
-    )
-    gated = ckpt(
-        flagged.select(
-            "doc_id", "lang", "source", "text",
-            (F.col("nb_pred") == F.col("lang")).alias("nb_ok"),
-            "gopher_keep", "c4_keep",
-            F.col("clean_text").alias("c4_text"),
-        )
-    )
+    c0, flagged = gate_flags(work, nb_model=nb_model, barrier=ckpt)
+    gated = ckpt(flagged)
     c1 = gated.filter("nb_ok").select("doc_id", "lang", "source", "text")
     c2 = c1.filter("gopher_keep")
     c3 = (
@@ -243,11 +257,13 @@ def curation_v2_stages(
     }
 
 
-def curation_v2(docs: DataFrame, scope=None) -> DataFrame:
+def curation_v2(docs: DataFrame, scope=None, nb_model=None) -> DataFrame:
     """Per-document funnel survivors:
     ``(doc_id, lang, source, n_lines, n_removed_lines, n_tokens,
     n_removed_tokens, scrubbed_md5)``."""
-    return curation_v2_stages(docs, scope=scope)["final"]
+    return curation_v2_stages(docs, scope=scope, nb_model=nb_model)[
+        "final"
+    ]
 
 
 def curation_v2_profile(docs: DataFrame, scope=None) -> DataFrame:

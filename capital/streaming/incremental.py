@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
@@ -1163,6 +1163,251 @@ def incremental_pack_run(
             spark, batch_df, batch_id, seq_len, pieces_dir, state_dir,
             ids_col, partition_col, order_col,
         )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return (
+        reader.format(fmt)
+        .load(source_dir)
+        .writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def incremental_curation_run(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    model_dir: str,
+    bench_path: str,
+    lines_state_dir: str,
+    bands_state_dir: str,
+    shingles_state_dir: str,
+    flags_dir: str,
+    checkpoint_dir: str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming twin of the MODERN curation funnel
+    (``capital.llm.pipeline_v2.curation_v2`` — round-16 verdict #7):
+    day-N+1 documents stream through the SAME per-document gate tier
+    (``pipeline_v2.gate_flags``, shared implementation) and the
+    incremental forms of the corpus-wide stages, with history held as
+    GROWING state tables that are never re-derived:
+
+    - **NB language gate** against a STORED model (``nbayes.nb_load``
+      from ``model_dir`` — train once, score every day);
+    - **line dedup** against the accumulated distinct-line index (the
+      ``incremental_lines_run`` state shape, same
+      ``line_dedup_flags`` core with the prior relation);
+    - **near-dup dedup** against the accumulated LSH band index PLUS
+      a per-doc shingle store for EXACT-Jaccard verification of
+      band collisions (the batch funnel's verify discipline,
+      incrementally): a batch doc drops when its intra-batch verified
+      component contains a history-verified member or a smaller
+      batch id; ALL batch docs' bands+shingles append to state (kept
+      and dropped — duplicate-of-duplicate chains must keep
+      resolving);
+    - **span decontamination** against the static benchmark holdout
+      at ``bench_path``; **PII scrub** per document.
+
+    Survivor rows land in ``flags_dir`` as one ``batch_id=`` partition
+    per micro-batch with the batch funnel's exact output columns.
+    Replay convergence: every read filters ``batch_id < current`` and
+    every write is a dynamic partition overwrite of the batch's own
+    partitions, so a replayed batch reproduces identical bytes (the
+    lines/Bloom/PSI argument).
+
+    Stream-vs-batch equality: on a ``doc_id``-ascending stream the
+    union of flag partitions equals the batch funnel (same stored
+    model) run over the concatenated corpus — pinned in
+    tests/test_pipeline_v2.py. The one semantic seam: a duplicate
+    CLUSTER bridged only by a document in a LATER batch resolves
+    per-batch here but globally in the batch closure; the equality
+    test would catch such a corpus (none in the driver data — and at
+    production scale per-day resolution is the intended incremental
+    semantics).
+    """
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from capital.llm.assemble import decontaminate_spans
+        from capital.llm.c4 import line_dedup_flags
+        from capital.llm.clusters import connected_components
+        from capital.llm.dedup import (
+            band_keys,
+            minhash_signatures,
+            shingles,
+            verified_neardup_pairs,
+        )
+        from capital.llm.nbayes import nb_load
+        from capital.llm.pipeline_v2 import (
+            V2_BENCH_MOD,
+            V2_DECON_K,
+            V2_MH,
+            gate_flags,
+        )
+        from capital.llm.text import with_pii_scrub
+
+        model = nb_load(spark, model_dir)
+        bench = spark.read.parquet(bench_path)
+        work = batch_df.filter(
+            F.col("doc_id") % V2_BENCH_MOD != 0
+        )
+        _c0, flagged = gate_flags(work, nb_model=model)
+        c3 = flagged.filter(
+            "nb_ok AND gopher_keep AND c4_keep"
+        ).select(
+            "doc_id", "lang", "source",
+            F.col("c4_text").alias("text"),
+        ).localCheckpoint(eager=True)
+
+        # --- line dedup vs the growing line index ---------------------
+        st = read_prior_state(spark, lines_state_dir)
+        if st is not None:
+            prior = (
+                st.filter(F.col("batch_id") < batch_id)
+                .select("__line")
+                .distinct()
+                .withColumn("__seen", F.lit(True))
+            )
+        else:
+            prior = spark.createDataFrame(
+                [], "__line string, __seen boolean"
+            )
+        ld = line_dedup_flags(
+            c3.select("doc_id", "text"), text_col="text",
+            prior=prior, with_text=True,
+        )
+        c4d = c3.select("doc_id", "lang", "source").join(
+            ld.select(
+                "doc_id", "n_lines", "n_removed_lines",
+                F.col("clean_text").alias("text"),
+            ),
+            "doc_id",
+        ).localCheckpoint(eager=True)
+        own_lines = (
+            c3.select(
+                F.explode(F.split("text", "\n")).alias("__line")
+            )
+            .distinct()
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+
+        # --- near-dup dedup vs the growing band+shingle state ---------
+        mh = dict(V2_MH)
+        thr = float(mh.pop("threshold"))
+        k = int(mh.pop("shingle_k"))
+        sh = c4d.select(
+            "doc_id", shingles(F.col("text"), k).alias("__sh")
+        ).localCheckpoint(eager=True)
+        sigs = minhash_signatures(
+            c4d, num_hashes=mh["num_hashes"], shingle_k=k
+        )
+        bkeys = band_keys(
+            sigs, bands=mh["bands"],
+            rows_per_band=mh["rows_per_band"],
+        )
+        prior_bands = read_prior_state(spark, bands_state_dir)
+        hist_hits = None
+        if prior_bands is not None:
+            prior_bands = prior_bands.filter(
+                F.col("batch_id") < batch_id
+            )
+            prior_sh = read_prior_state(
+                spark, shingles_state_dir
+            ).filter(F.col("batch_id") < batch_id)
+            cand = (
+                bkeys.join(
+                    prior_bands.select(
+                        F.col("doc_id").alias("__hist_id"),
+                        "band_key",
+                    ),
+                    "band_key",
+                )
+                .select("doc_id", "__hist_id")
+                .distinct()
+            )
+            inter = F.size(F.array_intersect("__sh", "__hsh"))
+            jac = inter / (
+                F.size("__sh") + F.size("__hsh") - inter
+            )
+            hist_hits = (
+                cand.join(sh, "doc_id")
+                .join(
+                    prior_sh.select(
+                        F.col("doc_id").alias("__hist_id"),
+                        F.col("__sh").alias("__hsh"),
+                    ),
+                    "__hist_id",
+                )
+                .filter(jac >= thr)
+                .select("doc_id")
+                .distinct()
+                .withColumn("__hist_dup", F.lit(True))
+            )
+        pairs = verified_neardup_pairs(
+            c4d, shingle_k=k, threshold=thr, **mh
+        )
+        comps = connected_components(pairs, c4d.select("doc_id"))
+        if hist_hits is not None:
+            comps = comps.join(hist_hits, "doc_id", "left")
+        else:
+            comps = comps.withColumn("__hist_dup", F.lit(None))
+        w_comp = Window.partitionBy("component_id")
+        survivors = (
+            comps.withColumn(
+                "__comp_hist",
+                F.max(F.coalesce("__hist_dup", F.lit(False))).over(
+                    w_comp
+                ),
+            )
+            .withColumn("__comp_min", F.min("doc_id").over(w_comp))
+            .filter(
+                ~F.col("__comp_hist")
+                & (F.col("doc_id") == F.col("__comp_min"))
+            )
+            .select("doc_id")
+        )
+        c5 = c4d.join(survivors, "doc_id", "left_semi")
+
+        # --- decon + PII + sink ---------------------------------------
+        decon = decontaminate_spans(
+            c5, bench, k=V2_DECON_K, with_text=True
+        )
+        final = (
+            c5.select(
+                "doc_id", "lang", "source",
+                "n_lines", "n_removed_lines",
+            )
+            .join(decon, "doc_id")
+        )
+        final = with_pii_scrub(final, text_col="clean_text").select(
+            "doc_id", "lang", "source", "n_lines", "n_removed_lines",
+            "n_tokens", "n_removed_tokens",
+            F.md5("scrubbed_text").alias("scrubbed_md5"),
+        ).withColumn("batch_id", F.lit(batch_id))
+        for df_out, path in (
+            (final, flags_dir),
+            (own_lines, lines_state_dir),
+            (
+                bkeys.select("doc_id", "band_key").withColumn(
+                    "batch_id", F.lit(batch_id)
+                ),
+                bands_state_dir,
+            ),
+            (
+                sh.withColumn("batch_id", F.lit(batch_id)),
+                shingles_state_dir,
+            ),
+        ):
+            df_out.write.mode("overwrite").partitionBy(
+                "batch_id"
+            ).option(
+                "partitionOverwriteMode", "dynamic"
+            ).parquet(path)
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:

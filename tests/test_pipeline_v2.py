@@ -114,3 +114,113 @@ def test_decon_only_removes_holdout_covered_tokens(stages):
         | ~F.col("scrubbed_md5").rlike("^[0-9a-f]{32}$")
     )
     assert bad.count() == 0
+
+
+def test_incremental_curation_matches_batch(spark, tmp_path):
+    """Stream-vs-batch equality for the modern curation funnel: a
+    doc_id-ascending 3-batch stream through incremental_curation_run
+    (stored NB model, growing line/band/shingle state, static
+    benchmark) must reproduce the batch funnel's survivor rows
+    byte-for-byte; a checkpointed re-run emits nothing new (replay
+    idempotence)."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from capital.llm.nbayes import nb_load, nb_save, nb_train
+    from capital.llm.pipeline_v2 import (
+        V2_BENCH_MOD,
+        curation_v2,
+        gate_flags,
+    )
+    from capital.streaming.incremental import incremental_curation_run
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+        ]
+    )
+
+    # Shared state: one stored NB model (trained on the full work
+    # corpus's extracted text) + the static benchmark holdout.
+    work = docs.filter((F.col("doc_id") % V2_BENCH_MOD) != 0)
+    c0, _flags = gate_flags(work)
+    model_dir = str(tmp_path / "nb_model")
+    nb_save(nb_train(c0.select("doc_id", "lang", "text")), model_dir)
+    model = nb_load(spark, model_dir)
+    bench_path = str(tmp_path / "bench")
+    docs.filter((F.col("doc_id") % V2_BENCH_MOD) == 0).select(
+        "doc_id", "text"
+    ).write.parquet(bench_path)
+
+    # Batch truth with the SAME model.
+    batch_rows = {
+        r.doc_id: (
+            r.n_lines, r.n_removed_lines, r.n_tokens,
+            r.n_removed_tokens, r.scrubbed_md5,
+        )
+        for r in curation_v2(docs, nb_model=model).collect()
+    }
+
+    # doc_id-ascending 3-file source -> 3 ordered micro-batches.
+    src = str(tmp_path / "src")
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    cuts = [ids[len(ids) // 3], ids[2 * len(ids) // 3]]
+    parts = [
+        docs.filter(F.col("doc_id") < cuts[0]),
+        docs.filter(
+            (F.col("doc_id") >= cuts[0]) & (F.col("doc_id") < cuts[1])
+        ),
+        docs.filter(F.col("doc_id") >= cuts[1]),
+    ]
+    for p in parts:
+        p.coalesce(1).write.mode("append").parquet(src)
+
+    dirs = {
+        n: str(tmp_path / n)
+        for n in ("lines", "bands", "shingles", "flags", "ckpt")
+    }
+
+    def run():
+        q = incremental_curation_run(
+            spark, src, schema,
+            model_dir=model_dir,
+            bench_path=bench_path,
+            lines_state_dir=dirs["lines"],
+            bands_state_dir=dirs["bands"],
+            shingles_state_dir=dirs["shingles"],
+            flags_dir=dirs["flags"],
+            checkpoint_dir=dirs["ckpt"],
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(600)
+
+    run()
+    stream_rows = {
+        r.doc_id: (
+            r.n_lines, r.n_removed_lines, r.n_tokens,
+            r.n_removed_tokens, r.scrubbed_md5,
+        )
+        for r in spark.read.parquet(dirs["flags"]).collect()
+    }
+    assert stream_rows == batch_rows
+
+    # Replay idempotence: same checkpoint, no new input -> no change.
+    run()
+    again = {
+        r.doc_id: (
+            r.n_lines, r.n_removed_lines, r.n_tokens,
+            r.n_removed_tokens, r.scrubbed_md5,
+        )
+        for r in spark.read.parquet(dirs["flags"]).collect()
+    }
+    assert again == stream_rows
