@@ -49,6 +49,12 @@ class NBModel:
     label_stats: DataFrame    # (label, n_docs, total_tf)
     n_docs: int
     vocab_size: int
+    #: distinct label count — sizes the class-token table
+    #: (<= n_labels x vocab_size rows) for the classify-side
+    #: broadcast-vs-shuffle decision (the pagerank auto-pick
+    #: precedent). 0 = unknown (legacy stored models): never
+    #: broadcast.
+    n_labels: int = 0
 
 
 def _doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -97,15 +103,19 @@ def nb_train(
             F.sum("__tf").cast("long").alias("__total_tf"),
         )
     )
-    meta = dt.agg(
+    # one bounded metadata collect (labels folded in — a separate
+    # distinct-count job measured as a visible train-time floor).
+    meta = tok.agg(
         F.count_distinct("__tok").alias("v"),
         F.count_distinct(F.col(id_col)).alias("n"),
+        F.count_distinct("__label").alias("L"),
     ).collect()[0]
     return NBModel(
         token_counts=token_counts,
         label_stats=label_stats,
         n_docs=int(meta["n"]),
         vocab_size=int(meta["v"]),
+        n_labels=int(meta["L"]),
     )
 
 
@@ -145,9 +155,36 @@ def nb_classify(
         model.label_stats.select("__label", "__total_tf"), "__label"
     ).select("__label", "__tok", lp_cnt.alias("__lp"))
 
-    dt = _doc_tokens(df, id_col, text_col)
+    # Partitioning-reuse (round 16, the r13 HashPartitioning-superset
+    # rule): ONE upfront hash exchange on the doc id serves the
+    # (id, tok) tf aggregate, the (id, label) seen aggregate, the
+    # per-id total, the grid join AND the argmax window with zero
+    # re-exchange — provided the class-token table joins in as a
+    # broadcast. The model-sized decision is priced like pagerank's
+    # state broadcast: <= n_labels x vocab_size rows x ~48 B against
+    # autoBroadcastJoinThreshold; a lake-sized vocab falls back to
+    # the token-keyed shuffle join exactly as the old plan did.
+    from capital.io import _parse_bytes
+    from capital.llm.text import normalized, tokens
+
+    thresh = _parse_bytes(
+        df.sparkSession.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold", "10MB"
+        )
+    )
+    ct_bytes = model.n_labels * model.vocab_size * 48
+    bcast_ok = model.n_labels > 0 and 0 < ct_bytes < max(thresh, 0)
+    dt = (
+        df.select(
+            F.col(id_col),
+            F.explode(tokens(normalized(F.col(text_col)))).alias("__tok"),
+        )
+        .repartition(F.col(id_col))
+        .groupBy(id_col, "__tok")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
     seen = (
-        dt.join(ct, "__tok")
+        dt.join(F.broadcast(ct) if bcast_ok else ct, "__tok")
         .groupBy(id_col, "__label")
         .agg(
             decimal_sum(
@@ -157,6 +194,15 @@ def nb_classify(
         )
     )
     ndoc = dt.groupBy(id_col).agg(F.sum("__tf").cast("long").alias("__n"))
+    # Grid + window argmax (kept over the literal-stats projection
+    # rewrite, round 16, measured-negative ledger: collecting the
+    # labels-sized lstats bakes the argmax into one projection and
+    # removes the grid SMJ's two (id, label) exchanges + the window
+    # exchange — but for IN-CALL models the collect re-executes the
+    # whole corpus-side label_stats pipeline as an extra eager job,
+    # 2.20 -> 2.67 s at sf0.1. Net negative until models are stored;
+    # a stored-model-only fast path would add a second parity
+    # surface for ~0.5 s — not taken).
     grid = ndoc.crossJoin(F.broadcast(lstats))
     scored = (
         grid.join(seen, [id_col, "__label"], "left")
@@ -207,7 +253,8 @@ def nb_save(model: NBModel, path: str) -> None:
     )
     spark = model.token_counts.sparkSession
     spark.createDataFrame(
-        [(model.n_docs, model.vocab_size)], "n_docs long, vocab_size long"
+        [(model.n_docs, model.vocab_size, model.n_labels)],
+        "n_docs long, vocab_size long, n_labels long",
     ).write.mode("overwrite").parquet(os.path.join(path, "meta"))
 
 
@@ -216,9 +263,11 @@ def nb_load(spark, path: str) -> NBModel:
     import os
 
     meta = spark.read.parquet(os.path.join(path, "meta")).collect()[0]
+    row = meta.asDict()
     return NBModel(
         token_counts=spark.read.parquet(os.path.join(path, "token_counts")),
         label_stats=spark.read.parquet(os.path.join(path, "label_stats")),
-        n_docs=int(meta["n_docs"]),
-        vocab_size=int(meta["vocab_size"]),
+        n_docs=int(row["n_docs"]),
+        vocab_size=int(row["vocab_size"]),
+        n_labels=int(row.get("n_labels", 0) or 0),
     )
