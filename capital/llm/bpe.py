@@ -498,14 +498,30 @@ def word_token_ids(
         F.posexplode(_syms(F.col("sym"))).alias("spos", "token"),
     )
     if unk_token is not None:
-        unk = vocab.filter(F.col("token") == unk_token).select(
-            F.col("token_id").alias("__unk_id")
+        # agg, not filter: an aggregate over an empty relation still
+        # yields ONE (null) row, so a vocab missing its unk row can't
+        # silently empty the whole encode through the cross join —
+        # the raise_error below makes it loud instead (round-16
+        # review; a pre-round-16 stored vocab has no unk row).
+        unk = vocab.filter(F.col("token") == unk_token).agg(
+            F.min("token_id").alias("__unk_id")
         )
         joined = (
             wsym.join(vocab, "token", "left")
             .crossJoin(F.broadcast(unk))
             .withColumn(
-                "token_id", F.coalesce("token_id", "__unk_id")
+                "token_id",
+                F.coalesce(
+                    "token_id",
+                    "__unk_id",
+                    F.raise_error(
+                        F.lit(
+                            "word_token_ids: out-of-vocabulary symbol "
+                            f"but the vocab has no '{unk_token}' row — "
+                            "build it with bpe_vocab(..., unk_token=...)"
+                        )
+                    ).cast("int"),
+                ),
             )
         )
     else:

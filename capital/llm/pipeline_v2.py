@@ -257,20 +257,36 @@ def curation_v2_stages(
     }
 
 
-def curation_v2(docs: DataFrame, scope=None, nb_model=None) -> DataFrame:
+def curation_v2(
+    docs: DataFrame,
+    scope=None,
+    nb_model=None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
     """Per-document funnel survivors:
     ``(doc_id, lang, source, n_lines, n_removed_lines, n_tokens,
     n_removed_tokens, scrubbed_md5)``."""
-    return curation_v2_stages(docs, scope=scope, nb_model=nb_model)[
-        "final"
-    ]
+    return curation_v2_stages(
+        docs, scope=scope, nb_model=nb_model,
+        checkpoint_dir=checkpoint_dir,
+    )["final"]
 
 
-def curation_v2_profile(docs: DataFrame, scope=None) -> DataFrame:
+def curation_v2_profile(
+    docs: DataFrame,
+    scope=None,
+    nb_model=None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
     """Per-source funnel report card: stage survivor counts, removed
     line/token mass, final token budget, and an order-canonical
-    digest of the survivors' scrubbed texts."""
-    st = curation_v2_stages(docs, scope=scope)
+    digest of the survivors' scrubbed texts. ``nb_model``/
+    ``checkpoint_dir`` forward to the stages builder (stored-model
+    and reliable-barrier postures — round-16 review)."""
+    st = curation_v2_stages(
+        docs, scope=scope, nb_model=nb_model,
+        checkpoint_dir=checkpoint_dir,
+    )
 
     def flag_cnt(cond, name: str):
         return F.sum(cond.cast("long")).alias(name)

@@ -121,10 +121,14 @@ URL_RE = r"https?://[^\s]+"
 #: separator-delimited phone numbers: optional +country prefix, a
 #: 2–4 digit area/carrier group, 3–4 digit middle, 4 digit tail —
 #: covers Korean mobile/landline (010-1234-5678, +82-10-1234-5678,
-#: 02-312-3456) and NANP-style 555-123-4567 / 555 123 4567. Bare
-#: unseparated digit runs and parenthesized area codes are out of
-#: scope by design (deterministic, alternation-free, portable).
-PHONE_RE = r"(?:\+\d{1,3}[- .])?\d{2,4}[- .]\d{3,4}[- .]\d{4}"
+#: 02-312-3456) and NANP-style 555-123-4567 / 555 123 4567. The \b
+#: guards stop matches starting/ending inside longer digit runs
+#: (serial numbers stay intact — round-16 review); bare unseparated
+#: digit runs and parenthesized area codes are out of scope, and
+#: phone-shaped numeric prose (e.g. space-separated year ranges) is
+#: accepted over-masking — the C4-grade scrub errs toward privacy,
+#: and RE2's missing lookarounds rule out a stricter portable form.
+PHONE_RE = r"(?:\+\d{1,3}[- .])?\b\d{2,4}[- .]\d{3,4}[- .]\d{4}\b"
 #: dotted-quad IPv4 (no octet range check — the C4-grade scrub masks
 #: version-string lookalikes too, deterministically on both engines).
 IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"

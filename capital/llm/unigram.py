@@ -59,11 +59,11 @@ from pyspark.sql import functions as F
 
 #: Maximum piece length considered by the seeder and the DP.
 PIECE_MAX_LEN = 4
-#: OOV piece marker — the llm/bpe.UNK surface form, shared so every
-#: tokenizer in the triad exposes ONE unknown-character contract
-#: (round 16): apply-side segmentation is total; characters never
-#: seen in training become this piece (frequency 0).
-_UNK = "<unk>"
+#: OOV piece marker — IMPORTED from llm/bpe so every tokenizer in
+#: the triad exposes ONE unknown-character contract (round 16):
+#: apply-side segmentation is total; characters never seen in
+#: training become this piece (frequency 0).
+from capital.llm.bpe import UNK as _UNK  # noqa: E402
 #: Hard-EM rounds.
 EM_ROUNDS = 2
 #: Final vocabulary size (multi-char pieces compete for these slots;

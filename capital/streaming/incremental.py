@@ -1311,14 +1311,18 @@ def incremental_curation_run(
             rows_per_band=mh["rows_per_band"],
         )
         prior_bands = read_prior_state(spark, bands_state_dir)
+        prior_sh = read_prior_state(spark, shingles_state_dir)
         hist_hits = None
-        if prior_bands is not None:
+        # BOTH state tables must exist to probe history: a replay of
+        # a partially-failed first batch (bands written, shingles
+        # not, checkpoint uncommitted) must recover, not crash — and
+        # its batch_id<0 filter reads empty state anyway (round-16
+        # review).
+        if prior_bands is not None and prior_sh is not None:
             prior_bands = prior_bands.filter(
                 F.col("batch_id") < batch_id
             )
-            prior_sh = read_prior_state(
-                spark, shingles_state_dir
-            ).filter(F.col("batch_id") < batch_id)
+            prior_sh = prior_sh.filter(F.col("batch_id") < batch_id)
             cand = (
                 bkeys.join(
                     prior_bands.select(

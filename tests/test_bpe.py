@@ -414,3 +414,35 @@ def test_bpe_oov_default_drop_behavior_unchanged(spark):
     # 'z' silently dropped; 'a' of 'az' still encodes
     ids = set(enc.token_ids)
     assert len(enc.token_ids) < 6 and ids
+
+
+def test_bpe_oov_without_unk_row_raises_loudly(spark):
+    """unk_token set but the supplied vocab has no unk row (e.g. a
+    stored pre-round-16 artifact): encode must fail LOUDLY on the
+    first OOV symbol, never silently emit zero documents (round-16
+    review — the empty cross-join hazard)."""
+    import pytest
+
+    from capital.llm.bpe import (
+        UNK,
+        apply_merges,
+        bpe_encode,
+        bpe_train,
+        bpe_vocab,
+        word_counts,
+    )
+
+    train_docs = spark.createDataFrame(
+        [(1, "ab ab")], "doc_id long, text string"
+    )
+    rules, tstate = bpe_train(word_counts(train_docs), merges=1)
+    vocab_no_unk = bpe_vocab(rules, tstate)  # no unk row
+    new_docs = spark.createDataFrame(
+        [(2, "ab az")], "doc_id long, text string"
+    )
+    enc = bpe_encode(
+        new_docs, rules, apply_merges(word_counts(new_docs), rules),
+        vocab=vocab_no_unk, unk_token=UNK,
+    )
+    with pytest.raises(Exception, match="no '<unk>' row"):
+        enc.collect()
