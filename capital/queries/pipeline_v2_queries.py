@@ -269,3 +269,39 @@ def pipe_curation_v2_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_gopher_kept", "n_c4_kept", "lines_removed", "n_survivors",
         "tokens_removed_decon", "tokens_final", "corpus_md5",
     )
+
+
+@query(
+    "pipe_curation_v2_stored", memoize=False, oracle=_v2_doc_oracle()
+)
+def pipe_curation_v2_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern curation funnel against a STORED language model
+    (llm/nbayes nb_save/nb_load — the cur_nb_stored_classify posture
+    composed): train once on the extracted work corpus, persist the
+    exact-integer state, rebuild the whole funnel from the loaded
+    model. Integer state is lossless through parquet, so the result
+    must hash-match the SAME oracle as the in-call pipe_curation_v2 —
+    the store→compose twin the streaming twin runs on every day-N+1
+    batch. memoize=False: writes the model eagerly per call."""
+    import os
+    import tempfile
+
+    from capital.llm.nbayes import nb_load, nb_save, nb_train
+    from capital.llm.pipeline_v2 import (
+        V2_BENCH_MOD,
+        curation_v2,
+        gate_flags,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"capital_v2_nb_model_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    work = d.filter((F.col("doc_id") % V2_BENCH_MOD) != 0)
+    c0, _flags = gate_flags(work)
+    nb_save(nb_train(c0.select("doc_id", "lang", "text")), path)
+    return curation_v2(d, nb_model=nb_load(spark, path)).select(
+        "doc_id", "lang", "source", "n_lines", "n_removed_lines",
+        "n_tokens", "n_removed_tokens", "scrubbed_md5",
+    )
