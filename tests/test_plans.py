@@ -471,3 +471,19 @@ def test_cdc_broadcast_dup_set_probe_shape(spark, sf_dir):
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_curation_v2_plan_shapes(spark, sf_dir):
+    """The composed funnel's physical plan keeps every member's scale
+    posture: no cartesian products, no degraded nested-loop
+    equi-joins (the single-row scalar-attach BNLJ exception does not
+    occur here), and no row-at-a-time Python UDFs — the only Python
+    execution is the Arrow mapInPandas extraction/decon kernels."""
+    spark.catalog.clearCache()
+    plan = plan_of(_QUERIES["pipe_curation_v2"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan  # row-at-a-time Python
+    assert "MapInPandas" in plan  # the Arrow kernels are the plan's
+    # Python surface (extraction runs pre-checkpoint; decon is the
+    # in-plan kernel here)
