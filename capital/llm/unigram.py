@@ -257,6 +257,32 @@ def unigram_doc_tokens(
     )
 
 
+def apply_piece_counts(words: DataFrame, vocab: dict[str, int]) -> DataFrame:
+    """Per-DISTINCT-word apply pass over a trained piece dict:
+    ``(word, n_sub, n_unk)`` — total Viterbi pieces and how many are
+    the UNK fallback (characters outside the trained inventory, the
+    round-16 OOV contract). Arrow-vectorized; the dict rides the
+    closure (bounded state, the viterbi_usage precedent)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def _counts(ws: pd.Series) -> pd.Series:
+        def one(w: str) -> list[int]:
+            path = _viterbi_path(w, vocab)
+            return [len(path), sum(1 for p in path if p == _UNK)]
+
+        return ws.map(one)
+
+    return words.select(
+        "word", F.expr("1").alias("__one")
+    ).drop("__one").withColumn("__c", _counts("word")).select(
+        "word",
+        F.col("__c")[0].alias("n_sub"),
+        F.col("__c")[1].alias("n_unk"),
+    )
+
+
 def _apply_frames(
     docs: DataFrame,
     wc: DataFrame,

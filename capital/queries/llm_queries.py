@@ -3226,17 +3226,26 @@ def llm_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _unigram_walk_block(tag: str | int, prev: str) -> str:
+def _unigram_walk_block(
+    tag: str | int,
+    prev: str,
+    words: str = "wc",
+    piece_expr: str = "p.piece",
+) -> str:
     """One brute-force Viterbi block: enumerate ALL segmentations of
     every distinct word over the ``prev`` piece table (recursive CTE)
     and keep the pure-integer lexicographic minimum — shared by every
-    EM round and by the apply pass."""
+    EM round and by the apply pass. ``words``/``piece_expr``
+    parameterize the OOV apply query (an apply corpus distinct from
+    the training words; fallback pieces match by their CHAR but
+    append the UNK marker)."""
     return f"""
     walk{tag}(word, pos, path, sumfreq) AS (
-      SELECT word, 0, CAST([] AS VARCHAR[]), CAST(0 AS BIGINT) FROM wc
+      SELECT word, 0, CAST([] AS VARCHAR[]), CAST(0 AS BIGINT)
+      FROM {words}
       UNION ALL
       SELECT w.word, w.pos + length(p.piece),
-             list_append(w.path, p.piece), w.sumfreq + p.freq
+             list_append(w.path, {piece_expr}), w.sumfreq + p.freq
       FROM walk{tag} w, {prev} p
       WHERE w.pos < length(w.word)
         AND substr(w.word, w.pos + 1, length(p.piece)) = p.piece),
@@ -3248,7 +3257,7 @@ def _unigram_walk_block(tag: str | int, prev: str) -> str:
         FROM walk{tag} WHERE pos = length(word)) WHERE rn = 1)"""
 
 
-def _unigram_train_ctes() -> str:
+def _unigram_train_ctes(rel: str = "documents") -> str:
     r"""The unigram trainer's CTE chain (``wc`` → ``seed`` →
     ``walk/best/u/p`` per EM round), GENERATED from the same
     constants as capital/llm/unigram.py (the llm_queries convention).
@@ -3288,7 +3297,7 @@ def _unigram_train_ctes() -> str:
       SELECT substr(word, 1, {WORD_CAP}) AS word,
              CAST(COUNT(*) AS BIGINT) AS cnt
       FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
-            FROM documents)
+            FROM {rel})
       WHERE length(word) >= 1
       GROUP BY 1),
     subfreq AS MATERIALIZED (
@@ -3398,6 +3407,132 @@ def llm_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_fertility(d, word_counts(d))
 
 
+#: OOV fixture: the driver corpus is a–z only and every letter
+#: appears in ≥77% of docs, so NO document split yields unseen
+#: characters — the training corpus instead strips this class from
+#: its text (the fixture-restriction convention), making those
+#: letters genuine OOV symbols at encode time.
+_OOV_STRIP_RE = "[qjkvw]"
+
+
+def _unigram_oov_oracle() -> str:
+    r"""Train on the alphabet-restricted corpus (the llm_bpe_encode_oov
+    fixture convention — the driver corpus is a-z-dense, so OOV must
+    be constructed), apply to the FULL corpus with per-char UNK
+    fallback pieces: a fallback row matches by its CHARACTER but
+    appends the UNK marker to the path at frequency 0 — exactly the
+    engine Viterbi's round-16 OOV rule. The apply piece table is a
+    parenthesized UNION ALL subquery, NOT a CTE body (the round-13
+    WITH RECURSIVE bare-UNION hazard)."""
+    from capital.llm.bpe import UNK
+    from capital.llm.unigram import EM_ROUNDS, WORD_CAP
+
+    train_rel = (
+        f"(SELECT regexp_replace(text, '{_OOV_STRIP_RE}', ' ', 'g')"
+        f" AS text FROM documents)"
+    )
+    papply = (
+        f"(SELECT piece, freq, piece AS disp FROM p{EM_ROUNDS}"
+        f" UNION ALL SELECT piece, freq, disp FROM oovp)"
+    )
+    return rf"""
+    WITH RECURSIVE {_unigram_train_ctes(train_rel)},
+    awc AS MATERIALIZED (
+      SELECT substr(word, 1, {WORD_CAP}) AS word,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+            FROM documents)
+      WHERE length(word) >= 1
+      GROUP BY 1),
+    oovp AS MATERIALIZED (
+      SELECT DISTINCT substr(w.word, i.i, 1) AS piece,
+             CAST(0 AS BIGINT) AS freq, '{UNK}' AS disp
+      FROM awc w,
+           LATERAL (SELECT unnest(range(1, length(w.word) + 1)) AS i) i
+      WHERE substr(w.word, i.i, 1) NOT IN
+            (SELECT piece FROM p{EM_ROUNDS} WHERE length(piece) = 1)),
+    {_unigram_walk_block("A", papply, words="awc", piece_expr="p.disp")},
+    tk AS (
+      SELECT doc_id, substr(word, 1, {WORD_CAP}) AS word
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\s+')) AS word
+            FROM documents)
+      WHERE length(word) >= 1)
+    SELECT d.source AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(b.path)) AS BIGINT) AS n_pieces,
+           CAST(SUM(len(list_filter(b.path, x -> x = '{UNK}')))
+                AS BIGINT) AS n_unk_pieces,
+           floor(CAST(SUM(len(b.path)) AS DOUBLE) / COUNT(*)
+                 * 1e6 + 0.5e0) / 1e6 AS fertility
+    FROM tk
+    JOIN bestA b USING (word)
+    JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """
+
+
+@query(
+    "llm_unigram_apply_oov", memoize=False, oracle=_unigram_oov_oracle()
+)
+def llm_unigram_apply_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM apply under the round-16 OOV contract: train on an
+    alphabet-restricted view of the corpus, segment the FULL corpus —
+    characters outside the trained piece inventory segment as the
+    shared UNK piece at frequency 0 (llm/unigram._viterbi_path; one
+    contract across the trainer triad with llm_bpe_encode_oov).
+    Per-source report: words, total pieces, UNK pieces, fertility.
+    The oracle re-trains with the brute-force recursive-CTE chain and
+    enumerates apply-side segmentations over the trained pieces PLUS
+    per-char UNK fallback rows. memoize=False: trains in-call."""
+    from capital.llm.text import tokens
+    from capital.llm.unigram import (
+        EM_ROUNDS,
+        WORD_CAP,
+        _train_vocab,
+        apply_piece_counts,
+        word_counts,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    train = d.select(
+        F.regexp_replace(F.col("text"), _OOV_STRIP_RE, " ").alias("text")
+    )
+    vocab, _singles, _wc = _train_vocab(word_counts(train), EM_ROUNDS)
+    tk = (
+        d.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("__w")
+        )
+        .select(
+            "doc_id", F.substring("__w", 1, WORD_CAP).alias("word")
+        )
+        .filter(F.length("word") >= 1)
+    )
+    per_word = apply_piece_counts(tk.select("word").distinct(), vocab)
+    return (
+        tk.join(F.broadcast(per_word), "word")
+        .join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_pieces"),
+            F.sum("n_unk").cast("long").alias("n_unk_pieces"),
+        )
+        .select(
+            "source", "n_words", "n_pieces", "n_unk_pieces",
+            (
+                F.floor(
+                    F.col("n_pieces").cast("double")
+                    / F.col("n_words").cast("double")
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).alias("fertility"),
+        )
+    )
+
+
 #: Chunk length for id-level sequence packing (training seq_len).
 _BPE_SEQ_LEN = 64
 
@@ -3490,12 +3625,6 @@ def llm_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: OOV fixture: the driver corpus is a–z only and every letter
-#: appears in ≥77% of docs, so NO document split yields unseen
-#: characters — the training corpus instead strips this class from
-#: its text (the fixture-restriction convention), making those
-#: letters genuine OOV symbols at encode time.
-_OOV_STRIP_RE = "[qjkvw]"
 
 
 def _bpe_apply_chain(k: int, rel: str) -> str:
