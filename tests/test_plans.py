@@ -107,6 +107,7 @@ def test_no_python_udfs_in_relational_surface(spark, sf_dir):
         # state, never corpus-sized; the corpus side joins the result
         # JVM-side (broadcast).
         "llm_unigram_fertility",
+        "llm_unigram_apply_oov",  # same Arrow per-word Viterbi pass
     }
     for name, fn in _QUERIES.items():
         if name in explicitly_python:
