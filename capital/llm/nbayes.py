@@ -57,26 +57,42 @@ class NBModel:
     n_labels: int = 0
 
 
-def _doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, token, tf) over normalized tokens (the lang-ID twin).
+def _doc_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    partition_by_id: bool = False,
+) -> DataFrame:
+    """(id, token, tf) over normalized tokens (the lang-ID twin) —
+    the ONE tokenize definition train and classify share (a private
+    classify-side copy would let the two silently diverge; round-16
+    review).
 
-    Deliberately UN-barriered and un-repartitioned (round 15,
-    measured in-session min-of-2): train+classify read this frame five
-    times, but the duplicate tokenize passes are narrow and
+    Deliberately UN-barriered (round 15, measured in-session
+    min-of-2): the duplicate tokenize passes are narrow and
     concurrency-hidden on local[32] (the r14 rule — attribute, don't
-    barrier): plain 3.0 s vs +localCheckpoint 3.9 s vs
-    +parallelize_narrow 4.1–5.1 s at sf0.1. At lake scale the
-    duplicate passes are a throughput cost on the scan side; a caller
-    chaining several classifications should persist its own doc-token
-    frame and pass it through a custom flow."""
+    barrier): plain 3.0 s vs +localCheckpoint 3.9 s at sf0.1. At lake
+    scale the duplicate passes are a throughput cost on the scan
+    side; a caller chaining several classifications should persist
+    its own doc-token frame and pass it through a custom flow.
+
+    ``partition_by_id``: the classify-side partition-reuse shape
+    (round 16) — one upfront id exchange that the tf aggregate and
+    every downstream id-keyed stage reuse. Only worth it when the
+    class-token join broadcasts (otherwise the token-keyed shuffle
+    destroys the layout and the plain groupBy exchange is strictly
+    cheaper — it ships map-side-combined partials, the repartition
+    ships raw token rows)."""
     from capital.llm.text import normalized, tokens
 
+    ex = df.select(
+        F.col(id_col),
+        F.explode(tokens(normalized(F.col(text_col)))).alias("__tok"),
+    )
+    if partition_by_id:
+        ex = ex.repartition(F.col(id_col))
     return (
-        df.select(
-            F.col(id_col),
-            F.explode(tokens(normalized(F.col(text_col)))).alias("__tok"),
-        )
-        .groupBy(id_col, "__tok")
+        ex.groupBy(id_col, "__tok")
         .agg(F.count(F.lit(1)).alias("__tf"))
     )
 
@@ -165,7 +181,6 @@ def nb_classify(
     # autoBroadcastJoinThreshold; a lake-sized vocab falls back to
     # the token-keyed shuffle join exactly as the old plan did.
     from capital.io import _parse_bytes
-    from capital.llm.text import normalized, tokens
 
     thresh = _parse_bytes(
         df.sparkSession.conf.get(
@@ -174,15 +189,12 @@ def nb_classify(
     )
     ct_bytes = model.n_labels * model.vocab_size * 48
     bcast_ok = model.n_labels > 0 and 0 < ct_bytes < max(thresh, 0)
-    dt = (
-        df.select(
-            F.col(id_col),
-            F.explode(tokens(normalized(F.col(text_col)))).alias("__tok"),
-        )
-        .repartition(F.col(id_col))
-        .groupBy(id_col, "__tok")
-        .agg(F.count(F.lit(1)).alias("__tf"))
-    )
+    # partition_by_id only when the model broadcasts: otherwise the
+    # token-keyed shuffle join destroys the id layout anyway and the
+    # fallback must be the EXACT pre-round-16 plan (round-16 review —
+    # an unconditional repartition ships raw un-combined token rows
+    # on top of the old exchanges).
+    dt = _doc_tokens(df, id_col, text_col, partition_by_id=bcast_ok)
     seen = (
         dt.join(F.broadcast(ct) if bcast_ok else ct, "__tok")
         .groupBy(id_col, "__label")

@@ -95,6 +95,39 @@ def with_v2_html(df: DataFrame, lined_col: str = "lined_text") -> DataFrame:
     )
 
 
+def v2_work_split(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The ONE holdout rule (``doc_id % V2_BENCH_MOD``): returns
+    ``(work, bench_raw)``. Exposed so the stored-model query, tests
+    and tools cannot drift from the split the funnel applies
+    internally (round-16 review)."""
+    key = F.col("doc_id") % V2_BENCH_MOD
+    return docs.filter(key != 0), docs.filter(key == 0).select(
+        "doc_id", "text"
+    )
+
+
+def extract_corpus(work: DataFrame, barrier=None) -> DataFrame:
+    """The extraction stage alone: work docs → barriered
+    ``(doc_id, lang, source, text)`` extracted corpus. Split out of
+    :func:`gate_flags` so a stored-model caller can train WITHOUT
+    running (and discarding) an in-call training pass (round-16
+    review: the stored query trained twice per call)."""
+    from capital.llm.c4 import with_line_fixture
+    from capital.llm.extract import extract_main_content
+
+    if barrier is None:
+        barrier = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
+    h = with_v2_html(with_line_fixture(work)).select(
+        "doc_id", "lang", "source", "html"
+    )
+    ex = extract_main_content(h)
+    return barrier(
+        ex.filter(F.col("main_text").isNotNull()).select(
+            "doc_id", "lang", "source", F.col("main_text").alias("text")
+        )
+    )
+
+
 def gate_flags(work: DataFrame, nb_model=None, barrier=None):
     """The per-document gate tier shared by the batch funnel AND the
     streaming twin (one implementation, the ``line_dedup_flags``
@@ -113,22 +146,11 @@ def gate_flags(work: DataFrame, nb_model=None, barrier=None):
     in-call (resubstitution, the registered query). ``barrier``:
     materialization for the multi-read extracted corpus (the stages
     builder passes its plan checkpointer)."""
-    from capital.llm.c4 import c4_quality_filter, with_line_fixture
+    from capital.llm.c4 import c4_quality_filter
     from capital.llm.curation import gopher_quality_flags
-    from capital.llm.extract import extract_main_content
     from capital.llm.nbayes import nb_classify, nb_train
 
-    if barrier is None:
-        barrier = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
-    h = with_v2_html(with_line_fixture(work)).select(
-        "doc_id", "lang", "source", "html"
-    )
-    ex = extract_main_content(h)
-    c0 = barrier(
-        ex.filter(F.col("main_text").isNotNull()).select(
-            "doc_id", "lang", "source", F.col("main_text").alias("text")
-        )
-    )
+    c0 = extract_corpus(work, barrier=barrier)
     model = nb_model or nb_train(c0.select("doc_id", "lang", "text"))
     pred = nb_classify(c0, model)
     flagged = c0.join(pred.select("doc_id", "nb_pred"), "doc_id")
@@ -179,9 +201,7 @@ def curation_v2_stages(
     from capital.llm.text import with_pii_scrub
 
     ckpt = plan_checkpointer(docs.sparkSession, checkpoint_dir)
-    key = F.col("doc_id") % V2_BENCH_MOD
-    bench_raw = docs.filter(key == 0).select("doc_id", "text")
-    work = docs.filter(key != 0)
+    work, bench_raw = v2_work_split(docs)
 
     c0, flagged = gate_flags(work, nb_model=nb_model, barrier=ckpt)
     gated = ckpt(flagged)

@@ -123,24 +123,35 @@ URL_RE = r"https?://[^\s]+"
 #: covers Korean mobile/landline (010-1234-5678, +82-10-1234-5678,
 #: 02-312-3456) and NANP-style 555-123-4567 / 555 123 4567. The \b
 #: guards stop matches starting/ending inside longer digit runs
-#: (serial numbers stay intact — round-16 review); bare unseparated
-#: digit runs and parenthesized area codes are out of scope, and
-#: phone-shaped numeric prose (e.g. space-separated year ranges) is
-#: accepted over-masking — the C4-grade scrub errs toward privacy,
-#: and RE2's missing lookarounds rule out a stricter portable form.
+#: (serial numbers stay intact — round-16 review); \b also blocks a
+#: LETTER-glued start ('cell010-…'), which PHONE_GLUED_RE recovers
+#: with a captured-prefix replacement (RE2 has no lookbehind — the
+#: $1 reinsertion is the portable form; the two patterns are
+#: disjoint by construction: boundary-start vs word-char-start).
+#: Bare unseparated digit runs and parenthesized area codes stay out
+#: of scope, and phone-shaped numeric prose (space-separated year
+#: ranges) is accepted over-masking — the C4-grade scrub errs toward
+#: privacy.
 PHONE_RE = r"(?:\+\d{1,3}[- .])?\b\d{2,4}[- .]\d{3,4}[- .]\d{4}\b"
+PHONE_GLUED_RE = (
+    r"([A-Za-z_])((?:\+\d{1,3}[- .])?\d{2,4}[- .]\d{3,4}[- .]\d{4})\b"
+)
 #: dotted-quad IPv4 (no octet range check — the C4-grade scrub masks
 #: version-string lookalikes too, deterministically on both engines).
 IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 
-#: scrub order (applied sequentially; URL before PHONE/IP so digits
-#: inside already-masked URLs are never re-matched). Shared with the
+#: scrub chain (name, pattern, replacement), applied sequentially;
+#: URL before PHONE/IP so digits inside already-masked URLs are never
+#: re-matched; replacements may carry $-group references (Java and
+#: RE2 agree on $1 semantics). Count columns aggregate per NAME
+#: (n_phones = boundary + letter-glued matches). Shared with the
 #: SQL-twin generator in capital/queries/llm_queries.py so every
 #: composing oracle (text_pii_scrub, pipe_*) stays in lockstep.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("emails", EMAIL_RE, "<EMAIL>"),
     ("urls", URL_RE, "<URL>"),
     ("phones", PHONE_RE, "<PHONE>"),
+    ("phones", PHONE_GLUED_RE, "$1<PHONE>"),
     ("ips", IP_RE, "<IP>"),
 )
 
@@ -465,12 +476,16 @@ def with_pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     shuffle at any scale.
     """
     text = F.col(text_col)
-    redacted = text
+    counts: dict[str, Column] = {}
+    for name, pat, _repl in PII_PATTERNS:
+        c = F.regexp_count(text, F.lit(pat))
+        counts[name] = counts[name] + c if name in counts else c
     out = df
-    for name, pat, _token in PII_PATTERNS:
-        out = out.withColumn(f"n_{name}", F.regexp_count(text, F.lit(pat)))
-    for _name, pat, token in PII_PATTERNS:
-        redacted = F.regexp_replace(redacted, pat, token)
+    for name, c in counts.items():
+        out = out.withColumn(f"n_{name}", c)
+    redacted = text
+    for _name, pat, repl in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, repl)
     return out.withColumn("scrubbed_text", redacted)
 
 

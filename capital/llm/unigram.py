@@ -274,9 +274,9 @@ def apply_piece_counts(words: DataFrame, vocab: dict[str, int]) -> DataFrame:
 
         return ws.map(one)
 
-    return words.select(
-        "word", F.expr("1").alias("__one")
-    ).drop("__one").withColumn("__c", _counts("word")).select(
+    return words.select("word").withColumn(
+        "__c", _counts("word")
+    ).select(
         "word",
         F.col("__c")[0].alias("n_sub"),
         F.col("__c")[1].alias("n_unk"),

@@ -433,22 +433,29 @@ def pii_scrub_sql(col: str) -> str:
     """SQL twin of the :data:`capital.llm.text.PII_PATTERNS` redaction
     chain — generated from the same constants so every composing
     oracle (text_pii_scrub, pipe_clean_corpus, pipe_curation_v2)
-    tracks pattern changes automatically."""
+    tracks pattern changes automatically. Group references translate
+    ``$1`` (Java replacement syntax) to ``\1`` (RE2 rewrite syntax) —
+    the one engine difference in the chain."""
     from capital.llm.text import PII_PATTERNS
 
     expr = col
-    for _name, pat, token in PII_PATTERNS:
-        expr = f"regexp_replace({expr}, '{pat}', '{token}', 'g')"
+    for _name, pat, repl in PII_PATTERNS:
+        duck_repl = repl.replace("$", "\\")
+        expr = f"regexp_replace({expr}, '{pat}', '{duck_repl}', 'g')"
     return expr
 
 
 def _pii_oracle() -> str:
     from capital.llm.text import PII_PATTERNS
 
+    by_name: dict[str, list[str]] = {}
+    for name, pat, _repl in PII_PATTERNS:
+        by_name.setdefault(name, []).append(
+            f"len(regexp_extract_all(text, '{pat}'))"
+        )
     counts = ",\n      ".join(
-        f"CAST(len(regexp_extract_all(text, '{pat}')) AS INTEGER)"
-        f" AS n_{name}"
-        for name, pat, _token in PII_PATTERNS
+        f"CAST({' + '.join(parts)} AS INTEGER) AS n_{name}"
+        for name, parts in by_name.items()
     )
     return f"""
     SELECT doc_id,
@@ -467,9 +474,10 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from capital.llm.text import PII_PATTERNS, with_pii_scrub
 
     d = load_table(spark, sf_dir, "documents")
+    names = list(dict.fromkeys(n for n, _p, _r in PII_PATTERNS))
     return with_pii_scrub(d).select(
         "doc_id",
-        *[f"n_{name}" for name, _p, _t in PII_PATTERNS],
+        *[f"n_{name}" for name in names],
         "scrubbed_text",
     )
 
@@ -3485,7 +3493,7 @@ def llm_unigram_apply_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle re-trains with the brute-force recursive-CTE chain and
     enumerates apply-side segmentations over the trained pieces PLUS
     per-char UNK fallback rows. memoize=False: trains in-call."""
-    from capital.llm.text import tokens
+    from capital.llm.text import round6_stable, tokens
     from capital.llm.unigram import (
         EM_ROUNDS,
         WORD_CAP,
@@ -3520,14 +3528,9 @@ def llm_unigram_apply_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "source", "n_words", "n_pieces", "n_unk_pieces",
-            (
-                F.floor(
-                    F.col("n_pieces").cast("double")
-                    / F.col("n_words").cast("double")
-                    * F.lit(1000000.0)
-                    + F.lit(0.5)
-                )
-                / F.lit(1000000.0)
+            round6_stable(
+                F.col("n_pieces").cast("double")
+                / F.col("n_words").cast("double")
             ).alias("fertility"),
         )
     )

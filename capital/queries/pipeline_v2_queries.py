@@ -283,23 +283,22 @@ def pipe_curation_v2_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     must hash-match the SAME oracle as the in-call pipe_curation_v2 —
     the store→compose twin the streaming twin runs on every day-N+1
     batch. memoize=False: writes the model eagerly per call."""
-    import os
     import tempfile
 
     from capital.llm.nbayes import nb_load, nb_save, nb_train
     from capital.llm.pipeline_v2 import (
-        V2_BENCH_MOD,
         curation_v2,
-        gate_flags,
+        extract_corpus,
+        v2_work_split,
     )
 
     d = load_table(spark, sf_dir, "documents")
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"capital_v2_nb_model_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
-    work = d.filter((F.col("doc_id") % V2_BENCH_MOD) != 0)
-    c0, _flags = gate_flags(work)
+    # per-call private dir: a fixed shared path raced concurrent
+    # sessions (overwrite vs lazy read — round-16 review); the model
+    # is tiny and /tmp is session-scoped in this sandbox.
+    path = tempfile.mkdtemp(prefix="capital_v2_nb_model_")
+    work, _bench = v2_work_split(d)
+    c0 = extract_corpus(work)
     nb_save(nb_train(c0.select("doc_id", "lang", "text")), path)
     return curation_v2(d, nb_model=nb_load(spark, path)).select(
         "doc_id", "lang", "source", "n_lines", "n_removed_lines",

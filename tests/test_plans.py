@@ -475,16 +475,33 @@ def test_cdc_broadcast_dup_set_probe_shape(spark, sf_dir):
 
 
 def test_curation_v2_plan_shapes(spark, sf_dir):
-    """The composed funnel's physical plan keeps every member's scale
-    posture: no cartesian products, no degraded nested-loop
-    equi-joins (the single-row scalar-attach BNLJ exception does not
-    occur here), and no row-at-a-time Python UDFs — the only Python
-    execution is the Arrow mapInPandas extraction/decon kernels."""
+    """Funnel plan audits in two scopes (the checkpoints truncate
+    lineage, so one plan cannot see everything — round-16 review):
+    (a) the post-checkpoint TAIL (decon kernel + final joins) has no
+    cartesian/nested-loop joins and no row-at-a-time Python; (b) the
+    pre-barrier GATE TIER plan (built with an identity barrier) has
+    no cartesian products and its only BNLJ is the sanctioned
+    single-row/broadcast scalar attach (CLAUDE.md: Cross BNLJ with a
+    1-row build side is allowed; degraded equi-joins are not)."""
+    from pyspark.sql import functions as F
+
+    from capital.io import load_table
+    from capital.llm.pipeline_v2 import gate_flags, v2_work_split
+
     spark.catalog.clearCache()
     plan = plan_of(_QUERIES["pipe_curation_v2"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan  # row-at-a-time Python
-    assert "MapInPandas" in plan  # the Arrow kernels are the plan's
-    # Python surface (extraction runs pre-checkpoint; decon is the
-    # in-plan kernel here)
+    assert "MapInPandas" in plan  # the Arrow decon kernel
+
+    work, _bench = v2_work_split(load_table(spark, sf_dir, "documents"))
+    _c0, flagged = gate_flags(work, barrier=lambda df: df)
+    gplan = plan_of(flagged)
+    assert "CartesianProduct" not in gplan
+    assert "BatchEvalPython" not in gplan
+    # the NB grid's broadcast scalar attach is the one allowed BNLJ
+    # shape; a second would be a degraded equi-join. Count node
+    # DETAIL headers — formatted explain prints each node in the
+    # tree AND the detail section.
+    assert gplan.count(") BroadcastNestedLoopJoin") <= 1

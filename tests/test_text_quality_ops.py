@@ -78,6 +78,21 @@ def test_pii_scrub_nanp_phone_and_ip(spark):
     assert r.scrubbed_text == "dial <PHONE> / <PHONE>, host <IP> up"
 
 
+def test_pii_scrub_letter_glued_phone_masked(spark):
+    # \b blocks a letter-glued start; the PHONE_GLUED_RE pass
+    # recovers it with the captured prefix reinserted (round-16
+    # review: privacy regression pin). Digit-glued runs stay intact.
+    r = _one(
+        spark,
+        "cell010-1234-5678 ok, serial 123456-7890-123456 intact",
+        with_pii_scrub,
+    )
+    assert r.n_phones == 1
+    assert r.scrubbed_text == (
+        "cell<PHONE> ok, serial 123456-7890-123456 intact"
+    )
+
+
 def test_pii_scrub_url_digits_not_rematched(spark):
     # URL masked FIRST: its path digits must not resurface as a
     # phone/IP match; bare digit runs and dates stay untouched.
