@@ -119,19 +119,29 @@ def nb_train(
             F.sum("__tf").cast("long").alias("__total_tf"),
         )
     )
-    # one bounded metadata collect (labels folded in — a separate
-    # distinct-count job measured as a visible train-time floor).
-    meta = tok.agg(
+    # one bounded metadata collect. Round-16 optimization (guide §2.3
+    # "shuffle fewer bytes"): V and n are properties of the exploded
+    # token frame ALONE — the labels join cannot add or drop (id, tok)
+    # rows (inner on the id the tokens came from), so aggregating `dt`
+    # instead of `tok` drops the join from the meta job, and moving the
+    # label count out drops one branch of the multi-distinct Expand
+    # (Spark plans k count_distincts as a k-way Expand of the exploded
+    # relation — 3x the token rows through the partial aggregate; now
+    # 2x). The label count runs as its own job over the RAW corpus's
+    # label column (no tokenize, column-pruned scan — metadata-cheap).
+    meta = dt.agg(
         F.count_distinct("__tok").alias("v"),
         F.count_distinct(F.col(id_col)).alias("n"),
-        F.count_distinct("__label").alias("L"),
     ).collect()[0]
+    n_labels = labels.agg(
+        F.count_distinct("__label").alias("L")
+    ).collect()[0]["L"]
     return NBModel(
         token_counts=token_counts,
         label_stats=label_stats,
         n_docs=int(meta["n"]),
         vocab_size=int(meta["v"]),
-        n_labels=int(meta["L"]),
+        n_labels=int(n_labels),
     )
 
 
