@@ -154,9 +154,20 @@ def plan_checkpointer(spark: SparkSession, checkpoint_dir: str | None):
     iteration state. Output is bit-identical either way (tested);
     only failure recovery differs. Checkpoint files accumulate per
     round — point it at a job-scoped temp path and clean up after.
+
+    The localCheckpoint is LAZY (round 16, guide §1.2 — the job-floor
+    model): the returned frame's logical plan is already the truncated
+    LogicalRDD either way, and the first downstream action computes
+    and persists every partition (LocalRDDCheckpointData's
+    end-of-job fill-in covers partial actions like ``take``), so the
+    eager form's dedicated materialization job bought nothing — one
+    job per barrier instead of two, output identical. The
+    reliable-storage path stays eager: a non-local ``checkpoint``
+    recomputes its RDD during the checkpoint job unless persisted
+    first, so a lazy form would double every consumer's work.
     """
     if checkpoint_dir is None:
-        return lambda df: df.localCheckpoint(eager=True)
+        return lambda df: df.localCheckpoint(eager=False)
     spark.sparkContext.setCheckpointDir(checkpoint_dir)
     return lambda df: df.checkpoint(eager=True)
 

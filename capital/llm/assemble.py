@@ -612,6 +612,43 @@ def semantic_contamination(
     )
 
 
+def bench_gram_set(
+    benchmark: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    max_bench_grams: int = 5_000_000,
+) -> frozenset:
+    """Collect the benchmark's distinct k-gram set to the driver —
+    the (eval-suite-bounded, contract-asserted) state
+    :func:`decontaminate_spans` ships into its kernel. Split out
+    (round 16, guide §2.6 "overlap independent jobs") so a composing
+    pipeline can run this collect on a driver thread concurrently
+    with its earlier stages: the gram set depends only on the
+    benchmark split, never on the training funnel."""
+    b_sh = (
+        benchmark.select(
+            F.explode(shingle_set(F.col(text_col), k)).alias("g")
+        )
+        .distinct()
+    )
+    # Eval-suite-sized by contract (the IVF-probe literal-collect
+    # precedent): the deliberate plan-build collect buys a
+    # shuffle-free kernel. The by-contract bound is ASSERTED:
+    # limit(max+1) caps the transfer, and a mis-sized benchmark
+    # fails loudly at plan time instead of stalling the driver
+    # (round-14 advice).
+    rows = b_sh.limit(max_bench_grams + 1).collect()
+    if len(rows) > max_bench_grams:
+        raise ValueError(
+            f"decontaminate_spans: benchmark side exceeds "
+            f"{max_bench_grams} distinct {k}-grams — this operator's "
+            f"kernel regime requires an eval-suite-sized (constant) "
+            f"benchmark; raise max_bench_grams only if the driver "
+            f"can hold the set, or pre-filter the benchmark."
+        )
+    return frozenset(r.g for r in rows)
+
+
 def decontaminate_spans(
     train: DataFrame,
     benchmark: DataFrame,
@@ -620,6 +657,7 @@ def decontaminate_spans(
     text_col: str = "text",
     max_bench_grams: int = 5_000_000,
     with_text: bool = False,
+    bench_grams: frozenset | None = None,
 ) -> DataFrame:
     """SURGICAL decontamination: instead of dropping every document
     that overlaps the benchmark (:func:`decontaminate` — which throws
@@ -654,32 +692,18 @@ def decontaminate_spans(
     from capital.io import parallelize_narrow
     from capital.llm.text import py_tokens
 
-    b_sh = (
-        benchmark.select(
-            F.explode(shingle_set(F.col(text_col), k)).alias("g")
+    # Gram set shipped by CLOSURE capture, not sc.broadcast — the
+    # task binary is torrent-broadcast once per stage anyway, and a
+    # bare broadcast variable built at plan time is never safely
+    # unpersistable (round-14 review: repeated plan construction
+    # leaked one driver-pinned broadcast per call). ``bench_grams``:
+    # a precomputed :func:`bench_gram_set` (round 16 — lets composing
+    # pipelines overlap the collect with earlier stages, guide §2.6).
+    if bench_grams is None:
+        bench_grams = bench_gram_set(
+            benchmark, k=k, text_col=text_col,
+            max_bench_grams=max_bench_grams,
         )
-        .distinct()
-    )
-    # Eval-suite-sized by contract (the IVF-probe literal-collect
-    # precedent): the deliberate plan-build collect buys a
-    # shuffle-free kernel. Shipped by CLOSURE capture, not
-    # sc.broadcast — the task binary is torrent-broadcast once per
-    # stage anyway, and a bare broadcast variable built at plan time
-    # is never safely unpersistable (round-14 review: repeated plan
-    # construction leaked one driver-pinned broadcast per call).
-    # The by-contract bound is ASSERTED: limit(max+1) caps the
-    # transfer, and a mis-sized benchmark fails loudly at plan time
-    # instead of stalling the driver (round-14 advice).
-    rows = b_sh.limit(max_bench_grams + 1).collect()
-    if len(rows) > max_bench_grams:
-        raise ValueError(
-            f"decontaminate_spans: benchmark side exceeds "
-            f"{max_bench_grams} distinct {k}-grams — this operator's "
-            f"kernel regime requires an eval-suite-sized (constant) "
-            f"benchmark; raise max_bench_grams only if the driver "
-            f"can hold the set, or pre-filter the benchmark."
-        )
-    bench_grams = frozenset(r.g for r in rows)
     kk = int(k)
     emit_text = bool(with_text)
 

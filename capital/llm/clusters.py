@@ -68,21 +68,12 @@ def connected_components(
     from capital.io import plan_checkpointer
 
     # Round-16 optimization (guide §1.2 "the distributed algorithm" /
-    # the r13 job-floor model): on the localCheckpoint path each round
-    # previously paid TWO actions — the eager checkpoint job, then the
-    # convergence-signature aggregate over the freshly checkpointed
-    # labels. A LAZY localCheckpoint is materialized by the signature
-    # aggregate itself (the agg computes every partition, which
-    # persists the blocks and truncates lineage exactly as the eager
-    # form does), so each round is ONE job: init+3 rounds went 7 jobs
-    # -> 3 on the funnel's pair graph, labels bit-identical. The
-    # reliable-storage path keeps the eager form: a non-local
-    # checkpoint recomputes its RDD during the checkpoint job unless
-    # persisted first, so fusing there would double every round's work.
-    if checkpoint_dir is None:
-        ckpt = lambda df: df.localCheckpoint(eager=False)  # noqa: E731
-    else:
-        ckpt = plan_checkpointer(pairs.sparkSession, checkpoint_dir)
+    # the r13 job-floor model): plan_checkpointer's localCheckpoint
+    # path is LAZY, so each round's checkpoint is materialized by the
+    # convergence-signature aggregate itself — ONE job per round
+    # instead of two (init+3 rounds went 7 jobs -> 3 on the funnel's
+    # pair graph, labels bit-identical).
+    ckpt = plan_checkpointer(pairs.sparkSession, checkpoint_dir)
     fwd = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )

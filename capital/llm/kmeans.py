@@ -401,7 +401,8 @@ def clustering_nmi(
         )
         .groupBy("__x", "__y")
         .agg(F.count(F.lit(1)).alias("__nxy"))
-        .localCheckpoint(eager=True)  # consumed 4x below
+        .localCheckpoint(eager=False)  # consumed 4x below; lazy —
+        # the first fold materializes it (round 16, one job fewer)
     )
     ntot = c.agg(F.sum("__nxy").alias("__n"))
     m = c.join(

@@ -129,13 +129,25 @@ def nb_train(
     # relation — 3x the token rows through the partial aggregate; now
     # 2x). The label count runs as its own job over the RAW corpus's
     # label column (no tokenize, column-pruned scan — metadata-cheap).
+    # The two collects are independent read-only jobs — run the tiny
+    # label count on a driver thread concurrent with the token-frame
+    # aggregate (guide §2.6: FIFO scheduling back-fills the small job
+    # into idle task slots), so train pays one serial job floor, not
+    # two.
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    labels_future = pool.submit(
+        lambda: labels.agg(
+            F.count_distinct("__label").alias("L")
+        ).collect()[0]["L"]
+    )
+    pool.shutdown(wait=False)
     meta = dt.agg(
         F.count_distinct("__tok").alias("v"),
         F.count_distinct(F.col(id_col)).alias("n"),
     ).collect()[0]
-    n_labels = labels.agg(
-        F.count_distinct("__label").alias("L")
-    ).collect()[0]["L"]
+    n_labels = labels_future.result()
     return NBModel(
         token_counts=token_counts,
         label_stats=label_stats,

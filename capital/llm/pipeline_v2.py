@@ -116,7 +116,10 @@ def extract_corpus(work: DataFrame, barrier=None) -> DataFrame:
     from capital.llm.extract import extract_main_content
 
     if barrier is None:
-        barrier = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
+        # lazy: the first consumer (nb_train's metadata aggregate in
+        # the stored-model path) materializes the barrier — one job
+        # fewer, blocks persisted for every later consumer (round 16).
+        barrier = lambda df: df.localCheckpoint(eager=False)  # noqa: E731
     h = with_v2_html(with_line_fixture(work)).select(
         "doc_id", "lang", "source", "html"
     )
@@ -190,8 +193,10 @@ def curation_v2_stages(
     bookkeeping, not re-execution). On a real cluster pass
     ``checkpoint_dir`` (HDFS/S3) so the barriers survive executor
     loss; output is identical either way."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from capital.io import plan_checkpointer
-    from capital.llm.assemble import decontaminate_spans
+    from capital.llm.assemble import bench_gram_set, decontaminate_spans
     from capital.llm.c4 import line_dedup_flags
     from capital.llm.clusters import (
         component_summary,
@@ -202,6 +207,17 @@ def curation_v2_stages(
 
     ckpt = plan_checkpointer(docs.sparkSession, checkpoint_dir)
     work, bench_raw = v2_work_split(docs)
+
+    # Overlap the decontamination benchmark-gram collect with the
+    # whole gate/dedup funnel (round 16, guide §2.6 "overlap
+    # independent jobs"): the gram set depends ONLY on the holdout
+    # split, so its tokenize+distinct+collect job runs on a driver
+    # thread while the gate stages' barriers materialize; the main
+    # thread blocks on the future only at the decon build. FIFO
+    # scheduling back-fills the gram job into idle task slots.
+    pool = ThreadPoolExecutor(max_workers=1)
+    gram_future = pool.submit(bench_gram_set, bench_raw, V2_DECON_K)
+    pool.shutdown(wait=False)
 
     c0, flagged = gate_flags(work, nb_model=nb_model, barrier=ckpt)
     gated = ckpt(flagged)
@@ -246,7 +262,8 @@ def curation_v2_stages(
         c5 = c4d.join(keepers, "doc_id", "left_semi")
 
     decon = decontaminate_spans(
-        c5, bench_raw, k=V2_DECON_K, with_text=True
+        c5, bench_raw, k=V2_DECON_K, with_text=True,
+        bench_grams=gram_future.result(),
     )
     final = (
         c5.select(

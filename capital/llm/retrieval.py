@@ -364,7 +364,8 @@ def bm25_index_write_batch(
     )
     tf = toks.groupBy("doc_id", "dl", "token").agg(
         F.count(F.lit(1)).alias("tf")
-    ).localCheckpoint(eager=True)  # consumed twice (tf write + df)
+    ).localCheckpoint(eager=False)  # consumed twice (tf write + df);
+    # lazy — the tf write materializes it (round 16, one job fewer)
     tf.withColumn("batch_id", F.lit(batch_id)).withColumn(
         "pbucket", F.pmod(F.xxhash64("token"), F.lit(N_POSTING_BUCKETS))
     ).write.mode("overwrite").partitionBy("batch_id", "pbucket").option(
