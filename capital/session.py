@@ -49,6 +49,16 @@ ENGINE_CONF: dict[str, str] = {
     # --- python boundary ---
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # PySpark 4's DataFrame-debugging hook wraps EVERY Column/DataFrame
+    # API call with a Python stack walk plus TWO extra py4j round trips
+    # (a conf.get + PySparkCurrentOrigin.set) purely to enrich error
+    # messages with user call sites. Measured round 16: the wrapper is
+    # 0.35-0.6 s of the build phase of expression-heavy queries
+    # (dedup_simhash built 3658 py4j commands, ~60% wrapper-attributed)
+    # and scales with every query's construction cost on the driver —
+    # cluster-relevant, not a local[32] tune. Diagnostics-only conf:
+    # plans, results and executed bytecode are identical.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
     # Engine-driven filter pushdown into Python DataSources (Spark
     # 4.1 pushFilters — the page_json source prunes page partitions
     # from query predicates). Off by default upstream; runtime-safe.
@@ -160,6 +170,10 @@ def tune_existing(spark: SparkSession) -> SparkSession:
         "spark.sql.execution.arrow.pyspark.enabled",
         "spark.sql.legacy.parquet.nanosAsLong",
         "spark.sql.python.filterPushdown.enabled",
+        # (spark.python.sql.dataFrameDebugging.enabled is STATIC conf —
+        # settable only at session build, so get_spark applies it and
+        # driver-owned sessions keep their default; that path is the
+        # correctness gate, not the timed one.)
     ):
         spark.conf.set(key, ENGINE_CONF[key])
     return spark
