@@ -52,12 +52,15 @@ ENGINE_CONF: dict[str, str] = {
     # PySpark 4's DataFrame-debugging hook wraps EVERY Column/DataFrame
     # API call with a Python stack walk plus TWO extra py4j round trips
     # (a conf.get + PySparkCurrentOrigin.set) purely to enrich error
-    # messages with user call sites. Measured round 16: the wrapper is
-    # 0.35-0.6 s of the build phase of expression-heavy queries
-    # (dedup_simhash built 3658 py4j commands, ~60% wrapper-attributed)
-    # and scales with every query's construction cost on the driver —
+    # messages with user call sites. Measured round 16: disabling cuts
+    # the py4j commands issued to BUILD expression-heavy plans 2-3x
+    # (dedup_simhash 3658 -> 1288, dedup_minhash_lsh 2340 -> 1100) and
+    # the build-phase wall direction-consistently (~0.1-0.4 s on
+    # build-bound rows; full-run deltas sit inside the host band).
+    # Scales with every query's construction cost on the driver —
     # cluster-relevant, not a local[32] tune. Diagnostics-only conf:
-    # plans, results and executed bytecode are identical.
+    # plans, results and executed bytecode are identical (all 72
+    # headline plans diffed clean modulo ids / call-site strings).
     "spark.python.sql.dataFrameDebugging.enabled": "false",
     # Engine-driven filter pushdown into Python DataSources (Spark
     # 4.1 pushFilters — the page_json source prunes page partitions
