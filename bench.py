@@ -315,6 +315,13 @@ def main() -> None:
         # Same-queries-as-round-4 subtotal: comparable across rounds
         # even as new headline queries land.
         "value_r4_subset": detail["value_r4_subset"],
+        # Round-17: the per-query seconds map returns to the one-line
+        # JSON (additions-only). The round-9 compaction moved it to the
+        # sidecar because the driver's stdout tail truncated the
+        # pretty-printed detail; a COMPACT map of 72 floats is ~2 KB
+        # and fits, and without it the driver's per-query comparator
+        # (PERF per_query / scaling.per_query) has been empty since r9.
+        "queries": timings,
         "n_queries": len(names),
         "n_failed": len(failed),
         "n_passes": n_passes,

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import os
 from collections.abc import Sequence
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -170,6 +171,33 @@ def plan_checkpointer(spark: SparkSession, checkpoint_dir: str | None):
         return lambda df: df.localCheckpoint(eager=False)
     spark.sparkContext.setCheckpointDir(checkpoint_dir)
     return lambda df: df.checkpoint(eager=True)
+
+
+@contextmanager
+def overlapped_job(fn, *args, **kwargs):
+    """Run one independent Spark action on a driver thread (guide §2.6
+    "overlap independent jobs": FIFO scheduling back-fills the small
+    job into idle task slots) and yield its future.
+
+    Failure hygiene (round 17): if the caller's body raises before it
+    consumes the future, the bare ``submit`` pattern leaked a running
+    background Spark job against the session (the worker thread is
+    non-daemon, so it also kept the process alive). On exit this
+    cancels the future if it is still queued and joins the worker —
+    a bounded wait, since the overlapped work is by contract one
+    bounded action — so no background job ever outlives the call.
+    In the success path the future is already done and the shutdown
+    returns immediately.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    future = pool.submit(fn, *args, **kwargs)
+    try:
+        yield future
+    finally:
+        future.cancel()
+        pool.shutdown(wait=True)
 
 
 def write_partitioned(

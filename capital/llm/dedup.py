@@ -164,6 +164,7 @@ def lsh_candidate_pairs(
     bands: int = 8,
     rows_per_band: int = 4,
     scope: CacheScope | None = None,
+    max_block_hint: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs.
 
@@ -178,6 +179,13 @@ def lsh_candidate_pairs(
     Persists two intermediates the returned plan references; pass a
     :class:`capital.operators.caching.CacheScope` to release them
     deterministically after consuming the result.
+
+    ``max_block_hint``: a driver-known upper bound on the number of
+    signatures (each doc contributes exactly one row per band, so a
+    band bucket can never exceed the signature count) — forwarded to
+    the chunked join so a caller that already counted its input skips
+    the eager skew-probe job (round 17; the embedding-cosine
+    ``total_rows_hint`` precedent).
     """
     from capital.operators.caching import scoped_persist
     from capital.operators.skew import chunked_pair_join
@@ -204,7 +212,9 @@ def lsh_candidate_pairs(
     )
 
     id_pairs = (
-        chunked_pair_join(banded, ["band_key"], id_col)
+        chunked_pair_join(
+            banded, ["band_key"], id_col, max_block_hint=max_block_hint
+        )
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -1386,11 +1396,16 @@ def lsh_recall_probe(
 
     Method: a deterministic md5-fraction sample of documents gets an
     EXACT ground truth (all-pairs Jaccard within the bounded sample —
-    :func:`jaccard_pairs`), the production banding runs over the FULL
-    corpus exactly as the pipeline does, and its candidate pairs are
-    restricted to the sample. One row out: sample size, truth pairs,
-    in-sample candidate pairs, hits, and candidate recall (null when
-    the sample holds no true pair — never NaN, the ks_terms rule).
+    :func:`jaccard_pairs`), the production banding CONFIGURATION is
+    applied to the sample, and the resulting candidate pairs are
+    compared to the truth. (Round 17: banding the sample gives the
+    same in-sample candidate set as banding the full corpus and
+    restricting — band collision of (a, b) depends only on a's and
+    b's own signatures — so the full-corpus pass the probe previously
+    ran was discarded work; the report is bit-identical.) One row
+    out: sample size, truth pairs, in-sample candidate pairs, hits,
+    and candidate recall (null when the sample holds no true pair —
+    never NaN, the ks_terms rule).
 
     Scale (round 11): the truth side is BOUNDED twice. (1)
     ``max_sample_docs`` caps the sample in ROWS, not fraction — one
@@ -1443,21 +1458,32 @@ def lsh_recall_probe(
         ).select("id_a", "id_b"),
         scope,
     )
+    # The banding side runs over the SAMPLE, not the full corpus
+    # (round 17, guide §1.2 "don't compute things you throw away"):
+    # LSH candidacy is a PAIRWISE property — (a, b) collide iff their
+    # own band slices are equal, independent of every other document
+    # in the bucket — so the full-corpus candidate set restricted to
+    # sample×sample is exactly the candidate set of the sample alone.
+    # The full-corpus signature/banding pipeline (the probe's single
+    # fattest job) and the two restriction semi-joins were computing
+    # pairs the report then discarded. The probed CONFIGURATION is
+    # unchanged; the measured recall is bit-identical (oracle-pinned).
     sigs = minhash_signatures(
-        df, id_col=id_col, text_col=text_col,
+        sampled, id_col=id_col, text_col=text_col,
         num_hashes=num_hashes, shingle_k=shingle_k,
     )
+    # n_sample bounds the capped sample (the tightened fraction keeps
+    # a subset of the counted sample), and each doc contributes one
+    # row per band — so no band bucket can exceed n_sample: the
+    # already-paid count skips the banding-side skew-probe job when
+    # the bound is plain-join-safe (round 17, total_rows_hint
+    # precedent; at lake scale the bound exceeds the safe threshold
+    # and the probe runs as before).
     cands = lsh_candidate_pairs(
         sigs, id_col=id_col, bands=bands, rows_per_band=rows_per_band,
-        scope=scope,
+        scope=scope, max_block_hint=n_sample,
     )
-    sid = sampled.select(F.col(id_col))
-    in_sample = scoped_persist(
-        cands.select("id_a", "id_b")
-        .join(sid.withColumnRenamed(id_col, "id_a"), "id_a", "left_semi")
-        .join(sid.withColumnRenamed(id_col, "id_b"), "id_b", "left_semi"),
-        scope,
-    )
+    in_sample = scoped_persist(cands.select("id_a", "id_b"), scope)
     hits = truth.join(in_sample, ["id_a", "id_b"], "left_semi")
     report = (
         sampled.agg(F.count(F.lit(1)).alias("n_sample_docs"))

@@ -133,21 +133,21 @@ def nb_train(
     # label count on a driver thread concurrent with the token-frame
     # aggregate (guide §2.6: FIFO scheduling back-fills the small job
     # into idle task slots), so train pays one serial job floor, not
-    # two.
-    from concurrent.futures import ThreadPoolExecutor
+    # two. overlapped_job joins the worker on any exit, so a failing
+    # metadata aggregate cannot leave the label count running
+    # (round 17).
+    from capital.io import overlapped_job
 
-    pool = ThreadPoolExecutor(max_workers=1)
-    labels_future = pool.submit(
+    with overlapped_job(
         lambda: labels.agg(
             F.count_distinct("__label").alias("L")
         ).collect()[0]["L"]
-    )
-    pool.shutdown(wait=False)
-    meta = dt.agg(
-        F.count_distinct("__tok").alias("v"),
-        F.count_distinct(F.col(id_col)).alias("n"),
-    ).collect()[0]
-    n_labels = labels_future.result()
+    ) as labels_future:
+        meta = dt.agg(
+            F.count_distinct("__tok").alias("v"),
+            F.count_distinct(F.col(id_col)).alias("n"),
+        ).collect()[0]
+        n_labels = labels_future.result()
     return NBModel(
         token_counts=token_counts,
         label_stats=label_stats,

@@ -193,9 +193,7 @@ def curation_v2_stages(
     bookkeeping, not re-execution). On a real cluster pass
     ``checkpoint_dir`` (HDFS/S3) so the barriers survive executor
     loss; output is identical either way."""
-    from concurrent.futures import ThreadPoolExecutor
-
-    from capital.io import plan_checkpointer
+    from capital.io import overlapped_job, plan_checkpointer
     from capital.llm.assemble import bench_gram_set, decontaminate_spans
     from capital.llm.c4 import line_dedup_flags
     from capital.llm.clusters import (
@@ -214,57 +212,59 @@ def curation_v2_stages(
     # split, so its tokenize+distinct+collect job runs on a driver
     # thread while the gate stages' barriers materialize; the main
     # thread blocks on the future only at the decon build. FIFO
-    # scheduling back-fills the gram job into idle task slots.
-    pool = ThreadPoolExecutor(max_workers=1)
-    gram_future = pool.submit(bench_gram_set, bench_raw, V2_DECON_K)
-    pool.shutdown(wait=False)
-
-    c0, flagged = gate_flags(work, nb_model=nb_model, barrier=ckpt)
-    gated = ckpt(flagged)
-    c1 = gated.filter("nb_ok").select("doc_id", "lang", "source", "text")
-    c2 = c1.filter("gopher_keep")
-    c3 = (
-        gated.filter("nb_ok AND gopher_keep AND c4_keep")
-        .select("doc_id", "lang", "source",
-                F.col("c4_text").alias("text"))
-    )
-
-    ld = line_dedup_flags(
-        c3.select("doc_id", "text"), text_col="text", with_text=True
-    )
-    c4d = ckpt(
-        c3.select("doc_id", "lang", "source").join(
-            ld.select(
-                "doc_id", "n_lines", "n_removed_lines",
-                F.col("clean_text").alias("text"),
-            ),
-            "doc_id",
+    # scheduling back-fills the gram job into idle task slots. The
+    # context manager joins the worker on ANY exit, so a mid-funnel
+    # failure cannot leave a background job running (round 17).
+    with overlapped_job(bench_gram_set, bench_raw, V2_DECON_K) as gram_future:
+        c0, flagged = gate_flags(work, nb_model=nb_model, barrier=ckpt)
+        gated = ckpt(flagged)
+        c1 = gated.filter("nb_ok").select(
+            "doc_id", "lang", "source", "text"
         )
-    )
+        c2 = c1.filter("gopher_keep")
+        c3 = (
+            gated.filter("nb_ok AND gopher_keep AND c4_keep")
+            .select("doc_id", "lang", "source",
+                    F.col("c4_text").alias("text"))
+        )
 
-    # Materialize the verified pair graph once, then short-circuit:
-    # an empty graph (the common case after the gates on clean
-    # corpora) means every document is its own component — the
-    # iterative closure's ~8 fixed jobs buy nothing. Driver-side
-    # branch on a checkpointed 1-row probe (the P11 plain-control-flow
-    # posture; components output for an empty graph is provably the
-    # identity, so the branch cannot change results).
-    pairs = ckpt(verified_neardup_pairs(c4d, scope=scope, **V2_MH))
-    if len(pairs.limit(1).take(1)) == 0:
-        c5 = c4d
-    else:
-        comps = connected_components(pairs, c4d.select("doc_id"))
-        keepers = ckpt(
-            component_summary(comps).select(
-                F.col("keep_id").alias("doc_id")
+        ld = line_dedup_flags(
+            c3.select("doc_id", "text"), text_col="text", with_text=True
+        )
+        c4d = ckpt(
+            c3.select("doc_id", "lang", "source").join(
+                ld.select(
+                    "doc_id", "n_lines", "n_removed_lines",
+                    F.col("clean_text").alias("text"),
+                ),
+                "doc_id",
             )
         )
-        c5 = c4d.join(keepers, "doc_id", "left_semi")
 
-    decon = decontaminate_spans(
-        c5, bench_raw, k=V2_DECON_K, with_text=True,
-        bench_grams=gram_future.result(),
-    )
+        # Materialize the verified pair graph once, then short-circuit:
+        # an empty graph (the common case after the gates on clean
+        # corpora) means every document is its own component — the
+        # iterative closure's ~8 fixed jobs buy nothing. Driver-side
+        # branch on a checkpointed 1-row probe (the P11
+        # plain-control-flow posture; components output for an empty
+        # graph is provably the identity, so the branch cannot change
+        # results).
+        pairs = ckpt(verified_neardup_pairs(c4d, scope=scope, **V2_MH))
+        if len(pairs.limit(1).take(1)) == 0:
+            c5 = c4d
+        else:
+            comps = connected_components(pairs, c4d.select("doc_id"))
+            keepers = ckpt(
+                component_summary(comps).select(
+                    F.col("keep_id").alias("doc_id")
+                )
+            )
+            c5 = c4d.join(keepers, "doc_id", "left_semi")
+
+        decon = decontaminate_spans(
+            c5, bench_raw, k=V2_DECON_K, with_text=True,
+            bench_grams=gram_future.result(),
+        )
     final = (
         c5.select(
             "doc_id", "lang", "source", "n_lines", "n_removed_lines"

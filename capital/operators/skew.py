@@ -195,6 +195,7 @@ def chunked_pair_join(
     chunk_target: int = 1024,
     probe: bool = True,
     total_rows_hint: int | None = None,
+    max_block_hint: int | None = None,
 ) -> DataFrame:
     """All within-block unordered pairs (``id_a < id_b``) with a hard
     per-task bound under block skew.
@@ -258,12 +259,30 @@ def chunked_pair_join(
     eager jobs on micro inputs (embedding-cosine at sf0.1: 2 jobs →
     1). A wrong (stale, too-small) hint risks an oversized task, not
     wrong results — same contract as the probe snapshot above.
+
+    **max_block_hint** (round 17) — the per-BLOCK analogue: when the
+    caller knows an upper bound on any single block's row count m
+    (e.g. the blocks partition a frame whose total row count the
+    caller already paid for, and each id contributes at most one row
+    per block — LSH band buckets over a counted sample), the plain
+    join is emitted with no probe iff ``m²/2 ≤ 4·chunk_target²``.
+    That is exactly the worst case ``total_rows_hint`` guards against
+    (all n rows in ONE block), so the same ``plain_by_hint`` bound
+    applies; a total-rows bound is just the degenerate block bound.
+    Same contract: a wrong hint risks an oversized task, never wrong
+    results.
     """
     payload_cols = payload_cols or []
     if (
         probe
         and total_rows_hint is not None
         and plain_by_hint(total_rows_hint, chunk_target)
+    ):
+        return _plain_pair_join(keyed, block_cols, id_col, payload_cols)
+    if (
+        probe
+        and max_block_hint is not None
+        and plain_by_hint(max_block_hint, chunk_target)
     ):
         return _plain_pair_join(keyed, block_cols, id_col, payload_cols)
     if probe and max_block_rows(keyed, block_cols) <= chunk_target:
