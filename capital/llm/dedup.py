@@ -158,6 +158,70 @@ def minhash_signatures_from_shingles(
     return agged.select(F.col(id_col), sig.alias("signature"))
 
 
+def _lsh_banding(
+    signatures: DataFrame,
+    id_col: str,
+    bands: int,
+    rows_per_band: int,
+    scope: CacheScope | None,
+    max_block_hint: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared banding core: returns ``(persisted signatures,
+    deduplicated candidate id pairs)`` — see :func:`lsh_candidate_ids`
+    / :func:`lsh_candidate_pairs` for the public contracts."""
+    from capital.operators.caching import scoped_persist
+    from capital.operators.skew import chunked_pair_join
+
+    # Materialize signatures once: the banding explode and any join
+    # branches would otherwise re-evaluate the full hash pipeline per
+    # reference. (At warehouse scale: write signatures to a table and
+    # band from there.)
+    signatures = scoped_persist(signatures, scope)
+    # The band-bucket self-join and the pair dedup shuffle IDS ONLY:
+    # a 32×32-hex signature (~1 KB/row) riding the docs×bands explode
+    # and two exchanges is pure shuffle fat. Persist the banded index
+    # too: chunked_pair_join reads it three times (skew probe/counts +
+    # both join sides), and each read would otherwise re-run the
+    # banding md5 explode. docs × bands small rows.
+    banded = scoped_persist(
+        band_keys(
+            signatures, id_col=id_col, bands=bands, rows_per_band=rows_per_band
+        ),
+        scope,
+    )
+    id_pairs = (
+        chunked_pair_join(
+            banded, ["band_key"], id_col, max_block_hint=max_block_hint
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return signatures, id_pairs
+
+
+def lsh_candidate_ids(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    rows_per_band: int = 4,
+    scope: CacheScope | None = None,
+    max_block_hint: int | None = None,
+) -> DataFrame:
+    """Deduplicated LSH candidate id pairs WITHOUT the estimated-
+    Jaccard signature re-attach (round 17): consumers that verify
+    candidates with exact Jaccard (``verified_neardup_pairs``) or only
+    count them (``lsh_recall_probe``) discard ``est_jaccard``, but
+    Catalyst cannot prune the two id→signature JOINS that compute it —
+    only the projection — so the full form cost two needless joins of
+    the candidate set against the signature frame in every verify
+    plan. Same candidate set as :func:`lsh_candidate_pairs`, minus
+    the estimate column.
+    """
+    return _lsh_banding(
+        signatures, id_col, bands, rows_per_band, scope, max_block_hint
+    )[1]
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -186,37 +250,15 @@ def lsh_candidate_pairs(
     the chunked join so a caller that already counted its input skips
     the eager skew-probe job (round 17; the embedding-cosine
     ``total_rows_hint`` precedent).
+
+    Signatures re-attach from the persisted frame after the ids-only
+    dedup (the same trick verified_neardup_pairs uses for shingles);
+    callers that do not need ``est_jaccard`` should use
+    :func:`lsh_candidate_ids` and skip the two re-attach joins.
     """
-    from capital.operators.caching import scoped_persist
-    from capital.operators.skew import chunked_pair_join
-
     n = bands * rows_per_band
-    # Materialize signatures once: the banding explode and both join
-    # branches would otherwise re-evaluate the full hash pipeline per
-    # reference. (At warehouse scale: write signatures to a table and
-    # band from there.)
-    signatures = scoped_persist(signatures, scope)
-    # The band-bucket self-join and the pair dedup shuffle IDS ONLY:
-    # a 32×32-hex signature (~1 KB/row) riding the docs×bands explode
-    # and two exchanges is pure shuffle fat. Signatures re-attach from
-    # the persisted frame after dedup (the same trick
-    # verified_neardup_pairs uses for shingles).
-    # Persist the banded index too: chunked_pair_join reads it three
-    # times (skew probe/counts + both join sides), and each read would
-    # otherwise re-run the banding md5 explode. docs × bands small rows.
-    banded = scoped_persist(
-        band_keys(
-            signatures, id_col=id_col, bands=bands, rows_per_band=rows_per_band
-        ),
-        scope,
-    )
-
-    id_pairs = (
-        chunked_pair_join(
-            banded, ["band_key"], id_col, max_block_hint=max_block_hint
-        )
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
+    signatures, id_pairs = _lsh_banding(
+        signatures, id_col, bands, rows_per_band, scope, max_block_hint
     )
     pairs = id_pairs.join(
         signatures.select(
@@ -481,10 +523,13 @@ def verified_neardup_pairs(
         shingle_col="__sh",
         num_hashes=num_hashes,
     )
-    candidates = lsh_candidate_pairs(
+    # ids-only banding (round 17): the exact-Jaccard verify below
+    # never reads est_jaccard, and its two signature re-attach joins
+    # are not prunable by column pruning (joins survive projection).
+    candidates = lsh_candidate_ids(
         sigs, id_col=id_col, bands=bands, rows_per_band=rows_per_band,
         scope=scope,
-    ).select("id_a", "id_b")
+    )
     with_a = candidates.join(
         sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")),
         "id_a",
@@ -1479,11 +1524,11 @@ def lsh_recall_probe(
     # the bound is plain-join-safe (round 17, total_rows_hint
     # precedent; at lake scale the bound exceeds the safe threshold
     # and the probe runs as before).
-    cands = lsh_candidate_pairs(
+    cands = lsh_candidate_ids(
         sigs, id_col=id_col, bands=bands, rows_per_band=rows_per_band,
         scope=scope, max_block_hint=n_sample,
     )
-    in_sample = scoped_persist(cands.select("id_a", "id_b"), scope)
+    in_sample = scoped_persist(cands, scope)
     hits = truth.join(in_sample, ["id_a", "id_b"], "left_semi")
     report = (
         sampled.agg(F.count(F.lit(1)).alias("n_sample_docs"))

@@ -923,7 +923,10 @@ def semdedup_write_batch(
         "cell",
         F.col(vec_col),
         _norm(F.col(vec_col)).alias("nrm"),
-    ).localCheckpoint(eager=True)  # consumed 3x below
+    ).localCheckpoint(eager=False)  # consumed 3x below; lazy: the
+    # first consumer (the intra-batch skew probe) materializes the
+    # blocks — one job fewer PER MICRO-BATCH (round 17, the r16
+    # lazy-barrier result applied to the streaming bodies)
     # Missing member dir = first batch; any other read failure
     # propagates via read_prior_state (the Bloom-run contract:
     # silently scoring against an empty store emits wrong keep
@@ -1257,12 +1260,18 @@ def incremental_curation_run(
             F.col("doc_id") % V2_BENCH_MOD != 0
         )
         _c0, flagged = gate_flags(work, nb_model=model)
+        # The three per-batch barriers below (c3, c4d, sh) are LAZY
+        # (round 17): the first consumer materializes and persists the
+        # blocks, so each micro-batch schedules three fewer jobs — the
+        # r16 lazy-barrier result applied to the streaming bodies;
+        # output is identical (the stream-vs-batch equality tests pin
+        # it).
         c3 = flagged.filter(
             "nb_ok AND gopher_keep AND c4_keep"
         ).select(
             "doc_id", "lang", "source",
             F.col("c4_text").alias("text"),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
 
         # --- line dedup vs the growing line index ---------------------
         st = read_prior_state(spark, lines_state_dir)
@@ -1287,7 +1296,7 @@ def incremental_curation_run(
                 F.col("clean_text").alias("text"),
             ),
             "doc_id",
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         own_lines = (
             c3.select(
                 F.explode(F.split("text", "\n")).alias("__line")
@@ -1302,7 +1311,7 @@ def incremental_curation_run(
         k = int(mh.pop("shingle_k"))
         sh = c4d.select(
             "doc_id", shingles(F.col("text"), k).alias("__sh")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         sigs = minhash_signatures(
             c4d, num_hashes=mh["num_hashes"], shingle_k=k
         )
