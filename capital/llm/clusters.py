@@ -45,26 +45,16 @@ from pyspark.sql import functions as F
 MAX_ROUNDS = 25
 
 
-def connected_components(
+def _edge_vertex_labels(
     pairs: DataFrame,
-    vertices: DataFrame,
-    id_col: str = "doc_id",
     max_rounds: int = MAX_ROUNDS,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
-    """Components of the undirected pair graph over all ``vertices``.
-
-    ``pairs`` carries columns ``id_a``/``id_b``; ``vertices`` carries
-    ``id_col`` (isolated vertices become singleton components). Returns
-    ``(id_col, component_id)`` with ``component_id`` = min member id.
-
-    ``checkpoint_dir``: reliable-storage checkpoint path for the
-    per-round label state (``io.plan_checkpointer``) — on a real
-    cluster, pass an HDFS/S3 job dir so an executor loss mid-closure
-    resumes from the last round instead of killing the job; the
-    default ``localCheckpoint`` is the single-node fast path. Labels
-    are identical either way.
-    """
+    """Converged min-label closure over the EDGE-TOUCHING vertices
+    only: ``(id, label)`` with ``label`` = min id reachable. The
+    shared core of :func:`connected_components` (which joins the full
+    vertex set afterwards) and :func:`duplicate_drop_ids` (which
+    never needs the corpus join)."""
     from capital.io import plan_checkpointer
 
     # Round-16 optimization (guide §1.2 "the distributed algorithm" /
@@ -146,6 +136,32 @@ def connected_components(
             "rounds — with pointer jumping that needs a component of "
             "diameter > ~2^rounds; raise max_rounds"
         )
+    return labels
+
+
+def connected_components(
+    pairs: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "doc_id",
+    max_rounds: int = MAX_ROUNDS,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Components of the undirected pair graph over all ``vertices``.
+
+    ``pairs`` carries columns ``id_a``/``id_b``; ``vertices`` carries
+    ``id_col`` (isolated vertices become singleton components). Returns
+    ``(id_col, component_id)`` with ``component_id`` = min member id.
+
+    ``checkpoint_dir``: reliable-storage checkpoint path for the
+    per-round label state (``io.plan_checkpointer``) — on a real
+    cluster, pass an HDFS/S3 job dir so an executor loss mid-closure
+    resumes from the last round instead of killing the job; the
+    default ``localCheckpoint`` is the single-node fast path. Labels
+    are identical either way.
+    """
+    labels = _edge_vertex_labels(
+        pairs, max_rounds=max_rounds, checkpoint_dir=checkpoint_dir
+    )
     resolved = labels.select(
         F.col("id").alias(id_col), F.col("label").alias("component_id")
     )
@@ -154,6 +170,36 @@ def connected_components(
         F.coalesce(
             F.col("component_id"), F.col(id_col).cast("long")
         ).alias("component_id"),
+    )
+
+
+def duplicate_drop_ids(
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_rounds: int = MAX_ROUNDS,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Ids to REMOVE from a corpus under min-id survivorship: members
+    of the pair graph whose converged label differs from their own id
+    (round 17).
+
+    The min-label closure's ``component_id`` IS the component's min
+    member id, so the survivor set is exactly ``{v : label(v) = v}``
+    plus every isolated vertex — the previous shape
+    (``component_summary`` groupBy over the CORPUS-sized components
+    frame, then a keeper semi-join of corpus against corpus-sized
+    keepers) re-derived ``keep_id = component_id`` through a full
+    corpus exchange. The drop set here is PAIR-GRAPH-sized (only
+    edge-touching vertices can be dropped), so the caller's anti-join
+    broadcasts at lake scale instead of shuffling the corpus.
+    Callers must anti-join on non-null ids (the corpus contract): a
+    NULL id never matches either join form's key.
+    """
+    labels = _edge_vertex_labels(
+        pairs, max_rounds=max_rounds, checkpoint_dir=checkpoint_dir
+    )
+    return labels.filter(F.col("id") != F.col("label")).select(
+        F.col("id").alias(id_col)
     )
 
 
@@ -176,11 +222,14 @@ def deduplicated_corpus(
 ) -> DataFrame:
     """The surviving corpus: one representative document per component.
 
-    Semi-join of the full corpus against the survivor ids — at scale a
-    broadcast join when the survivor set of *non-singleton* components
-    is small, else a shuffled semi-join on the id.
+    A component's survivor is its min member id, which IS the
+    ``component_id`` label — so survivors are the rows whose id equals
+    their label, and the corpus anti-joins the (small) drop set
+    ``{v : component_id != v}`` instead of semi-joining a corpus-sized
+    keeper relation (round 17; broadcastable at lake scale). Identical
+    output for non-null ids (the corpus contract).
     """
-    keepers = component_summary(components, id_col).select(
-        F.col("keep_id").alias(id_col)
-    )
-    return df.join(keepers, id_col, "left_semi")
+    dropped = components.filter(
+        F.col(id_col) != F.col("component_id")
+    ).select(id_col)
+    return df.join(dropped, id_col, "left_anti")

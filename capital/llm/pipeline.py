@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from capital.llm.clusters import component_summary, connected_components
+from capital.llm.clusters import duplicate_drop_ids
 from capital.llm.dedup import verified_neardup_pairs
 from capital.llm.text import (
     with_pii_scrub,
@@ -79,13 +79,17 @@ def clean_corpus(
         rows_per_band=rows_per_band,
         threshold=jaccard_threshold,
     )
-    comps = connected_components(pairs, kept.select("doc_id"))
-    keepers = component_summary(comps).select(
-        F.col("keep_id").alias("doc_id")
-    )
+    # Min-id survivorship via the PAIR-GRAPH-sized drop set (round 17):
+    # the closure label already IS the component's min member id, so
+    # the old corpus-sized component_summary groupBy + keeper semi-join
+    # re-derived keep_id through a full corpus exchange. Anti-joining
+    # the (tiny, broadcastable) dropped ids is output-identical on the
+    # non-null-id corpus — survivors = kept \ {v in pair graph :
+    # label(v) != v}.
+    dropped = duplicate_drop_ids(pairs)
     return (
         with_pii_scrub(kept)
-        .join(keepers, "doc_id", "left_semi")
+        .join(dropped, "doc_id", "left_anti")
         .select(
             "doc_id",
             "n_tokens",

@@ -196,10 +196,7 @@ def curation_v2_stages(
     from capital.io import overlapped_job, plan_checkpointer
     from capital.llm.assemble import bench_gram_set, decontaminate_spans
     from capital.llm.c4 import line_dedup_flags
-    from capital.llm.clusters import (
-        component_summary,
-        connected_components,
-    )
+    from capital.llm.clusters import duplicate_drop_ids
     from capital.llm.dedup import verified_neardup_pairs
     from capital.llm.text import with_pii_scrub
 
@@ -253,13 +250,14 @@ def curation_v2_stages(
         if len(pairs.limit(1).take(1)) == 0:
             c5 = c4d
         else:
-            comps = connected_components(pairs, c4d.select("doc_id"))
-            keepers = ckpt(
-                component_summary(comps).select(
-                    F.col("keep_id").alias("doc_id")
-                )
-            )
-            c5 = c4d.join(keepers, "doc_id", "left_semi")
+            # Min-id survivorship via the PAIR-GRAPH-sized drop set
+            # (round 17): the closure label IS the component's min
+            # member id, so the old corpus-sized component_summary
+            # groupBy + keeper semi-join re-derived keep_id through a
+            # full corpus exchange; anti-joining the tiny dropped set
+            # is output-identical on the non-null-id corpus.
+            dropped = ckpt(duplicate_drop_ids(pairs))
+            c5 = c4d.join(dropped, "doc_id", "left_anti")
 
         decon = decontaminate_spans(
             c5, bench_raw, k=V2_DECON_K, with_text=True,
