@@ -143,3 +143,67 @@ def test_connected_components_reliable_checkpoint_matches_local(
         ).collect()
     )
     assert a == b
+
+
+def test_duplicate_drop_ids_matches_keeper_semi_join(spark):
+    """The round-17 drop-set form must equal the old shape exactly:
+    corpus minus component_summary keepers == corpus anti-join
+    duplicate_drop_ids, on a graph with chains, a clique, isolated
+    vertices, and ids absent from the pair graph."""
+    from capital.llm.clusters import (
+        component_summary,
+        connected_components,
+        duplicate_drop_ids,
+    )
+
+    pairs = spark.createDataFrame(
+        [(0, 7), (7, 14), (3, 4), (4, 5), (3, 5), (21, 22)],
+        "id_a long, id_b long",
+    )
+    corpus = spark.range(30).withColumnRenamed("id", "doc_id")
+
+    comps = connected_components(pairs, corpus)
+    keepers = component_summary(comps).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    old = sorted(
+        r.doc_id for r in corpus.join(keepers, "doc_id", "left_semi").collect()
+    )
+    new = sorted(
+        r.doc_id
+        for r in corpus.join(
+            duplicate_drop_ids(pairs), "doc_id", "left_anti"
+        ).collect()
+    )
+    assert old == new
+    # and the drop set is pair-graph-sized: only edge vertices appear
+    dropped = {r.doc_id for r in duplicate_drop_ids(pairs).collect()}
+    assert dropped == {7, 14, 4, 5, 22}
+
+
+def test_lsh_candidate_ids_matches_pairs(spark):
+    """ids-only banding must emit exactly the candidate id set of the
+    full (est_jaccard) form."""
+    from capital.llm.dedup import (
+        lsh_candidate_ids,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    from capital.io import load_table
+
+    docs = load_table(
+        spark, "/root/testdata/sf0.001", "documents"
+    ).limit(120)
+    sigs = minhash_signatures(docs, num_hashes=16, shingle_k=3)
+    full = sorted(
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(
+            sigs, bands=4, rows_per_band=4
+        ).collect()
+    )
+    ids = sorted(
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_ids(sigs, bands=4, rows_per_band=4).collect()
+    )
+    assert ids == full
