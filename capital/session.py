@@ -61,6 +61,11 @@ ENGINE_CONF: dict[str, str] = {
     # cluster-relevant, not a local[32] tune. Diagnostics-only conf:
     # plans, results and executed bytecode are identical (all 72
     # headline plans diffed clean modulo ids / call-site strings).
+    # NOTE (r16 ADVICE): PySpark caches this flag PROCESS-WIDE on the
+    # first DataFrame API call (pyspark/errors/utils.py
+    # _enable_debugging_cache), so whichever session initializes first
+    # pins it for the interpreter — any re-measurement needs
+    # separate-process sweeps, the methodology OPTIMIZATION_r16 used.
     "spark.python.sql.dataFrameDebugging.enabled": "false",
     # Engine-driven filter pushdown into Python DataSources (Spark
     # 4.1 pushFilters — the page_json source prunes page partitions

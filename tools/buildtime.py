@@ -35,6 +35,11 @@ def main() -> None:
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--passes", type=int, default=2)
     args = ap.parse_args()
+    # Validate up front (r16 ADVICE): passes < 1 would leave both
+    # columns empty and divide by zero in the TOTAL line, and an
+    # unknown name should fail before the full warm-up pass runs.
+    if args.passes < 1:
+        ap.error("--passes must be >= 1")
 
     from bench import headline_names
     from capital.io import clear_engine_cache
@@ -42,9 +47,13 @@ def main() -> None:
     from capital.queries.registry import clear_plan_cache
     from capital.session import get_spark
 
+    queries = all_queries()
+    unknown = [n for n in args.names if n not in queries]
+    if unknown:
+        ap.error(f"unknown queries: {unknown}")
+
     spark = get_spark(app_name="capital-buildtime")
     spark.sparkContext.setLogLevel("ERROR")
-    queries = all_queries()
     names = args.names or headline_names(queries)
 
     # warm-up pass (codegen, broadcast, page cache), then clear
